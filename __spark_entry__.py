@@ -1,38 +1,85 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: boilerplate-wrap the sf0.001 documents table
+                    in deterministic HTML, run the full main-content
+                    extraction kernel, return per-doc markdown (the
+                    roundtrip-equality query; oracle = SELECT doc_id, text).
+queries()         — one entry per implemented operator (SURVEY.md §2.9 +
+                    training-data ops + extraction routes).
+oracle_sql()      — DuckDB equivalents for every SQL-expressible query;
+                    extraction-over-synthetic-transcripts entries are
+                    rows-only by nature (non-SQL-expressible kernels).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mineru_spark.queries import RELATIONAL_QUERIES, ORACLES
+from mineru_spark.sources.docwrap import roundtrip_check, extract_wrapped_documents
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return roundtrip_check(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries over synthetic transcripts (rows-only: the kernels are
+# not SQL-expressible; their correctness gate is the pytest golden-equality
+# suite against the single-process oracle, tests/test_golden_equality.py)
+# ---------------------------------------------------------------------------
+
+def _n_convs_for(sf_dir: str) -> int:
+    from mineru_spark.datagen.transcripts import n_convs_for_sf
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.001
+    return n_convs_for_sf(sf)
+
+
+def x_transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mineru_spark.pipeline import synthesize_transcripts, extract
+    df = synthesize_transcripts(spark, _n_convs_for(sf_dir))
+    return extract(df).select("conv_id", "turn_idx", "route", "md",
+                              "blocks_classified", "boilerplate_dropped",
+                              "ocr_fallback")
+
+
+def x_transcripts_route_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mineru_spark.pipeline import synthesize_transcripts, extract
+    df = synthesize_transcripts(spark, _n_convs_for(sf_dir))
+    return (extract(df).groupBy("route")
+            .agg(F.count("*").cast("long").alias("n_turns"),
+                 F.sum("blocks_classified").cast("long").alias("blocks"),
+                 F.sum("boilerplate_dropped").cast("long").alias("boilerplate"),
+                 F.sum("ocr_fallback").cast("long").alias("ocr_fallback")))
+
+
+def x_docwrap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return roundtrip_check(spark, sf_dir)
+
+
+def x_docwrap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (extract_wrapped_documents(spark, sf_dir)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_blocks").cast("long").alias("n_blocks"),
+                 F.sum("boilerplate_dropped").cast("long")
+                 .alias("boilerplate_dropped")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(RELATIONAL_QUERIES)
+    out["x_docwrap_roundtrip"] = x_docwrap_roundtrip
+    out["x_docwrap_metrics"] = x_docwrap_metrics
+    out["x_transcripts_extract"] = x_transcripts_extract
+    out["x_transcripts_route_metrics"] = x_transcripts_route_metrics
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

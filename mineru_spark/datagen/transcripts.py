@@ -1,0 +1,400 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1-2).
+
+One row per turn with the exact ``BASELINE.json input_hint`` schema
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp)``.  Every value is a pure function of ``(conv_id, turn_idx)``
+via sha256-seeded PRNGs — no global RNG state — so ANY subset of the corpus
+regenerates identically on any executor.  This is what lets the Spark job
+synthesize its own input shard-locally (mapInPandas over a ``spark.range``)
+instead of shipping data, and what makes the pytest oracle reproducible.
+
+Payload kinds inside ``text`` (mirroring the reference's input universe,
+/root/reference/mineru/cli/common.py:42-47, recast for transcripts):
+
+- HTML fragments (~60%, tool=browser): main-content <article> wrapped in
+  boilerplate (nav/header/footer/sidebar/script/style) with high link
+  density — exercises the boilerplate discard analog of the reference's
+  header/footer discard (pipeline_magic_model.py:199-220).
+- PDF-like char streams (~30%, tool=pdf_reader): JSON char records
+  mirroring the reference char schema (pdf_text_tool.py:181-190) plus a
+  layout array, with corruption knobs keyed to reference kernels:
+  shadow-offset duplicates (pdf_text_tool.py:107-146), near-identical
+  jitter dups (:278-314), ligatures (span_pre_proc.py:29-33), full-width
+  forms (char_utils.py:21-38), sup/sub at 0.7x size (span_pre_proc.py:536),
+  rotated watermark chars (span_pre_proc.py:173-208), occasionally
+  shuffled char records (span_pre_proc.py:609-614), hyphen-split line
+  ends (char_utils.py:7-18).
+- Office table fragments (~10%, tool=file_reader): HTML tables with
+  rowspan/colspan merged cells (xlsx_converter.py:39-166 semantics).
+- Empty (~5%, tool=none): null-path coverage.
+
+Conversation lengths follow a Zipf-ish tail: ~1% of convs are 40-80 turns
+(long-document skew for the partitioning tests); the rest are 1-8.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+from datetime import datetime, timedelta, timezone
+
+_BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+_VOCAB = (
+    "alpha beta gamma delta epsilon zeta theta lambda sigma omega "
+    "pipeline extraction transcript document layout segment marker "
+    "vector column partition shuffle broadcast window ordered stable "
+    "content density kernel span block line page turn metric golden "
+    "merge filter classify route emit parse render table figure title "
+    "system agent browser reader result output schema "
+    "quantity revenue supplier nation region order process stream batch"
+).split()
+
+# occasional words exercising the markdown escape path
+# (reference markdown_utils.py:12-48)
+_SPECIAL_WORDS = ["a*b", "x_y", "p~q", "c$d", "tick`mark"]
+
+# CJK sample sentences (exercise the no-space CJK join rule,
+# pipeline_middle_json_mkcontent.py:402-405)
+_CJK_SENTENCES = [
+    "数据管道处理文档内容",
+    "分布式系统按分区并行执行",
+    "提取主要内容并生成结构化文本",
+    "每个回合的文本保持稳定顺序",
+]
+
+PAGE_W, PAGE_H = 612.0, 792.0
+BODY_SIZE = 10.0
+CHAR_W = 5.0
+LINE_H = 12.0
+
+
+def _prng(*keys) -> random.Random:
+    h = hashlib.sha256("|".join(str(k) for k in keys).encode("utf-8")).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def conv_length(conv_i: int) -> int:
+    rng = _prng("len", conv_i)
+    if rng.random() < 0.01:
+        return rng.randint(40, 80)  # long-document skew tail
+    return rng.randint(1, 8)
+
+
+def n_convs_for_sf(sf: float) -> int:
+    """~200 convs at sf=0.001 (≈900 turns), scaling linearly."""
+    return max(8, int(200 * (sf / 0.001)))
+
+
+def _words(rng: random.Random, n: int, special: bool = False) -> list[str]:
+    out = []
+    for _ in range(n):
+        if special and rng.random() < 0.08:
+            out.append(rng.choice(_SPECIAL_WORDS))
+        else:
+            out.append(rng.choice(_VOCAB))
+    return out
+
+
+def _sentence(rng: random.Random, lo=5, hi=14, special=False) -> str:
+    ws = _words(rng, rng.randint(lo, hi), special=special)
+    return " ".join(ws)
+
+
+# ---------------------------------------------------------------------------
+# HTML fragments
+# ---------------------------------------------------------------------------
+
+def _gen_html(rng: random.Random) -> str:
+    def link_farm(n):
+        return "".join(
+            f'<li><a href="/x/{i}">{rng.choice(_VOCAB)} {rng.choice(_VOCAB)}</a></li>'
+            for i in range(n)
+        )
+
+    n_paras = rng.randint(2, 5)
+    paras = []
+    for _ in range(n_paras):
+        if rng.random() < 0.07:
+            paras.append(f"<p>{rng.choice(_CJK_SENTENCES)}</p>")
+        else:
+            paras.append(f"<p>{_sentence(rng, 8, 20, special=True)}.</p>")
+    items = "".join(f"<li>{_sentence(rng, 2, 5)}</li>" for _ in range(rng.randint(2, 4)))
+    table = ""
+    if rng.random() < 0.5:
+        hdr = "".join(f"<th>{w}</th>" for w in _words(rng, 3))
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{w}</td>" for w in _words(rng, 3)) + "</tr>"
+            for _ in range(rng.randint(2, 3))
+        )
+        table = f"<table><tr>{hdr}</tr>{rows}</table>"
+    article = (
+        f"<h1>{_sentence(rng, 3, 6).title()}</h1>"
+        + paras[0]
+        + f"<h2>{_sentence(rng, 2, 4).title()}</h2>"
+        + "".join(paras[1:])
+        + f"<ul>{items}</ul>"
+        + table
+    )
+    return (
+        "<html><head><title>page</title><style>body{margin:0}</style>"
+        "<script>var t=1;</script></head><body>"
+        f"<nav><ul>{link_farm(rng.randint(5, 9))}</ul></nav>"
+        f"<header><a href='/'>Home</a> | {rng.choice(_VOCAB)} portal</header>"
+        f"<div class='sidebar'><ul>{link_farm(rng.randint(4, 8))}</ul></div>"
+        f"<article>{article}</article>"
+        f"<footer>© 2026 {rng.choice(_VOCAB)} <a href='/tos'>terms</a> "
+        f"<a href='/privacy'>privacy</a></footer>"
+        "</body></html>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PDF-like char streams
+# ---------------------------------------------------------------------------
+
+_LIGATURES = {"fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ"}
+
+
+def _emit_word_chars(chars: list, word: str, x: float, y: float, size: float,
+                     rng: random.Random, idx_start: int, sup: bool = False) -> tuple[float, int]:
+    """Append char records for one word; returns (new_x, next_char_idx).
+
+    Coordinate system: top-left origin, y down (documented divergence from raw
+    PDF points; self-consistent between generator and kernel).
+    """
+    # ligature substitution: the payload carries the ligature glyph, the
+    # kernel must expand it back (reference span_pre_proc.py:29-33)
+    for lig, glyph in _LIGATURES.items():
+        if lig in word and rng.random() < 0.5:
+            word = word.replace(lig, glyph, 1)
+            break
+    w = CHAR_W * (size / BODY_SIZE)
+    h = size
+    ci = idx_start
+    for ch in word:
+        rec = {
+            "char": ch,
+            "bbox": [round(x, 2), round(y, 2), round(x + w, 2), round(y + h, 2)],
+            "font": {"name": "Body" if not sup else "Sup", "size": size,
+                     "flags": 0, "weight": 400},
+            "rotation": 0.0,
+            "char_idx": ci,
+        }
+        chars.append(rec)
+        # corruption: shadow duplicate offset 1.0-2.5pt diagonal
+        # (reference pdf_text_tool.py:107-146 drops these)
+        if rng.random() < 0.02:
+            d = 1.0 + rng.random() * 1.5
+            chars.append({**rec, "bbox": [round(x + d, 2), round(y + d, 2),
+                                          round(x + w + d, 2), round(y + h + d, 2)]})
+        # corruption: near-identical jitter duplicate ≤1.0pt
+        # (reference pdf_text_tool.py:278-314)
+        if rng.random() < 0.015:
+            j = rng.random() * 0.6
+            chars.append({**rec, "bbox": [round(x + j, 2), round(y, 2),
+                                          round(x + w + j, 2), round(y + h, 2)]})
+        x += w
+        ci += 1
+    return x, ci
+
+
+def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int,
+                         idx_start: int, cjk: bool = False) -> tuple[list, int]:
+    """Lay words left-to-right, wrapping inside bbox; spaces are implied by
+    gaps (1 char width), exactly like a real PDF text stream — the kernel
+    re-inserts spaces when gap > 0.25 × median char width
+    (reference span_pre_proc.py:605-649)."""
+    x0, y0, x1, _ = bbox
+    chars: list = []
+    x, y = x0, y0
+    ci = idx_start
+    if cjk:
+        text = rng.choice(_CJK_SENTENCES)
+        for ch in text:
+            if x + BODY_SIZE > x1:
+                x, y = x0, y + LINE_H
+            rec = {"char": ch,
+                   "bbox": [round(x, 2), round(y, 2), round(x + BODY_SIZE, 2),
+                            round(y + BODY_SIZE, 2)],
+                   "font": {"name": "CJK", "size": BODY_SIZE, "flags": 0, "weight": 400},
+                   "rotation": 0.0, "char_idx": ci}
+            chars.append(rec)
+            x += BODY_SIZE
+            ci += 1
+        return chars, ci
+
+    n_words = rng.randint(6, 10) * n_sentences
+    for wi in range(n_words):
+        word = rng.choice(_VOCAB)
+        # corruption: full-width forms (reference char_utils.py:21-38)
+        if rng.random() < 0.05:
+            word = "".join(chr(ord(c) - ord("a") + 0xFF41) if "a" <= c <= "z" else c
+                           for c in word)
+        w_px = CHAR_W * len(word)
+        if x + w_px > x1:
+            if rng.random() < 0.25 and len(word) >= 6 and x1 - x > 4 * CHAR_W:
+                # hyphen-split at line end; next line starts lowercase →
+                # kernel merges (reference char_utils.py:7-18)
+                k = int((x1 - x) / CHAR_W) - 1
+                k = max(2, min(k, len(word) - 2))
+                x, ci = _emit_word_chars(chars, word[:k] + "-", x, y, BODY_SIZE, rng, ci)
+                x, y = x0, y + LINE_H
+                x, ci = _emit_word_chars(chars, word[k:], x, y, BODY_SIZE, rng, ci)
+            else:
+                x, y = x0, y + LINE_H
+                x, ci = _emit_word_chars(chars, word, x, y, BODY_SIZE, rng, ci)
+        else:
+            x, ci = _emit_word_chars(chars, word, x, y, BODY_SIZE, rng, ci)
+        # superscript footnote marker at 0.7× size raised above body band
+        # (reference span_pre_proc.py:536-556)
+        if rng.random() < 0.05:
+            x, ci = _emit_word_chars(chars, str(rng.randint(1, 9)), x,
+                                     y - 0.2 * BODY_SIZE, 0.7 * BODY_SIZE, rng, ci,
+                                     sup=True)
+        x += CHAR_W  # inter-word gap (no space char emitted)
+    return chars, ci
+
+
+def _gen_pdf(rng: random.Random) -> str:
+    n_pages = rng.randint(1, 2)
+    pages = []
+    for p in range(n_pages):
+        layout, chars = [], []
+        ci = 0
+        li = 0
+
+        def add_block(label, bbox, n_sent=1, cjk=False):
+            nonlocal ci, li
+            blk_chars, ci = _gen_pdf_block_chars(rng, bbox, n_sent, ci, cjk=cjk)
+            if blk_chars:
+                xs0 = min(c["bbox"][0] for c in blk_chars)
+                ys0 = min(c["bbox"][1] for c in blk_chars)
+                xs1 = max(c["bbox"][2] for c in blk_chars)
+                ys1 = max(c["bbox"][3] for c in blk_chars)
+                bbox = [min(bbox[0], xs0), min(bbox[1], ys0),
+                        max(bbox[2], xs1), max(bbox[3], ys1)]
+            layout.append({"bbox": [round(v, 2) for v in bbox],
+                           "label": label, "index": li})
+            chars.extend(blk_chars)
+            li += 1
+
+        # header (discarded by B9 analog)
+        add_block("header", [50.0, 20.0, 562.0, 34.0], 1)
+        y = 60.0
+        if p == 0:
+            add_block("doc_title", [50.0, y, 562.0, y + 14.0], 1)
+            y += 40.0
+        two_col = rng.random() < 0.4
+        if two_col:
+            for cx0, cx1 in ((50.0, 296.0), (316.0, 562.0)):
+                yy = y
+                for _ in range(rng.randint(1, 2)):
+                    h = rng.randint(3, 6) * LINE_H
+                    add_block("paragraph_title" if rng.random() < 0.25 else "text",
+                              [cx0, yy, cx1, yy + h], rng.randint(1, 2),
+                              cjk=rng.random() < 0.05)
+                    yy += h + 14.0
+        else:
+            for _ in range(rng.randint(2, 4)):
+                h = rng.randint(3, 6) * LINE_H
+                add_block("paragraph_title" if rng.random() < 0.2 else "text",
+                          [50.0, y, 562.0, y + h], rng.randint(1, 2),
+                          cjk=rng.random() < 0.05)
+                y += h + 14.0
+        # page number (discarded)
+        add_block("page_number", [290.0, 760.0, 322.0, 772.0], 1)
+
+        # corruption: rotated watermark chars scattered across the page
+        # (reference span_pre_proc.py:173-208 filters non-axis rotations)
+        for wch in "DRAFT":
+            wx, wy = rng.uniform(200, 400), rng.uniform(300, 500)
+            chars.append({"char": wch,
+                          "bbox": [round(wx, 2), round(wy, 2),
+                                   round(wx + 20, 2), round(wy + 20, 2)],
+                          "font": {"name": "WM", "size": 20.0, "flags": 0,
+                                   "weight": 400},
+                          "rotation": 30.0, "char_idx": 10_000_000 + ci})
+            ci += 1
+
+        # corruption: shuffle a slice of the char records (the kernel must
+        # sort by char_idx only when out of order, span_pre_proc.py:609-614)
+        if len(chars) > 30 and rng.random() < 0.5:
+            a = rng.randrange(0, len(chars) - 20)
+            seg = chars[a:a + 15]
+            rng.shuffle(seg)
+            chars[a:a + 15] = seg
+
+        pages.append({"page_idx": p, "page_size": [PAGE_W, PAGE_H],
+                      "chars": chars, "layout": layout})
+    return json.dumps({"kind": "pdf_chars", "pages": pages}, ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# Office table fragments
+# ---------------------------------------------------------------------------
+
+def _gen_office(rng: random.Random) -> str:
+    ncols = rng.randint(3, 4)
+    nrows = rng.randint(3, 5)
+    hdr = "<tr>" + "".join(f"<th>{w}</th>" for w in _words(rng, ncols)) + "</tr>"
+    rows = []
+    r = 0
+    while r < nrows:
+        cells = []
+        c = 0
+        while c < ncols:
+            if rng.random() < 0.15 and c + 2 <= ncols:
+                cells.append(f'<td colspan="2">{_sentence(rng, 1, 2)}</td>')
+                c += 2
+            elif rng.random() < 0.1 and r + 2 <= nrows:
+                cells.append(f'<td rowspan="2">{_sentence(rng, 1, 2)}</td>')
+                c += 1
+            else:
+                cells.append(f"<td>{_sentence(rng, 1, 3)}</td>")
+                c += 1
+        rows.append("<tr>" + "".join(cells) + "</tr>")
+        r += 1
+    # NOTE: rowspan continuation cells are not re-subtracted from later rows
+    # here; the kernel's grid normalizer handles ragged rows.
+    return f"<table>{hdr}{''.join(rows)}</table>"
+
+
+# ---------------------------------------------------------------------------
+# Turn assembly
+# ---------------------------------------------------------------------------
+
+def gen_turn(conv_i: int, turn_idx: int) -> dict:
+    conv_id = f"conv-{conv_i:08d}"
+    rng = _prng("turn", conv_id, turn_idx)
+    role = ("user", "assistant", "tool")[turn_idx % 3]
+    r = rng.random()
+    if r < 0.05:
+        text, tool = "", "none"
+    elif r < 0.65:
+        text, tool = _gen_html(rng), "browser"
+    elif r < 0.90:
+        text, tool = _gen_pdf(rng), "pdf_reader"
+    else:
+        text, tool = _gen_office(rng), "file_reader"
+    ts = _BASE_TS + timedelta(seconds=conv_i * 3600 + turn_idx * 37)
+    return {"conv_id": conv_id, "turn_idx": turn_idx, "role": role,
+            "text": text, "tool": tool, "ts": ts}
+
+
+def gen_transcripts_pdf(n_convs: int, conv_offset: int = 0):
+    """All turns for convs [conv_offset, conv_offset + n_convs) as a pandas
+    DataFrame (driver-side / oracle-side use; the Spark path generates
+    shard-locally via pipeline.synthesize_transcripts)."""
+    import pandas as pd
+
+    rows = []
+    for ci in range(conv_offset, conv_offset + n_convs):
+        for ti in range(conv_length(ci)):
+            rows.append(gen_turn(ci, ti))
+    pdf = pd.DataFrame(rows, columns=TRANSCRIPT_COLUMNS)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf

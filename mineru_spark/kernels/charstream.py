@@ -1,0 +1,288 @@
+"""PDF-like char-stream extraction (SURVEY.md §2.3-2.4: E1-E12, B1-B9).
+
+From-scratch numpy re-expression of the reference's char→span→line→block
+assembly:
+
+- rotated/watermark char filter      — reference span_pre_proc.py:134-208
+  (only 0/90/180/270° chars participate)
+- near-identical + shadow-offset char dedup via a 3×3 spatial hash
+                                     — reference pdf_text_tool.py:107-146,
+                                       :149-166, :278-314 (tolerance ≤2.5pt)
+- char→block assignment, first-block-wins in reading-order index
+                                     — reference span_pre_proc.py:234-308
+- line segmentation by y-interval overlap > 0.6 of min height
+                                     — reference ocr_utils.py:67-79,
+                                       span_block_fix.py:52-88
+- sup/sub role: size < 0.8× body and center outside body band ±0.15×h
+                                     — reference span_pre_proc.py:536-594
+- chars_to_content: sort by char_idx only when out of order; space when
+  gap > 0.25 × median char width; ligature expansion; drop \\r\\n
+                                     — reference span_pre_proc.py:605-649
+- block label map + title levels     — reference pipeline_magic_model.py:19-43,
+                                       model_json_to_middle_json.py:196-208
+- header/footer/page_number discard  — reference pipeline_magic_model.py:199-220
+- reading order by layout index      — reference pipeline_magic_model.py:121
+- txt/ocr classification subset (avg chars/page < 50; abnormal char ratio
+  ≥ 0.03)                            — reference pdf_classify.py:401-415,
+                                       :418-451
+
+Coordinates: top-left origin, y increasing downward (generator contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import emit
+
+DEDUP_TOL = 2.5          # pt; covers jitter ≤1.0 and shadow 1.0-2.5
+DEDUP_CELL = 8.0         # spatial hash cell size
+LINE_OVERLAP = 0.6       # y-interval overlap ratio → same line
+SUP_SIZE_RATIO = 0.8     # size < 0.8 × body size → candidate sup/sub
+BAND_RATIO = 0.15        # body-band half-width as fraction of body height
+SPACE_GAP_RATIO = 0.25   # gap > 0.25 × median char width → insert space
+MIN_CHARS_PER_PAGE = 50  # C3: below this → ocr route
+ABNORMAL_RATIO = 0.03    # C7: control/PUA/replacement char ratio → ocr
+
+DISCARD_LABELS = {"header", "footer", "page_number", "aside_text",
+                  "page_footnote"}
+
+# PP-DocLayoutV2-style label → (block type, title level)
+LABEL_MAP = {
+    "doc_title": ("title", 1),
+    "paragraph_title": ("title", 2),
+    "text": ("text", 1),
+    "list": ("list", 1),
+    "table": ("table", 1),
+    "image": ("image", 1),
+    "code": ("code", 1),
+}
+
+
+def _is_abnormal(ch: str) -> bool:
+    o = ord(ch)
+    return (o < 32 and ch not in "\t\n\r") or o == 0xFFFD or \
+        0xE000 <= o <= 0xF8FF
+
+
+def _dedup_chars(recs: list[dict]) -> tuple[list[dict], int]:
+    """Spatial-hash dedup: a char is a duplicate iff an already-kept char of
+    the same glyph and size lies within DEDUP_TOL pt (covers both jitter
+    and shadow-offset duplicates).  Payload order wins (first kept)."""
+    kept: list[dict] = []
+    grid: dict[tuple, list[tuple[float, float]]] = {}
+    dropped = 0
+    for r in recs:
+        x0, y0 = r["bbox"][0], r["bbox"][1]
+        key_base = (r["char"], round(r["font"]["size"], 1))
+        cx, cy = int(x0 // DEDUP_CELL), int(y0 // DEDUP_CELL)
+        dup = False
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for px, py in grid.get((*key_base, cx + dx, cy + dy), ()):
+                    if abs(px - x0) <= DEDUP_TOL and abs(py - y0) <= DEDUP_TOL:
+                        dup = True
+                        break
+                if dup:
+                    break
+            if dup:
+                break
+        if dup:
+            dropped += 1
+            continue
+        grid.setdefault((*key_base, cx, cy), []).append((x0, y0))
+        kept.append(r)
+    return kept, dropped
+
+
+def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
+    """chars (one layout block) → (block text, span records).
+
+    Vectorized over numpy arrays; returns merged paragraph text (hyphen/CJK
+    line-merge applied) and span records {page_idx,bbox,type,content}.
+    """
+    n = len(chars)
+    if n == 0:
+        return "", []
+    x0 = np.array([c["bbox"][0] for c in chars])
+    y0 = np.array([c["bbox"][1] for c in chars])
+    x1 = np.array([c["bbox"][2] for c in chars])
+    y1 = np.array([c["bbox"][3] for c in chars])
+    size = np.array([c["font"]["size"] for c in chars])
+    idx = np.array([c["char_idx"] for c in chars])
+    glyphs = [c["char"] for c in chars]
+
+    # E9 sort-avoidance: sort by char_idx only when out of order
+    if not np.all(idx[1:] >= idx[:-1]):
+        order = np.argsort(idx, kind="stable")
+        x0, y0, x1, y1, size, idx = (a[order] for a in (x0, y0, x1, y1, size, idx))
+        glyphs = [glyphs[i] for i in order]
+
+    h = y1 - y0
+    # line segmentation: consecutive-char y-interval overlap
+    ov = np.minimum(y1[1:], y1[:-1]) - np.maximum(y0[1:], y0[:-1])
+    min_h = np.minimum(h[1:], h[:-1])
+    new_line = ov <= LINE_OVERLAP * min_h
+    line_id = np.concatenate([[0], np.cumsum(new_line)])
+
+    widths = x1 - x0
+    med_w = float(np.median(widths)) if n else 1.0
+    gap = x0[1:] - x1[:-1]
+    same_line = line_id[1:] == line_id[:-1]
+    space_before = np.concatenate([[False],
+                                   same_line & (gap > SPACE_GAP_RATIO * med_w)])
+
+    lines_text: list[str] = []
+    spans_out: list[dict] = []
+    for lid in range(int(line_id[-1]) + 1):
+        m = line_id == lid
+        li = np.nonzero(m)[0]
+        l_size = size[li]
+        max_size = float(l_size.max())
+        body = li[l_size >= SUP_SIZE_RATIO * max_size]
+        body_c = float(np.median((y0[body] + y1[body]) / 2.0))
+        body_h = float(np.median(h[body]))
+        centers = (y0[li] + y1[li]) / 2.0
+        small = l_size < SUP_SIZE_RATIO * max_size
+        role = np.zeros(len(li), dtype=np.int8)  # 0 normal, 1 sup, 2 sub
+        role[small & (centers < body_c - BAND_RATIO * body_h)] = 1
+        role[small & (centers > body_c + BAND_RATIO * body_h)] = 2
+
+        # spans = runs of equal role
+        run_start = np.concatenate([[True], role[1:] != role[:-1]])
+        run_ids = np.cumsum(run_start) - 1
+        parts: list[str] = []
+        for rid in range(int(run_ids[-1]) + 1):
+            rm = run_ids == rid
+            ridx = li[rm]
+            buf = []
+            for k, gi in enumerate(ridx):
+                ch = glyphs[gi]
+                if ch in ("\r", "\n"):
+                    continue
+                if space_before[gi] and (k > 0 or parts):
+                    buf.append(" ")
+                buf.append(ch)
+            text = emit.expand_ligatures("".join(buf))
+            r = int(role[np.nonzero(rm)[0][0]])
+            stripped = text.strip()
+            if not stripped:
+                if text:
+                    parts.append(" ")
+                continue
+            lead = " " if text[:1] == " " else ""
+            if r == 1:
+                parts.append(f"{lead}<sup>{stripped}</sup>")
+            elif r == 2:
+                parts.append(f"{lead}<sub>{stripped}</sub>")
+            else:
+                parts.append(lead + stripped)
+            spans_out.append({
+                "page_idx": page_idx,
+                "bbox": [float(x0[ridx].min()), float(y0[ridx].min()),
+                         float(x1[ridx].max()), float(y1[ridx].max())],
+                "type": "text" if r == 0 else ("sup" if r == 1 else "sub"),
+                "content": stripped,
+            })
+        lines_text.append("".join(parts))
+
+    return emit.merge_lines(lines_text), spans_out
+
+
+def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
+    """Parsed pdf_chars payload → (blocks, spans, metrics)."""
+    blocks_out: list[dict] = []
+    spans_out: list[dict] = []
+    chars_deduped = 0
+    blocks_discarded = 0
+    total_chars = 0
+    abnormal_chars = 0
+
+    pages = payload.get("pages", [])
+    if not isinstance(pages, list):
+        pages = []
+    n_pages = max(1, len(pages))
+    for page in pages:
+        if not isinstance(page, dict):
+            continue
+        page_idx = int(page.get("page_idx", 0))
+        pw, ph = (page.get("page_size") or [612.0, 792.0])[:2]
+        recs = page.get("chars", [])
+        if not isinstance(recs, list):
+            recs = []
+        recs = [r for r in recs
+                if isinstance(r, dict) and isinstance(r.get("bbox"), list)
+                and len(r["bbox"]) == 4 and isinstance(r.get("font"), dict)]
+
+        # E8: only axis-aligned rotations participate
+        axis = [r for r in recs if float(r.get("rotation", 0.0)) % 90.0 == 0.0]
+        chars_deduped += len(recs) - len(axis)
+
+        kept, dropped = _dedup_chars(axis)
+        chars_deduped += dropped
+        total_chars += len(kept)
+        abnormal_chars += sum(1 for r in kept if _is_abnormal(r["char"]))
+
+        cx = np.array([(r["bbox"][0] + r["bbox"][2]) / 2.0 for r in kept]) \
+            if kept else np.empty(0)
+        cy = np.array([(r["bbox"][1] + r["bbox"][3]) / 2.0 for r in kept]) \
+            if kept else np.empty(0)
+        assigned = np.zeros(len(kept), dtype=bool)
+
+        layout = page.get("layout", [])
+        if not isinstance(layout, list):
+            layout = []
+        layout = sorted((b for b in layout
+                         if isinstance(b, dict) and isinstance(b.get("bbox"), list)
+                         and len(b["bbox"]) == 4),
+                        key=lambda b: b.get("index", 0))
+        for blk in layout:
+            label = blk.get("label", "text")
+            bx0, by0, bx1, by1 = blk["bbox"]
+            if len(kept):
+                m = (~assigned) & (cx >= bx0) & (cx <= bx1) & \
+                    (cy >= by0) & (cy <= by1)
+                assigned |= m
+                blk_chars = [kept[i] for i in np.nonzero(m)[0]]
+            else:
+                blk_chars = []
+            if label in DISCARD_LABELS:
+                blocks_discarded += 1
+                continue
+            btype, level = LABEL_MAP.get(label, ("text", 1))
+            text, bspans = _assemble_block(blk_chars, page_idx)
+            if not text:
+                continue
+            nb = [round(bx0 / pw * 1000), round(by0 / ph * 1000),
+                  round(bx1 / pw * 1000), round(by1 / ph * 1000)]
+            blocks_out.append({"type": btype, "text": text,
+                               "page_idx": page_idx, "bbox": nb,
+                               "level": level})
+            spans_out.extend(bspans)
+
+    ocr = 0
+    if total_chars / n_pages < MIN_CHARS_PER_PAGE:
+        ocr = 1
+    elif total_chars and abnormal_chars / total_chars >= ABNORMAL_RATIO:
+        ocr = 1
+
+    metrics = {
+        "blocks_classified": len(blocks_out),
+        "blocks_discarded": blocks_discarded,
+        "boilerplate_dropped": blocks_discarded,
+        "tables_parsed": 0,
+        "chars_deduped": chars_deduped,
+        "ocr_fallback": ocr,
+    }
+    return blocks_out, spans_out, metrics
+
+
+def blocks_to_md(blocks: list[dict]) -> str:
+    """Blocks (already in reading order) → markdown; pages joined by a
+    blank line like the reference (mkcontent :1005-1006)."""
+    pages: dict[int, list[str]] = {}
+    for b in blocks:
+        seg = emit.render_md_block(b["type"], b["text"], b.get("level", 1))
+        if seg:
+            pages.setdefault(b["page_idx"], []).append(seg)
+    return emit.join_pages(["\n\n".join(pages[p]) for p in sorted(pages)])

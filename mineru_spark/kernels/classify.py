@@ -1,0 +1,33 @@
+"""Payload routing (SURVEY.md §2.2).
+
+The reference's ``auto`` router is a 10-signal early-exit cascade over PDF
+bytes (reference mineru/utils/pdf_classify.py:94-256, thresholds :17-48) +
+byte-signature sniffing at ingest (guess_suffix_by_bytes,
+mineru/utils/guess_suffix_or_lang.py:87; read_fn cli/common.py:171-183).
+
+For transcript payloads the ingest-level sniff becomes a cheap prefix
+classifier → ``parse_route`` column (a plain projection+filter in Spark);
+the txt/ocr sub-decision for char-stream payloads (C3 min chars/page, C7
+abnormal char ratio) lives in charstream.extract_pdf and surfaces as the
+``ocr_fallback`` metric, an explicit deliverable of the north rule.
+"""
+
+from __future__ import annotations
+
+ROUTES = ("empty", "html", "pdf", "office", "plain")
+
+
+def classify_payload(text: str | None, tool: str | None = None) -> str:
+    """Early-exit prefix sniff; mirrors the reference's content-type probe
+    order (magic bytes first, structure second)."""
+    if text is None or not text.strip():
+        return "empty"
+    head = text.lstrip()[:200]
+    if head.startswith("{") and '"kind"' in head and "pdf_chars" in head:
+        return "pdf"
+    low = head.lower()
+    if low.startswith("<table"):
+        return "office"
+    if low.startswith("<!doctype") or low.startswith("<html") or "<" in low[:80]:
+        return "html"
+    return "plain"

@@ -1,0 +1,142 @@
+"""Markdown / text emission utilities (SURVEY.md §2.6, M1-M8).
+
+From-scratch re-expressions of the reference's emission semantics:
+
+- ligature / unicode replacement    — reference span_pre_proc.py:29-39
+- full-width → half-width           — reference char_utils.py:21-38
+- hyphen line-end merge             — reference char_utils.py:7-18,
+                                      pipeline_middle_json_mkcontent.py:411-418
+- CJK no-space span join            — pipeline_middle_json_mkcontent.py:402-405
+  (the reference uses fast-langdetect; we substitute a deterministic
+  CJK-codepoint-ratio rule — documented divergence, fixed identically in
+  oracle and engine)
+- conservative markdown escaping    — markdown_utils.py:12-48
+- md pages joined by blank line     — pipeline_middle_json_mkcontent.py:1005
+"""
+
+from __future__ import annotations
+
+import re
+
+LIGATURE_MAP = {
+    "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl",
+    "−": "-",  # unicode minus → hyphen
+}
+
+_LIG_RE = re.compile("|".join(LIGATURE_MAP))
+
+_MD_SPECIALS = set("*_~$`")
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF),   # CJK Unified Ideographs
+    (0x3400, 0x4DBF),   # Extension A
+    (0x3040, 0x30FF),   # Hiragana + Katakana
+    (0xAC00, 0xD7AF),   # Hangul syllables
+    (0xF900, 0xFAFF),   # CJK Compatibility Ideographs
+)
+
+
+def expand_ligatures(text: str) -> str:
+    if not text:
+        return text
+    return _LIG_RE.sub(lambda m: LIGATURE_MAP[m.group(0)], text)
+
+
+def fullwidth_to_halfwidth(text: str) -> str:
+    """Normalize full-width letters/digits (U+FF01-FF5E letters/digits only,
+    mirroring the reference's letter/digit-scoped conversion)."""
+    out = []
+    for ch in text:
+        o = ord(ch)
+        if 0xFF21 <= o <= 0xFF3A or 0xFF41 <= o <= 0xFF5A or 0xFF10 <= o <= 0xFF19:
+            out.append(chr(o - 0xFEE0))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def is_cjk_char(ch: str) -> bool:
+    o = ord(ch)
+    return any(lo <= o <= hi for lo, hi in _CJK_RANGES)
+
+
+def cjk_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    n = sum(1 for ch in text if is_cjk_char(ch))
+    return n / len(text)
+
+
+def is_cjk_text(text: str) -> bool:
+    """Deterministic substitute for the reference's langdetect call."""
+    return cjk_ratio(text) > 0.4
+
+
+def merge_lines(lines: list[str]) -> str:
+    """Join the text lines of one paragraph block.
+
+    Western text: space-joined, except a line-end hyphen is merged iff the
+    next line starts lowercase (reference char_utils.py:7-18).  CJK text:
+    joined with no separator (mkcontent :402-405).
+    """
+    lines = [ln for ln in (s.strip() for s in lines) if ln]
+    if not lines:
+        return ""
+    out = lines[0]
+    for nxt in lines[1:]:
+        if out.endswith("-") and nxt[:1].islower():
+            out = out[:-1] + nxt
+        elif is_cjk_text(out[-8:]) and is_cjk_text(nxt[:8]):
+            out = out + nxt
+        else:
+            out = out + " " + nxt
+    return out
+
+
+def escape_markdown(text: str) -> str:
+    """Conservative markdown escape (reference markdown_utils.py:12-48):
+    backslash-escape ``* _ ~ $ ``` `` when not already escaped, and escape a
+    leading block marker (# + -) followed by a space."""
+    if not text:
+        return text
+    out = []
+    bs_run = 0
+    for ch in text:
+        if ch == "\\":
+            bs_run += 1
+            out.append(ch)
+            continue
+        if ch in _MD_SPECIALS and bs_run % 2 == 0:
+            out.append("\\")
+        out.append(ch)
+        bs_run = 0
+    s = "".join(out)
+    if len(s) >= 2 and s[0] in "#+-" and s[1] == " ":
+        s = "\\" + s
+    return s
+
+
+def normalize_text(text: str) -> str:
+    """Fixed normalization order: full→half width, strip (reference
+    mkcontent :359-388; escaping is applied at md render, not here)."""
+    return fullwidth_to_halfwidth(text).strip()
+
+
+def render_md_block(btype: str, text: str, level: int = 1) -> str:
+    """One block → one markdown segment (reference mkcontent :34-36 titles,
+    :70-204 visual segments)."""
+    if btype == "title":
+        return "#" * max(1, level) + " " + normalize_text(text)
+    if btype == "list":
+        items = [it for it in text.split("\n") if it.strip()]
+        return "\n".join("- " + escape_markdown(normalize_text(it)) for it in items)
+    if btype == "table":
+        return text  # already canonical HTML block
+    if btype == "code":
+        return "```\n" + text + "\n```"
+    return escape_markdown(normalize_text(text))
+
+
+def join_pages(page_mds: list[str]) -> str:
+    """Pages joined by blank line (reference mkcontent :1005-1006)."""
+    return "\n\n".join(m for m in page_mds if m)

@@ -1,0 +1,237 @@
+"""HTML main-content extraction (SURVEY.md §2.8; north rule axis A).
+
+The reference has no HTML main-content extractor; per the north rule this is
+a readability/trafilatura-style text-density / link-density boilerplate
+classifier composed with the reference's block model: DOM nodes become
+blocks, and the discard rule plays the role of the reference's
+header/footer/page_number discard (reference
+mineru/backend/pipeline/pipeline_magic_model.py:199-220).
+
+Rules (deterministic, fixed in both oracle and engine):
+
+- structural boilerplate: <nav> <header> <footer> <aside> <script> <style>
+  <noscript> <form> subtrees are dropped outright;
+- link-density boilerplate: any remaining block whose
+  link_chars / chars > 0.5 is dropped (trafilatura-style heuristic);
+- surviving blocks are emitted in document order as title / text / list /
+  table / code blocks and rendered with the shared emission kernel
+  (kernels.emit), so HTML and PDF routes share one markdown contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from . import emit
+from . import tables as tbl
+
+_DROP_TAGS = {"nav", "header", "footer", "aside", "script", "style",
+              "noscript", "form", "button", "iframe"}
+_BLOCK_TAGS = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+               "table", "pre", "blockquote", "article", "div", "section",
+               "main", "body", "html"}
+_HEADING = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+LINK_DENSITY_MAX = 0.5
+
+
+@dataclass
+class _Node:
+    tag: str
+    children: list = field(default_factory=list)  # _Node | str
+    parent: "_Node | None" = None
+    table_index: int = -1  # occurrence index among all <table> in the doc
+
+
+class _DomParser(HTMLParser):
+    """Minimal tolerant DOM builder (void elements, implied closes)."""
+
+    _VOID = {"br", "hr", "img", "meta", "link", "input", "area", "base",
+             "col", "embed", "source", "track", "wbr"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.cur = self.root
+        self._n_tables = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._VOID:
+            node = _Node(tag)
+            node.parent = self.cur
+            self.cur.children.append(node)
+            return
+        node = _Node(tag)
+        if tag == "table":
+            node.table_index = self._n_tables
+            self._n_tables += 1
+        if tag == "a":
+            node.children.append("")  # placeholder keeps structure stable
+            node.children.pop()
+        node.parent = self.cur
+        self.cur.children.append(node)
+        self.cur = node
+
+    def handle_endtag(self, tag):
+        # walk up to the nearest matching open tag (tolerates misnesting)
+        n = self.cur
+        while n is not self.root and n.tag != tag:
+            n = n.parent
+        if n is not self.root:
+            self.cur = n.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+
+def _text_stats(node: _Node, in_link: bool = False) -> tuple[int, int]:
+    """(chars, link_chars) over a subtree — the text-density/link-density
+    signal of the boilerplate classifier."""
+    chars = link_chars = 0
+    for ch in node.children:
+        if isinstance(ch, str):
+            n = len(ch.strip())
+            chars += n
+            if in_link:
+                link_chars += n
+        else:
+            c, lc = _text_stats(ch, in_link or ch.tag == "a")
+            chars += c
+            link_chars += lc
+    return chars, link_chars
+
+
+def _inner_text(node: _Node) -> str:
+    parts = []
+    for ch in node.children:
+        if isinstance(ch, str):
+            parts.append(ch)
+        else:
+            parts.append(_inner_text(ch))
+    return "".join(parts)
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+@dataclass
+class Block:
+    btype: str          # title | text | list | table | code
+    text: str           # text content, items joined by \n for lists, HTML for tables
+    level: int = 1
+
+
+def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
+                    raw_html: str) -> None:
+    for ch in node.children:
+        if isinstance(ch, str):
+            continue
+        if ch.tag in _DROP_TAGS:
+            dropped[0] += 1
+            continue
+        if ch.tag in _HEADING:
+            txt = _collapse(_inner_text(ch))
+            if txt:
+                out.append(Block("title", txt, _HEADING[ch.tag]))
+            continue
+        if ch.tag == "p":
+            chars, link_chars = _text_stats(ch)
+            if chars and link_chars / chars > LINK_DENSITY_MAX:
+                dropped[0] += 1
+                continue
+            txt = _collapse(_inner_text(ch))
+            if txt:
+                out.append(Block("text", txt))
+            continue
+        if ch.tag in ("ul", "ol"):
+            chars, link_chars = _text_stats(ch)
+            if chars and link_chars / chars > LINK_DENSITY_MAX:
+                dropped[0] += 1
+                continue
+            items = [_collapse(_inner_text(li))
+                     for li in ch.children
+                     if not isinstance(li, str) and li.tag == "li"]
+            items = [it for it in items if it]
+            if items:
+                out.append(Block("list", "\n".join(items)))
+            continue
+        if ch.tag == "pre":
+            txt = _inner_text(ch).strip("\n")
+            if txt.strip():
+                out.append(Block("code", txt))
+            continue
+        if ch.tag == "table":
+            # re-parse this table from the raw payload via the grid parser
+            # (our light DOM drops attrs); the placeholder carries the
+            # occurrence index so dropped-subtree tables cannot misalign it.
+            out.append(Block("table", "", level=ch.table_index))
+            continue
+        if ch.tag in _BLOCK_TAGS or ch.tag in ("head", "title", "span", "b",
+                                               "i", "em", "strong", "a"):
+            # container or inline wrapper: check link density for generic
+            # containers, then recurse
+            if ch.tag in ("div", "section"):
+                chars, link_chars = _text_stats(ch)
+                if chars and link_chars / chars > LINK_DENSITY_MAX:
+                    dropped[0] += 1
+                    continue
+            if ch.tag in ("head", "title"):
+                continue
+            if ch.tag in ("span", "b", "i", "em", "strong", "a"):
+                # loose inline text directly under a container — promote to
+                # a text block only at top level; skip here (handled by the
+                # parent's _inner_text when inside <p>)
+                continue
+            _collect_blocks(ch, out, dropped, raw_html)
+            continue
+        # unknown tag: recurse conservatively
+        _collect_blocks(ch, out, dropped, raw_html)
+
+
+def extract_html(payload: str) -> tuple[list[dict], dict]:
+    """payload HTML → (blocks, metrics).
+
+    Each block: {type, text, page_idx, bbox, level}; bbox is the 0-1000
+    normalized degenerate box (HTML has no geometry) mirroring the output
+    grid of the reference (mkcontent :478-489).
+    """
+    parser = _DomParser()
+    parser.feed(payload)
+    parser.close()
+
+    out: list[Block] = []
+    dropped = [0]
+    _collect_blocks(parser.root, out, dropped, payload)
+
+    grids = tbl.parse_tables(payload)  # all tables, document order
+    blocks: list[dict] = []
+    tables_parsed = 0
+    for b in out:
+        if b.btype == "table":
+            if 0 <= b.level < len(grids):
+                html = tbl.render_table_html(grids[b.level])
+                tables_parsed += 1
+                blocks.append({"type": "table", "text": html,
+                               "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1})
+            continue
+        blocks.append({"type": b.btype, "text": b.text, "page_idx": 0,
+                       "bbox": [0, 0, 0, 0], "level": b.level})
+
+    metrics = {
+        "blocks_classified": len(blocks),
+        "blocks_discarded": dropped[0],
+        "boilerplate_dropped": dropped[0],
+        "tables_parsed": tables_parsed,
+        "chars_deduped": 0,
+        "ocr_fallback": 0,
+    }
+    return blocks, metrics
+
+
+def blocks_to_md(blocks: list[dict]) -> str:
+    segs = [emit.render_md_block(b["type"], b["text"], b.get("level", 1))
+            for b in blocks]
+    return "\n\n".join(s for s in segs if s)

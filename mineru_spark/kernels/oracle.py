@@ -1,0 +1,123 @@
+"""Single-process extraction oracle: one turn in, golden outputs out.
+
+This module is THE contract: the Spark pipeline's pandas-UDF bodies call
+``extract_turn`` per turn, and the pytest golden test calls the same
+function single-process; per-turn text equality under stable
+``(conv_id, turn_idx)`` ordering is then equality between the Spark job's
+output and this oracle's (BASELINE.json north rule; reference anchors the
+same way on end-to-end golden outputs, tests/unittest/test_e2e.py:23-71).
+
+Output fields per turn (FIXTURES.md §3):
+  route         parse route from the ingest classifier
+  md            markdown (exact bytes; the equality target)
+  content_list  JSON array of typed para dicts (exact bytes)
+  spans         list of {page_idx,bbox,type,content}
+  metrics       {blocks_classified, blocks_discarded, boilerplate_dropped,
+                 tables_parsed, chars_deduped, ocr_fallback}
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import charstream, emit, html_extract
+from . import tables as tbl
+from .classify import classify_payload
+
+OUTPUT_FIELDS = ["route", "md", "content_list", "spans", "metrics"]
+
+_ZERO_METRICS = {
+    "blocks_classified": 0, "blocks_discarded": 0, "boilerplate_dropped": 0,
+    "tables_parsed": 0, "chars_deduped": 0, "ocr_fallback": 0,
+}
+
+_METRIC_KEYS = list(_ZERO_METRICS)
+
+
+def _content_list_json(blocks: list[dict]) -> str:
+    """Canonical content_list encoding: flat list of typed para dicts with
+    page-relative bbox (reference make_blocks_to_content_list,
+    mkcontent :609-742); key order fixed for byte equality."""
+    items = []
+    for b in blocks:
+        item = {
+            "type": b["type"],
+            "page_idx": b["page_idx"],
+            "bbox": [int(v) for v in b["bbox"]],
+        }
+        if b["type"] == "table":
+            item["table_body"] = b["text"]
+        else:
+            item["text"] = emit.normalize_text(b["text"])
+            if b["type"] == "title":
+                item["text_level"] = b.get("level", 1)
+        items.append(item)
+    return json.dumps(items, ensure_ascii=False, sort_keys=True,
+                      separators=(",", ":"))
+
+
+def _extract_office(payload: str) -> tuple[list[dict], dict]:
+    grids = tbl.parse_tables(payload)
+    blocks = [{"type": "table", "text": tbl.render_table_html(g),
+               "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1}
+              for g in grids]
+    metrics = dict(_ZERO_METRICS)
+    metrics["blocks_classified"] = len(blocks)
+    metrics["tables_parsed"] = len(grids)
+    return blocks, metrics
+
+
+def extract_turn(text: str | None, tool: str | None = None) -> dict:
+    """Never raises: a malformed payload yields route='error' with empty
+    outputs (the reference's per-doc try/except — a broken document must
+    not fail the batch, cli/common.py:194-247 skip-broken-pages)."""
+    try:
+        return _extract_turn_inner(text, tool)
+    except Exception:
+        m = dict(_ZERO_METRICS)
+        return {"route": "error", "md": "", "content_list": "[]",
+                "spans": [], "metrics": m}
+
+
+def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
+    route = classify_payload(text, tool)
+    spans: list[dict] = []
+    if route == "empty":
+        blocks, metrics = [], dict(_ZERO_METRICS)
+    elif route == "pdf":
+        try:
+            payload = json.loads(text)
+        except (json.JSONDecodeError, TypeError):
+            payload = {"pages": []}
+        blocks, spans, metrics = charstream.extract_pdf(payload)
+        md = charstream.blocks_to_md(blocks)
+        return {"route": "pdf_ocr" if metrics["ocr_fallback"] else "pdf_txt",
+                "md": md, "content_list": _content_list_json(blocks),
+                "spans": spans, "metrics": metrics}
+    elif route == "office":
+        blocks, metrics = _extract_office(text)
+    elif route == "html":
+        blocks, metrics = html_extract.extract_html(text)
+    else:  # plain text: single text block
+        blocks = [{"type": "text", "text": " ".join(text.split()),
+                   "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1}]
+        metrics = dict(_ZERO_METRICS)
+        metrics["blocks_classified"] = 1
+
+    if route in ("html", "office", "plain", "empty"):
+        segs = [emit.render_md_block(b["type"], b["text"], b.get("level", 1))
+                for b in blocks]
+        md = "\n\n".join(s for s in segs if s)
+        for b in blocks:
+            if b["type"] != "table":
+                spans.append({"page_idx": b["page_idx"],
+                              "bbox": [float(v) for v in b["bbox"]],
+                              "type": b["type"],
+                              "content": emit.normalize_text(b["text"])})
+    return {"route": route, "md": md,
+            "content_list": _content_list_json(blocks),
+            "spans": spans, "metrics": metrics}
+
+
+def metrics_tuple(metrics: dict) -> tuple:
+    return tuple(int(metrics[k]) for k in _METRIC_KEYS)

@@ -1,0 +1,256 @@
+"""The Spark extraction job (SURVEY.md §3 lifecycle, §7 steps 3-7).
+
+Spark-first shape (mirrors the reference lifecycle at
+/root/reference/mineru/backend/pipeline/pipeline_analyze.py:157-328, recast
+declaratively):
+
+    scan (or shard-local synthesis)                 [S1]
+      → classify_routes      pandas_udf             [C1-C11 analog]
+      → salted repartition   hash(conv_id, turn_idx, salt)
+                             (the reference's cross-document batch packing,
+                              pipeline_analyze.py:232-262, as a partitioner)
+      → extract              mapInPandas over Arrow batches
+                             (per-turn kernels; chars never become rows)
+      → sink                 parquet/Iceberg append + lineage + metrics
+
+Everything pre/post the UDF is plain DataFrame code so Catalyst keeps
+column pruning + predicate pushdown; the UDF receives only (conv_id,
+turn_idx, text, tool) — narrow projection — and Arrow batch size bounds
+peak memory exactly like the reference's 64-page processing window
+(pipeline_analyze.py:207).
+
+Resume/checkpoint: `run_job` is idempotent — already-extracted
+(conv_id, turn_idx) pairs are anti-joined away against the sink's lineage
+before any work happens (the reference's per-doc on_doc_ready incremental
+completion, cli/common.py:402-422, as a set difference).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .datagen.transcripts import conv_length, gen_turn
+from .kernels.classify import classify_payload
+from .kernels.oracle import extract_turn
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+SPAN_TYPE = T.ArrayType(T.StructType([
+    T.StructField("page_idx", T.IntegerType(), True),
+    T.StructField("bbox", T.ArrayType(T.DoubleType()), True),
+    T.StructField("type", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+]))
+
+# metrics are flat int columns (not a struct) so downstream per-partition
+# aggregation stays whole-stage-codegen'd
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("route", T.StringType(), True),
+    T.StructField("md", T.StringType(), True),
+    T.StructField("content_list", T.StringType(), True),
+    T.StructField("spans", SPAN_TYPE, True),
+    T.StructField("blocks_classified", T.IntegerType(), True),
+    T.StructField("blocks_discarded", T.IntegerType(), True),
+    T.StructField("boilerplate_dropped", T.IntegerType(), True),
+    T.StructField("tables_parsed", T.IntegerType(), True),
+    T.StructField("chars_deduped", T.IntegerType(), True),
+    T.StructField("ocr_fallback", T.IntegerType(), True),
+])
+
+_METRIC_COLS = ["blocks_classified", "blocks_discarded", "boilerplate_dropped",
+                "tables_parsed", "chars_deduped", "ocr_fallback"]
+
+
+def get_spark(app: str = "mineru_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    sp = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder
+        .master(cores)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # payloads are 10-100 KB strings: small Arrow batches bound worker
+        # memory AND pipeline JVM→Python transfer (measured: batch 32 ≈ 2×
+        # the turns/sec of batch 512 at local[32]); this is the reference's
+        # 64-page processing window (pipeline_analyze.py:207) as a batch
+        # size.  Relational queries don't go through Python, so the small
+        # batch costs them nothing.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # the vectorized parquet reader defaults to 4096-row column batches;
+        # with ~100 KB payload strings that is ~400 MB of buffer per task —
+        # measured 3-10× scan slowdown from allocation/GC churn. 128 rows
+        # keeps batches ~10 MB. Same knob matters on a real cluster for any
+        # document-payload table.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        # local mode = single JVM: size the driver heap + netty direct
+        # memory for 32 concurrent Arrow streams of 10-100 KB payload rows
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions",
+                "-XX:MaxDirectMemorySize=16g")
+        .getOrCreate()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source: shard-local deterministic synthesis
+# ---------------------------------------------------------------------------
+
+def synthesize_transcripts(spark: SparkSession, n_convs: int,
+                           partitions: int | None = None) -> DataFrame:
+    """Distributed corpus synthesis: each task generates only its conv-id
+    range via the (conv_id, turn_idx)-seeded PRNG — no data ever leaves the
+    executor, so this scales to any corpus size (the 10^12-turn analog is
+    an Iceberg scan; here the scan is replaced by deterministic
+    generation, TESTDATA-style seed discipline)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ci in pdf["id"].astype(int):
+                for ti in range(conv_length(ci)):
+                    rows.append(gen_turn(ci, ti))
+            out = pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            out["ts"] = pd.to_datetime(out["ts"], utc=True).dt.tz_localize(None)
+            yield out
+
+    return (spark.range(0, n_convs, numPartitions=parts)
+            .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Classify (projection + filter; SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def classify_udf(text: pd.Series, tool: pd.Series) -> pd.Series:
+    return pd.Series([classify_payload(t, tl) for t, tl in zip(text, tool)])
+
+
+def classify_routes(df: DataFrame) -> DataFrame:
+    return df.withColumn("parse_route", classify_udf(F.col("text"), F.col("tool")))
+
+
+# ---------------------------------------------------------------------------
+# Extraction (mapInPandas; per-turn kernels)
+# ---------------------------------------------------------------------------
+
+def _extract_batch(batches):
+    for pdf in batches:
+        out = {k: [] for k in ("conv_id", "turn_idx", "ts", "route", "md",
+                               "content_list", "spans", *_METRIC_COLS)}
+        for conv_id, turn_idx, ts, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["ts"],
+                pdf["text"], pdf["tool"]):
+            r = extract_turn(text, tool)
+            out["conv_id"].append(conv_id)
+            out["turn_idx"].append(turn_idx)
+            out["ts"].append(ts)
+            out["route"].append(r["route"])
+            out["md"].append(r["md"])
+            out["content_list"].append(r["content_list"])
+            out["spans"].append([
+                {"page_idx": s["page_idx"],
+                 "bbox": [float(v) for v in s["bbox"]],
+                 "type": s["type"], "content": s["content"]}
+                for s in r["spans"]])
+            for k in _METRIC_COLS:
+                out[k].append(int(r["metrics"][k]))
+        res = pd.DataFrame(out)
+        res["turn_idx"] = res["turn_idx"].astype("int32")
+        for k in _METRIC_COLS:
+            res[k] = res[k].astype("int32")
+        yield res
+
+
+def extract(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """Salted repartition + mapInPandas extraction.
+
+    The unit of work is one TURN, so hash-repartitioning on
+    (conv_id, turn_idx) spreads the turns of one long conversation across
+    all tasks — the Zipf conv-length tail cannot create a straggler
+    partition.  This is the reference's cross-document batch packing
+    (pipeline_analyze.py:232-262) expressed as a partitioner."""
+    narrow = df.select("conv_id", "turn_idx", "ts", "text", "tool")
+    if salt_partitions:
+        narrow = narrow.repartition(salt_partitions, "conv_id", "turn_idx")
+    return narrow.mapInPandas(_extract_batch, schema=EXTRACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sink + resume + metrics (SURVEY §7 step 7)
+# ---------------------------------------------------------------------------
+
+def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
+            resume: bool = True, salt_partitions: int | None = None) -> dict:
+    """Idempotent extraction job with lineage-based resume.
+
+    Sink layout (parquet stand-in for the Iceberg table — Iceberg jars are
+    not on the sandbox classpath; the layout keeps Iceberg-style
+    snapshot/lineage semantics):
+
+      out_dir/extracted/   extraction output, appended per run
+      out_dir/metrics/     one row per run: per-partition + global metrics
+    """
+    extracted_path = os.path.join(out_dir, "extracted")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    todo = transcripts
+    already = 0
+    if resume and _path_has_data(spark, extracted_path):
+        lineage = spark.read.parquet(extracted_path) \
+            .select("conv_id", "turn_idx")
+        before = todo.count()
+        todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
+        after = todo.count()
+        already = before - after
+
+    result = extract(todo, salt_partitions=salt_partitions)
+    result = result.withColumn("part_id", F.spark_partition_id())
+    result.write.mode("append").parquet(extracted_path)
+
+    out = spark.read.parquet(extracted_path)
+    per_part = (out.groupBy("part_id")
+                .agg(F.count("*").alias("turns"),
+                     F.sum("blocks_classified").alias("blocks_classified"),
+                     F.sum("boilerplate_dropped").alias("boilerplate_dropped"),
+                     F.sum("ocr_fallback").alias("ocr_fallback")))
+    per_part.write.mode("overwrite").parquet(metrics_path)
+
+    g = out.agg(F.count("*").alias("turns"),
+                F.sum("blocks_classified").alias("blocks"),
+                F.sum("ocr_fallback").alias("ocr_fallback")).collect()[0]
+    return {"turns": g["turns"], "blocks": g["blocks"],
+            "ocr_fallback": g["ocr_fallback"], "skipped_resume": already}
+
+
+def _path_has_data(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,741 @@
+"""Relational query pack (SURVEY.md §2.9) + corpus text/embedding ops.
+
+Each query exists twice: a DataFrame-API implementation here and a DuckDB
+ANSI-SQL oracle in ``ORACLES`` (surfaced through __spark_entry__.py).  The
+driver runs both at sf=0.01 and compares row count + schema + value hash,
+so conventions are strict:
+
+- every computed column is aliased identically on both sides;
+- money sums go through DECIMAL (exact) then CAST AS DOUBLE, so the two
+  engines cannot diverge by float summation order;
+- timestamps are surfaced as epoch microseconds (unix_micros /
+  epoch_us) — never as engine-formatted strings;
+- LIMIT queries carry a total tie-break order.
+
+The queries map 1:1 to the operator checklist extracted from the
+reference (SURVEY.md §2.9): interval-join analog (E7), sessionization
+(B3), as-of join (B10), first-match window dedup (E12), partial+final
+aggregation, top-k, set ops, string/array scalar functions, plus the
+training-data-pipeline ops (dedup family, similarity search, quality
+scoring) over the documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col):
+    """Epoch microseconds from a (possibly NTZ) timestamp column; session
+    timezone is pinned UTC so NTZ→TZ cast is the identity instant."""
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str)
+                         else col.cast("timestamp"))
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('the','a','of','and','to')"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational operators
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """Partial+final hash aggregation (SURVEY §2.9 aggregations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                   - dec("l_discount"))).cast("decimal(28,4)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q03_top_orders(spark, sf_dir):
+    """Join + agg + deterministic top-k (SURVEY §2.9 sorts/top-k)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             _us(F.first("o_orderdate")).alias("o_orderdate_us"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_nation_revenue(spark, sf_dir):
+    """Multi-way join through the dimension chain; small dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").cast("long").alias("n_items"))
+    )
+
+
+def q_broadcast_part_brand(spark, sf_dir):
+    """Broadcast dimension join (label-map analog, SURVEY §2.9 joins/B1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("sum_qty"),
+             F.count("*").cast("long").alias("n_items"))
+    )
+
+
+def q_window_top_order_per_cust(spark, sf_dir):
+    """First-match-wins window dedup — the Spark analog of the reference's
+    span→block first-block-wins consumption (E12, span_pre_proc.py:234-308)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                           F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("top_price"))
+    )
+
+
+def q_stable_turn_order(spark, sf_dir):
+    """Stable (conv, turn) ordering analog over orders: dense per-customer
+    sequence numbers (the north rule's stable turn ordering as a window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"),
+                                           F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        _us("o_orderdate").alias("o_orderdate_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, as-of join, interval join, windows
+# ---------------------------------------------------------------------------
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization = lag + gap flag + running sum (B3 line-merge analog,
+    span_block_fix.py:52-88)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    per_sess = sess.groupBy("user_id", "sid").agg(F.count("*").alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("n").cast("long").alias("max_session_events"),
+    )
+
+
+def q_asof_prior_view(spark, sf_dir):
+    """As-of/nearest join: for each click, the most recent prior view by the
+    same user (caption→parent nearest-match analog, B10,
+    visual_magic_model_utils.py:535-621)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    out = ev.withColumn("prior_view", F.last(view_ts, ignorenulls=True).over(w))
+    return (out.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id",
+                    _us("ts").alias("ts_us"),
+                    _us(F.col("prior_view")).alias("prior_view_us")))
+
+
+def q_value_band_join(spark, sf_dir):
+    """Interval/range join via broadcast band dim — the relational analog of
+    char-in-span containment (E7, span_pre_proc.py:311-364)."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, float(i * 50), float((i + 1) * 50), f"band_{i}") for i in range(8)],
+        "band_id int, lo double, hi double, band string")
+    return (
+        ev.join(F.broadcast(bands),
+                (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"))
+    )
+
+
+def q_daily_events(spark, sf_dir):
+    """Partition-bucket aggregation over time (date_trunc, SURVEY §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                   .alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.countDistinct("user_id").cast("long").alias("n_users"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"))
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Manual pivot (conditional aggregation) per user."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) \
+        .cast("long").alias(f"n_{t}")
+    return ev.groupBy("user_id").agg(cnt("view"), cnt("click"),
+                                     cnt("purchase"), cnt("error"),
+                                     cnt("signup"))
+
+
+def q_topk_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("user_id")).limit(5))
+
+
+# ---------------------------------------------------------------------------
+# Set ops / rollup / percentiles / distinct
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark, sf_dir):
+    """unionByName + exceptAll (preproc ∪ discarded / regression-diff
+    analogs, SURVEY §2.9 set ops)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    c = o.filter(F.col("o_custkey") % 10 == 0)
+    return (a.unionByName(b).exceptAll(c)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def q_percentile_price(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                 .alias("p90")))
+
+
+def q_distinct_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+                 F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+                 F.count("*").cast("long").alias("n_rows")))
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup family
+# ---------------------------------------------------------------------------
+
+def q_doc_tokens(spark, sf_dir):
+    """Token counting: whitespace + regex tokenizer (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean word length (training-data
+    op; boilerplate-likeness heuristics in the same family as the HTML
+    link-density rule)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), " +")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / n_words.cast("double"), 6)
+        .alias("stop_ratio"),
+        F.round((F.length(F.regexp_replace("text", " ", "")).cast("double"))
+                / n_words.cast("double"), 6).alias("mean_word_len"),
+        n_words.cast("long").alias("n_words"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: keeper = min doc_id per md5 group."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.min("doc_id").cast("long").alias("keeper"),
+                 F.count("*").cast("long").alias("n_dups")))
+
+
+_MINHASH_SEEDS = (0, 1, 2, 3)
+
+
+def _minhash_col(seed: int):
+    words = F.split(F.trim("text"), " +")
+    return F.array_min(F.transform(
+        words, lambda w: F.md5(F.concat(w, F.lit(f"#{seed}"))))) \
+        .alias(f"mh{seed}")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (word shingles, 4 seeds) — both engines hash with
+    md5 so signatures are bit-identical (training-data near-dup op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *[_minhash_col(s) for s in _MINHASH_SEEDS])
+
+
+def q_minhash_lsh_buckets(spark, sf_dir):
+    """LSH banding: band key = md5(mh0||mh1); reports bucket sizes and the
+    implied candidate-pair count (shingle→minhash→band→bucket join)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    band = F.md5(F.concat("mh0", "mh1")).alias("band_key")
+    return (sig.select("doc_id", band)
+            .groupBy("band_key")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .withColumn("n_candidate_pairs",
+                        (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+                        .cast("long")))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram (word) Jaccard near-dup: pairwise similarity over a bounded
+    id range via shared-word self-join (dedup family)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = (d.select("doc_id",
+                  F.explode(F.array_distinct(F.split(F.trim("text"), " +")))
+                  .alias("word")))
+    nw = w.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"),
+                      F.col("b.doc_id").alias("db"))
+             .agg(F.count("*").alias("inter")))
+    na = nw.alias("na")
+    nb = nw.alias("nb")
+    return (inter.join(na, F.col("da") == F.col("na.doc_id"))
+            .join(nb, F.col("db") == F.col("nb.doc_id"))
+            .select("da", "db",
+                    F.round(F.col("inter").cast("double")
+                            / (F.col("na.nw") + F.col("nb.nw")
+                               - F.col("inter")).cast("double"), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5))
+
+
+def q_simhash(spark, sf_dir):
+    """60-bit SimHash from word md5s — bit-majority over word hashes,
+    expressed relationally (explode words × bit positions) so DuckDB can
+    verify it exactly (dedup family)."""
+    d = _t(spark, sf_dir, "documents")
+    words = (d.select("doc_id",
+                      F.explode(F.split(F.trim("text"), " +")).alias("word"))
+             .select("doc_id",
+                     F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+                     .cast("long").alias("h")))
+    bits = words.select("doc_id", "h",
+                        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+    votes = (bits.groupBy("doc_id", "b")
+             .agg(F.sum(F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("v")))
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
+                .cast("long").alias("simhash")))
+
+
+def q_doc_lang_stats(spark, sf_dir):
+    """Language-wise corpus stats (string scalar fns + agg)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).cast("long")
+                 .alias("total_chars"),
+                 F.round(F.avg(F.length("text")), 4).alias("avg_len")))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 query vector, computed
+    JVM-side with higher-order array functions (similarity-search baseline;
+    the LSH-bucketed scale path is textops.embedding_lsh)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select("vec_id", "label",
+                    F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))),
+                            6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+
+
+def q_embed_label_centroid_norm(spark, sf_dir):
+    """Per-label centroid L2 norm: array agg via explode with position —
+    the partial+final agg pattern over vector columns."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = (e.select("label", F.posexplode("embedding").alias("pos", "v")))
+    cent = (pos.groupBy("label", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c")))
+    return (cent.groupBy("label")
+            .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
+                 .alias("centroid_norm"),
+                 (F.count("*")).cast("long").alias("dim")))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q03_top_orders": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               epoch_us(MIN(o_orderdate)) AS o_orderdate_us
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q05_nation_revenue": """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q_broadcast_part_brand": """
+        SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "q_window_top_order_per_cust": """
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS top_price
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) t
+        WHERE rn = 1
+    """,
+    "q_stable_turn_order": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS seq,
+               epoch_us(o_orderdate) AS o_orderdate_us
+        FROM orders
+    """,
+    "q_sessionize_events": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        ), per_sess AS (
+          SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(n) AS BIGINT) AS max_session_events
+        FROM per_sess GROUP BY user_id
+    """,
+    "q_asof_prior_view": """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               epoch_us(prior_view) AS prior_view_us
+        FROM (
+          SELECT event_id, user_id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_view
+          FROM events) t
+        WHERE event_type = 'click'
+    """,
+    "q_value_band_join": """
+        WITH bands AS (
+          SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi,
+                 'band_' || i AS band
+          FROM generate_series(0, 7) t(i)
+        )
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+    "q_daily_events": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q_events_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+        FROM events GROUP BY user_id
+    """,
+    "q_topk_users": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id ASC LIMIT 5
+    """,
+    "q_set_ops": """
+        WITH u AS (
+          SELECT * FROM orders WHERE o_orderstatus = 'O'
+          UNION ALL
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), d AS (
+          SELECT * FROM u
+          EXCEPT ALL
+          SELECT * FROM orders WHERE o_custkey % 10 = 0
+        )
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY o_orderstatus
+    """,
+    "q_rollup_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q_percentile_price": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_distinct_parts": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_doc_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "q_doc_quality": f"""
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                          x -> x IN {_STOP_SQL})) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), ' +')), 6) AS stop_ratio,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), ' +')), 6) AS mean_word_len,
+               CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words
+        FROM documents
+    """,
+    "q_exact_dedup": """
+        SELECT md5(text) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_minhash_signatures": """
+        SELECT doc_id,
+               list_aggregate(list_transform(regexp_split_to_array(trim(text), ' +'),
+                   w -> md5(w || '#0')), 'min') AS mh0,
+               list_aggregate(list_transform(regexp_split_to_array(trim(text), ' +'),
+                   w -> md5(w || '#1')), 'min') AS mh1,
+               list_aggregate(list_transform(regexp_split_to_array(trim(text), ' +'),
+                   w -> md5(w || '#2')), 'min') AS mh2,
+               list_aggregate(list_transform(regexp_split_to_array(trim(text), ' +'),
+                   w -> md5(w || '#3')), 'min') AS mh3
+        FROM documents
+    """,
+    "q_minhash_lsh_buckets": """
+        WITH sig AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(regexp_split_to_array(trim(text), ' +'),
+                     w -> md5(w || '#0')), 'min') AS mh0,
+                 list_aggregate(list_transform(regexp_split_to_array(trim(text), ' +'),
+                     w -> md5(w || '#1')), 'min') AS mh1
+          FROM documents
+        )
+        SELECT md5(mh0 || mh1) AS band_key,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
+        FROM sig GROUP BY 1
+    """,
+    "q_jaccard_pairs": """
+        WITH w AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+          FROM documents WHERE doc_id < 100
+        ), nw AS (
+          SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT da, db,
+               ROUND(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) AS jaccard
+        FROM inter JOIN nw na ON da = na.doc_id JOIN nw nb ON db = nb.doc_id
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) >= 0.5
+    """,
+    "q_simhash": """
+        WITH words AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), ' +'))), 1, 15)) AS BIGINT) AS h
+          FROM documents
+        ), bits AS (
+          SELECT doc_id, h, b
+          FROM words, generate_series(0, 59) t(b)
+        ), votes AS (
+          SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS v
+          FROM bits GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "q_doc_lang_stats": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(length(text)), 4) AS avg_len
+        FROM documents GROUP BY lang
+    """,
+    "q_embed_cosine_topk": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))),
+                     6) AS cos
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """,
+    "q_embed_label_centroid_norm": """
+        WITH pos AS (
+          -- constant-bound series (dim=64); lateral list bounds are not
+          -- supported in duckdb 1.0
+          SELECT label, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN generate_series(0, 63) t(i)
+          WHERE i < len(embedding)
+        ), cent AS (
+          SELECT label, pos, AVG(v) AS c FROM pos GROUP BY label, pos
+        )
+        SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+               CAST(COUNT(*) AS BIGINT) AS dim
+        FROM cent GROUP BY label
+    """,
+    "x_docwrap_roundtrip": """
+        SELECT doc_id, text AS md FROM documents
+    """,
+}
+
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_nation_revenue": q05_nation_revenue,
+    "q_broadcast_part_brand": q_broadcast_part_brand,
+    "q_window_top_order_per_cust": q_window_top_order_per_cust,
+    "q_stable_turn_order": q_stable_turn_order,
+    "q_sessionize_events": q_sessionize_events,
+    "q_asof_prior_view": q_asof_prior_view,
+    "q_value_band_join": q_value_band_join,
+    "q_daily_events": q_daily_events,
+    "q_events_pivot": q_events_pivot,
+    "q_topk_users": q_topk_users,
+    "q_set_ops": q_set_ops,
+    "q_rollup_orders": q_rollup_orders,
+    "q_percentile_price": q_percentile_price,
+    "q_distinct_parts": q_distinct_parts,
+    "q_doc_tokens": q_doc_tokens,
+    "q_doc_quality": q_doc_quality,
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_minhash_lsh_buckets": q_minhash_lsh_buckets,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_simhash": q_simhash,
+    "q_doc_lang_stats": q_doc_lang_stats,
+    "q_embed_cosine_topk": q_embed_cosine_topk,
+    "q_embed_label_centroid_norm": q_embed_label_centroid_norm,
+}

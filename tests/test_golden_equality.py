@@ -1,0 +1,82 @@
+"""Per-turn golden equality: the Spark job must byte-equal the
+single-process oracle under stable (conv_id, turn_idx) ordering
+(BASELINE.json north rule; `python -m pytest -x -q` is the named gate)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from mineru_spark.datagen import gen_transcripts_pdf
+from mineru_spark.kernels.oracle import extract_turn
+
+N_CONVS = 60
+
+
+@pytest.fixture(scope="module")
+def oracle_frame():
+    src = gen_transcripts_pdf(N_CONVS)
+    rows = []
+    for _, r in src.iterrows():
+        out = extract_turn(r.text, r.tool)
+        rows.append({"conv_id": r.conv_id, "turn_idx": r.turn_idx,
+                     "route": out["route"], "md": out["md"],
+                     "content_list": out["content_list"],
+                     "n_spans": len(out["spans"]),
+                     **{k: v for k, v in out["metrics"].items()}})
+    return (pd.DataFrame(rows)
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def spark_frame(spark):
+    from mineru_spark.pipeline import synthesize_transcripts, extract
+
+    df = extract(synthesize_transcripts(spark, N_CONVS), salt_partitions=8)
+    got = (df.toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    got["n_spans"] = got["spans"].map(len)
+    return got
+
+
+def test_turn_counts_match(oracle_frame, spark_frame):
+    assert len(oracle_frame) == len(spark_frame)
+    assert list(oracle_frame.conv_id) == list(spark_frame.conv_id)
+    assert list(oracle_frame.turn_idx) == list(spark_frame.turn_idx)
+
+
+def test_md_byte_equality(oracle_frame, spark_frame):
+    mism = oracle_frame.md.values != spark_frame.md.values
+    assert not mism.any(), (
+        f"{mism.sum()} md mismatches; first at "
+        f"{oracle_frame[mism].iloc[0][['conv_id', 'turn_idx']].to_dict()}")
+
+
+def test_content_list_byte_equality(oracle_frame, spark_frame):
+    mism = oracle_frame.content_list.values != spark_frame.content_list.values
+    assert not mism.any()
+
+
+def test_route_and_metrics_equality(oracle_frame, spark_frame):
+    for col in ["route", "blocks_classified", "blocks_discarded",
+                "boilerplate_dropped", "tables_parsed", "chars_deduped",
+                "ocr_fallback", "n_spans"]:
+        assert list(oracle_frame[col]) == list(spark_frame[col]), col
+
+
+def test_run_job_resume_idempotent(spark, tmp_path):
+    """Second run over the same input must skip every turn (lineage
+    anti-join) and leave the sink row count unchanged."""
+    from mineru_spark.pipeline import synthesize_transcripts, run_job
+
+    out = str(tmp_path / "sink")
+    df = synthesize_transcripts(spark, 10)
+    n = df.count()
+    r1 = run_job(spark, df, out, resume=True)
+    assert r1["turns"] == n and r1["skipped_resume"] == 0
+    r2 = run_job(spark, df, out, resume=True)
+    assert r2["turns"] == n and r2["skipped_resume"] == n
+    assert spark.read.parquet(os.path.join(out, "extracted")).count() == n
+    # per-partition metrics table exists and covers all turns
+    m = spark.read.parquet(os.path.join(out, "metrics")).toPandas()
+    assert m["turns"].sum() == n

@@ -1,0 +1,213 @@
+"""Hand-written kernel fixtures with known expected outputs.
+
+These pin the extraction semantics independently of the generator (the
+golden-equality suite compares Spark vs oracle; THIS suite pins the oracle
+itself against human-checked expectations, mirroring the reference's golden
+content assertions, tests/unittest/test_e2e.py:152-220)."""
+
+import json
+
+from mineru_spark.kernels import emit
+from mineru_spark.kernels import tables as tbl
+from mineru_spark.kernels.classify import classify_payload
+from mineru_spark.kernels.charstream import extract_pdf, blocks_to_md
+from mineru_spark.kernels.html_extract import extract_html
+from mineru_spark.kernels.html_extract import blocks_to_md as html_md
+from mineru_spark.kernels.oracle import extract_turn
+
+
+# ---------------------------------------------------------------------------
+# emit
+# ---------------------------------------------------------------------------
+
+def test_escape_markdown():
+    assert emit.escape_markdown("a*b_c") == "a\\*b\\_c"
+    assert emit.escape_markdown("x\\*y") == "x\\*y"  # already escaped
+    assert emit.escape_markdown("# heading like") == "\\# heading like"
+    assert emit.escape_markdown("- item like") == "\\- item like"
+    assert emit.escape_markdown("plain") == "plain"
+
+
+def test_fullwidth_and_ligatures():
+    assert emit.fullwidth_to_halfwidth("ＡＢｃ１２") == "ABc12"
+    assert emit.fullwidth_to_halfwidth("，") == "，"  # punctuation untouched
+    assert emit.expand_ligatures("ﬁle ﬂow oﬀ −1") == "file flow off -1"
+
+
+def test_merge_lines_hyphen_and_cjk():
+    assert emit.merge_lines(["exam-", "ple here"]) == "example here"
+    assert emit.merge_lines(["exam-", "Ple"]) == "exam- Ple"  # uppercase: keep
+    assert emit.merge_lines(["数据管道", "处理文档"]) == "数据管道处理文档"
+    assert emit.merge_lines(["hello", "world"]) == "hello world"
+
+
+# ---------------------------------------------------------------------------
+# classify
+# ---------------------------------------------------------------------------
+
+def test_classify_routes():
+    assert classify_payload("") == "empty"
+    assert classify_payload(None) == "empty"
+    assert classify_payload('{"kind": "pdf_chars", "pages": []}') == "pdf"
+    assert classify_payload("<table><tr><td>x</td></tr></table>") == "office"
+    assert classify_payload("<html><body>hi</body></html>") == "html"
+    assert classify_payload("just plain words") == "plain"
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+def test_table_grid_spans():
+    html = ('<table><tr><th>a</th><th>b</th><th>c</th></tr>'
+            '<tr><td rowspan="2">x</td><td colspan="2">y</td></tr>'
+            '<tr><td>p</td><td>q</td></tr></table>')
+    grids = tbl.parse_tables(html)
+    assert len(grids) == 1
+    g = grids[0]
+    assert g.ncols == 3
+    assert tbl.render_table_html(g) == (
+        '<table><tr><th>a</th><th>b</th><th>c</th></tr>'
+        '<tr><td rowspan="2">x</td><td colspan="2">y</td></tr>'
+        '<tr><td>p</td><td>q</td></tr></table>')
+
+
+def test_table_rowspan_overflow_clipped():
+    html = '<table><tr><td rowspan="5">x</td><td>y</td></tr></table>'
+    g = tbl.parse_tables(html)[0]
+    assert g.rows[0][0].rowspan == 1
+
+
+def test_table_continuation_merge():
+    a = tbl.parse_tables('<table><tr><th>h1</th><th>h2</th></tr>'
+                         '<tr><td>1</td><td>2</td></tr></table>')[0]
+    b = tbl.parse_tables('<table><tr><td>3</td><td>4</td></tr></table>')[0]
+    m = tbl.merge_continuation(a, b)
+    assert m is not None and len(m.rows) == 3
+    assert tbl.merge_continuation(b, a) is None  # b has no header
+
+
+# ---------------------------------------------------------------------------
+# html extraction
+# ---------------------------------------------------------------------------
+
+def test_html_boilerplate_strip():
+    html = ("<html><body><nav><ul><li><a href='/'>one two three</a></li>"
+            "<li><a href='/'>four five</a></li></ul></nav>"
+            "<article><h1>Title Here</h1><p>main content stays here.</p>"
+            "<p><a href='/x'>link link link link</a> tiny</p></article>"
+            "<footer>foot <a href='/'>terms</a></footer></body></html>")
+    blocks, metrics = extract_html(html)
+    md = html_md(blocks)
+    assert md == "# Title Here\n\nmain content stays here."
+    assert metrics["boilerplate_dropped"] >= 2  # nav, footer, link-dense <p>
+
+
+def test_html_list_and_table():
+    html = ("<article><ul><li>alpha one</li><li>beta two</li></ul>"
+            "<table><tr><th>h</th></tr><tr><td>v</td></tr></table></article>")
+    blocks, _ = extract_html(html)
+    md = html_md(blocks)
+    assert md == ("- alpha one\n- beta two\n\n"
+                  "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")
+
+
+# ---------------------------------------------------------------------------
+# charstream
+# ---------------------------------------------------------------------------
+
+def _char(ch, x, y, size=10.0, rot=0.0, idx=0, w=None):
+    w = w if w is not None else 5.0 * size / 10.0
+    return {"char": ch, "bbox": [x, y, x + w, y + size],
+            "font": {"name": "F", "size": size, "flags": 0, "weight": 400},
+            "rotation": rot, "char_idx": idx}
+
+
+def _page(chars, layout):
+    return {"kind": "pdf_chars",
+            "pages": [{"page_idx": 0, "page_size": [612.0, 792.0],
+                       "chars": chars, "layout": layout}]}
+
+
+def test_charstream_spaces_and_lines():
+    # "ab cd" on line 1, "ef" on line 2 (gap > 0.25 * width=5 → space)
+    chars = [_char("a", 50, 100, idx=0), _char("b", 55, 100, idx=1),
+             _char("c", 65, 100, idx=2), _char("d", 70, 100, idx=3),
+             _char("e", 50, 112, idx=4), _char("f", 55, 112, idx=5)]
+    layout = [{"bbox": [45, 95, 200, 130], "label": "text", "index": 0}]
+    blocks, spans, m = extract_pdf(_page(chars, layout))
+    assert blocks[0]["text"] == "ab cd ef"
+    assert m["ocr_fallback"] == 1  # < 50 chars/page
+
+
+def test_charstream_dedup_and_watermark():
+    chars = [_char("a", 50, 100, idx=0),
+             _char("a", 51.5, 101.5, idx=0),        # shadow dup
+             _char("a", 50.4, 100.0, idx=0),        # jitter dup
+             _char("W", 300, 300, rot=30.0, idx=9)]  # watermark
+    layout = [{"bbox": [45, 95, 200, 130], "label": "text", "index": 0}]
+    blocks, _, m = extract_pdf(_page(chars, layout))
+    assert blocks[0]["text"] == "a"
+    assert m["chars_deduped"] == 3
+
+
+def test_charstream_out_of_order_sort():
+    chars = [_char("b", 55, 100, idx=1), _char("a", 50, 100, idx=0),
+             _char("c", 65, 100, idx=2)]
+    layout = [{"bbox": [45, 95, 200, 130], "label": "text", "index": 0}]
+    blocks, _, _ = extract_pdf(_page(chars, layout))
+    assert blocks[0]["text"] == "a bc" or blocks[0]["text"] == "ab c"
+    # idx order: a(50),b(55) adjacent, c at 65 → gap 5 > 1.25 → "ab c"
+    assert blocks[0]["text"] == "ab c"
+
+
+def test_charstream_superscript():
+    chars = [_char("x", 50, 100, idx=0), _char("y", 55, 100, idx=1),
+             _char("2", 60, 98, size=7.0, idx=2)]
+    layout = [{"bbox": [45, 90, 200, 130], "label": "text", "index": 0}]
+    blocks, spans, _ = extract_pdf(_page(chars, layout))
+    assert blocks[0]["text"] == "xy<sup>2</sup>"
+    assert any(s["type"] == "sup" for s in spans)
+
+
+def test_charstream_hyphen_merge_and_discard():
+    chars = ([_char(c, 50 + 5 * i, 100, idx=i)
+              for i, c in enumerate("exam-")]
+             + [_char(c, 50 + 5 * i, 112, idx=5 + i)
+                for i, c in enumerate("ple")]
+             + [_char("H", 50, 20, idx=100)])
+    layout = [{"bbox": [45, 95, 200, 130], "label": "text", "index": 1},
+              {"bbox": [45, 15, 200, 35], "label": "header", "index": 0}]
+    blocks, _, m = extract_pdf(_page(chars, layout))
+    assert len(blocks) == 1
+    assert blocks[0]["text"] == "example"
+    assert m["blocks_discarded"] == 1
+
+
+def test_charstream_title_levels_and_order():
+    mk = lambda s, y, i0: [_char(c, 50 + 5 * k, y, idx=i0 + k)
+                           for k, c in enumerate(s)]
+    chars = mk("Doc", 50, 0) + mk("Sec", 80, 10) + mk("body", 110, 20)
+    layout = [{"bbox": [45, 45, 200, 65], "label": "doc_title", "index": 0},
+              {"bbox": [45, 75, 200, 95], "label": "paragraph_title", "index": 1},
+              {"bbox": [45, 105, 200, 125], "label": "text", "index": 2}]
+    blocks, _, _ = extract_pdf(_page(chars, layout))
+    md = blocks_to_md(blocks)
+    assert md == "# Doc\n\n## Sec\n\nbody"
+
+
+# ---------------------------------------------------------------------------
+# oracle end-to-end (one turn per route)
+# ---------------------------------------------------------------------------
+
+def test_extract_turn_shapes():
+    out = extract_turn("", "none")
+    assert out["route"] == "empty" and out["md"] == ""
+    out = extract_turn("<html><body><article><p>hi there</p></article>"
+                       "</body></html>", "browser")
+    assert out["md"] == "hi there"
+    cl = json.loads(out["content_list"])
+    assert cl[0]["type"] == "text" and cl[0]["text"] == "hi there"
+    out = extract_turn("<table><tr><td>z</td></tr></table>", "file_reader")
+    assert out["md"] == "<table><tr><td>z</td></tr></table>"
+    assert out["metrics"]["tables_parsed"] == 1

@@ -1,0 +1,56 @@
+"""Spot-check of the relational query pack against DuckDB at sf0.001
+(the driver runs the full pack at sf0.01; tools/oracle_check.py runs it
+all locally)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+FAST_QUERIES = [
+    "q01_pricing_summary", "q03_top_orders", "q_sessionize_events",
+    "q_asof_prior_view", "q_value_band_join", "q_set_ops",
+    "q_exact_dedup", "q_minhash_lsh_buckets", "q_embed_cosine_topk",
+    "x_docwrap_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as em
+
+    got = _norm(em.queries()[name](spark, SF_DIR).toPandas())
+    exp = _norm(duck.sql(em.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "md"}
