@@ -203,7 +203,8 @@ def _emit_word_chars(chars: list, word: str, x: float, y: float, size: float,
 
 
 def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int,
-                         idx_start: int, cjk: bool = False) -> tuple[list, int]:
+                         idx_start: int, cjk: bool = False,
+                         continues: bool = False) -> tuple[list, int]:
     """Lay words left-to-right, wrapping inside bbox; spaces are implied by
     gaps (1 char width), exactly like a real PDF text stream — the kernel
     re-inserts spaces when gap > 0.25 × median char width
@@ -227,49 +228,66 @@ def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int
             ci += 1
         return chars, ci
 
-    n_words = rng.randint(6, 10) * n_sentences
-    for wi in range(n_words):
-        word = rng.choice(_VOCAB)
-        # corruption: full-width forms (reference char_utils.py:21-38)
-        if rng.random() < 0.05:
-            word = "".join(chr(ord(c) - ord("a") + 0xFF41) if "a" <= c <= "z" else c
-                           for c in word)
-        w_px = CHAR_W * len(word)
-        if x + w_px > x1:
-            if rng.random() < 0.25 and len(word) >= 6 and x1 - x > 4 * CHAR_W:
-                # hyphen-split at line end; next line starts lowercase →
-                # kernel merges (reference char_utils.py:7-18)
-                k = int((x1 - x) / CHAR_W) - 1
-                k = max(2, min(k, len(word) - 2))
-                x, ci = _emit_word_chars(chars, word[:k] + "-", x, y, BODY_SIZE, rng, ci)
-                x, y = x0, y + LINE_H
-                x, ci = _emit_word_chars(chars, word[k:], x, y, BODY_SIZE, rng, ci)
+    sentence_lens = [rng.randint(6, 10) for _ in range(n_sentences)]
+    for si, n_words in enumerate(sentence_lens):
+        for wi in range(n_words):
+            word = rng.choice(_VOCAB)
+            # corruption: full-width forms (reference char_utils.py:21-38)
+            if rng.random() < 0.05:
+                word = "".join(chr(ord(c) - ord("a") + 0xFF41)
+                               if "a" <= c <= "z" else c for c in word)
+            # sentence-final period attaches to the last word (no gap);
+            # a "continues" block omits the final period so the paragraph
+            # runs on into the next block/page (exercises the reference's
+            # cross-page paragraph merge, para_split.py:265-306)
+            if wi == n_words - 1 and not (continues and si == n_sentences - 1):
+                word = word + "."
+            w_px = CHAR_W * len(word)
+            if x + w_px > x1:
+                if rng.random() < 0.25 and len(word) >= 6 and x1 - x > 4 * CHAR_W:
+                    # hyphen-split at line end; next line starts lowercase →
+                    # kernel merges (reference char_utils.py:7-18)
+                    k = int((x1 - x) / CHAR_W) - 1
+                    k = max(2, min(k, len(word) - 2))
+                    x, ci = _emit_word_chars(chars, word[:k] + "-", x, y,
+                                             BODY_SIZE, rng, ci)
+                    x, y = x0, y + LINE_H
+                    x, ci = _emit_word_chars(chars, word[k:], x, y,
+                                             BODY_SIZE, rng, ci)
+                else:
+                    x, y = x0, y + LINE_H
+                    x, ci = _emit_word_chars(chars, word, x, y, BODY_SIZE,
+                                             rng, ci)
             else:
-                x, y = x0, y + LINE_H
                 x, ci = _emit_word_chars(chars, word, x, y, BODY_SIZE, rng, ci)
-        else:
-            x, ci = _emit_word_chars(chars, word, x, y, BODY_SIZE, rng, ci)
-        # superscript footnote marker at 0.7× size raised above body band
-        # (reference span_pre_proc.py:536-556)
-        if rng.random() < 0.05:
-            x, ci = _emit_word_chars(chars, str(rng.randint(1, 9)), x,
-                                     y - 0.2 * BODY_SIZE, 0.7 * BODY_SIZE, rng, ci,
-                                     sup=True)
-        x += CHAR_W  # inter-word gap (no space char emitted)
+            # superscript footnote marker at 0.7× size above the body band
+            # (reference span_pre_proc.py:536-556)
+            if wi != n_words - 1 and rng.random() < 0.05:
+                x, ci = _emit_word_chars(chars, str(rng.randint(1, 9)), x,
+                                         y - 0.2 * BODY_SIZE, 0.7 * BODY_SIZE,
+                                         rng, ci, sup=True)
+            x += CHAR_W  # inter-word gap (no space char emitted)
     return chars, ci
 
 
 def _gen_pdf(rng: random.Random) -> str:
     n_pages = rng.randint(1, 2)
+    # cross-page split: page 0's last body paragraph continues onto page 1
+    # (reference cross-page merge, para_split.py:265-306)
+    cross_page = n_pages == 2 and rng.random() < 0.5
+    # reading order source: model-emitted index (B7) or geometric XY-cut
+    # when the layout carries no order (B8, xycut_pp_sorter.py:85-414)
+    no_index = rng.random() < 0.3
     pages = []
     for p in range(n_pages):
         layout, chars = [], []
         ci = 0
         li = 0
 
-        def add_block(label, bbox, n_sent=1, cjk=False):
+        def add_block(label, bbox, n_sent=1, cjk=False, continues=False):
             nonlocal ci, li
-            blk_chars, ci = _gen_pdf_block_chars(rng, bbox, n_sent, ci, cjk=cjk)
+            blk_chars, ci = _gen_pdf_block_chars(rng, bbox, n_sent, ci,
+                                                 cjk=cjk, continues=continues)
             if blk_chars:
                 xs0 = min(c["bbox"][0] for c in blk_chars)
                 ys0 = min(c["bbox"][1] for c in blk_chars)
@@ -278,7 +296,8 @@ def _gen_pdf(rng: random.Random) -> str:
                 bbox = [min(bbox[0], xs0), min(bbox[1], ys0),
                         max(bbox[2], xs1), max(bbox[3], ys1)]
             layout.append({"bbox": [round(v, 2) for v in bbox],
-                           "label": label, "index": li})
+                           "label": label,
+                           "index": -1 if no_index else li})
             chars.extend(blk_chars)
             li += 1
 
@@ -288,8 +307,14 @@ def _gen_pdf(rng: random.Random) -> str:
         if p == 0:
             add_block("doc_title", [50.0, y, 562.0, y + 14.0], 1)
             y += 40.0
+        elif cross_page:
+            # continuation paragraph: first body block, starts lowercase
+            h = rng.randint(2, 4) * LINE_H
+            add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2))
+            y += h + 14.0
         two_col = rng.random() < 0.4
         if two_col:
+            max_yy = y
             for cx0, cx1 in ((50.0, 296.0), (316.0, 562.0)):
                 yy = y
                 for _ in range(rng.randint(1, 2)):
@@ -298,6 +323,8 @@ def _gen_pdf(rng: random.Random) -> str:
                               [cx0, yy, cx1, yy + h], rng.randint(1, 2),
                               cjk=rng.random() < 0.05)
                     yy += h + 14.0
+                max_yy = max(max_yy, yy)
+            y = max_yy + 10.0
         else:
             for _ in range(rng.randint(2, 4)):
                 h = rng.randint(3, 6) * LINE_H
@@ -305,6 +332,12 @@ def _gen_pdf(rng: random.Random) -> str:
                           [50.0, y, 562.0, y + h], rng.randint(1, 2),
                           cjk=rng.random() < 0.05)
                 y += h + 14.0
+        if p == 0 and cross_page:
+            # the continuing paragraph: ends mid-sentence (no period)
+            h = rng.randint(2, 4) * LINE_H
+            add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2),
+                      continues=True)
+            y += h + 14.0
         # page number (discarded)
         add_block("page_number", [290.0, 760.0, 322.0, 772.0], 1)
 
@@ -337,49 +370,111 @@ def _gen_pdf(rng: random.Random) -> str:
 # Office table fragments
 # ---------------------------------------------------------------------------
 
-def _gen_office(rng: random.Random) -> str:
+def _gen_office(rng: random.Random,
+                continuation_of: int | None = None) -> tuple[str, int]:
+    """Well-formed table (occupancy-tracked rowspan/colspan) → (html, ncols).
+
+    ``continuation_of=N``: emit a headerless N-column continuation fragment
+    (the cross-turn split exercising the reference's cross-page table merge,
+    table_merge.py:661-733: header detect + structural-compat merge)."""
+    if continuation_of is not None:
+        ncols = continuation_of
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            rows.append("<tr>" + "".join(
+                f"<td>{_sentence(rng, 1, 3)}</td>" for _ in range(ncols))
+                + "</tr>")
+        return f"<table>{''.join(rows)}</table>", ncols
+
     ncols = rng.randint(3, 4)
     nrows = rng.randint(3, 5)
     hdr = "<tr>" + "".join(f"<th>{w}</th>" for w in _words(rng, ncols)) + "</tr>"
+    occupied: set[tuple[int, int]] = set()
     rows = []
-    r = 0
-    while r < nrows:
+    for r in range(nrows):
         cells = []
         c = 0
         while c < ncols:
-            if rng.random() < 0.15 and c + 2 <= ncols:
+            if (r, c) in occupied:
+                c += 1
+                continue
+            free_right = c + 1 < ncols and (r, c + 1) not in occupied
+            if rng.random() < 0.15 and free_right:
                 cells.append(f'<td colspan="2">{_sentence(rng, 1, 2)}</td>')
+                occupied.add((r, c + 1))
                 c += 2
-            elif rng.random() < 0.1 and r + 2 <= nrows:
+            elif rng.random() < 0.1 and r + 1 < nrows:
                 cells.append(f'<td rowspan="2">{_sentence(rng, 1, 2)}</td>')
+                occupied.add((r + 1, c))
                 c += 1
             else:
                 cells.append(f"<td>{_sentence(rng, 1, 3)}</td>")
                 c += 1
         rows.append("<tr>" + "".join(cells) + "</tr>")
-        r += 1
-    # NOTE: rowspan continuation cells are not re-subtracted from later rows
-    # here; the kernel's grid normalizer handles ragged rows.
-    return f"<table>{hdr}{''.join(rows)}</table>"
+    return f"<table>{hdr}{''.join(rows)}</table>", ncols
+
+
+def _inject_mojibake(payload: str) -> str:
+    """Replace every 20th char glyph with U+FFFD (≥3% abnormal ratio)."""
+    d = json.loads(payload)
+    k = 0
+    for page in d["pages"]:
+        for rec in page["chars"]:
+            if k % 20 == 0:
+                rec["char"] = "�"
+            k += 1
+    return json.dumps(d, ensure_ascii=False)
 
 
 # ---------------------------------------------------------------------------
 # Turn assembly
 # ---------------------------------------------------------------------------
 
+def _is_office(conv_id: str, turn_idx: int) -> bool:
+    """Deterministic route rule: office on r ≥ 0.90, or on r ≥ 0.85 when the
+    previous turn was office (tables tend to continue across tool turns —
+    exercises the cross-turn merge)."""
+    r = _prng("turn", conv_id, turn_idx).random()
+    if r >= 0.90:
+        return True
+    return r >= 0.70 and turn_idx > 0 and _is_office(conv_id, turn_idx - 1)
+
+
+def _office_ncols(conv_id: str, turn_idx: int) -> int:
+    """Column count of the office table at (conv_id, turn_idx), resolving
+    continuation chains recursively (pure function — any turn can re-derive
+    its predecessor's table shape without data movement)."""
+    rng = _prng("turn", conv_id, turn_idx)
+    rng.random()  # the route draw (known office)
+    cont = None
+    if turn_idx > 0 and _is_office(conv_id, turn_idx - 1):
+        cont = _office_ncols(conv_id, turn_idx - 1)
+    _, nc = _gen_office(rng, continuation_of=cont)
+    return nc
+
+
 def gen_turn(conv_i: int, turn_idx: int) -> dict:
     conv_id = f"conv-{conv_i:08d}"
     rng = _prng("turn", conv_id, turn_idx)
     role = ("user", "assistant", "tool")[turn_idx % 3]
     r = rng.random()
-    if r < 0.05:
+    office = _is_office(conv_id, turn_idx)
+    if office:
+        cont_ncols = None
+        if turn_idx > 0 and _is_office(conv_id, turn_idx - 1):
+            cont_ncols = _office_ncols(conv_id, turn_idx - 1)
+        text, _ = _gen_office(rng, continuation_of=cont_ncols)
+        tool = "file_reader"
+    elif r < 0.05:
         text, tool = "", "none"
     elif r < 0.65:
         text, tool = _gen_html(rng), "browser"
-    elif r < 0.90:
-        text, tool = _gen_pdf(rng), "pdf_reader"
     else:
-        text, tool = _gen_office(rng), "file_reader"
+        text, tool = _gen_pdf(rng), "pdf_reader"
+        # rare mojibake corruption → abnormal-char ratio ≥ 3% → the
+        # classifier's ocr route (reference pdf_classify.py:418-451)
+        if _prng("corrupt", conv_id, turn_idx).random() < 0.04:
+            text = _inject_mojibake(text)
     ts = _BASE_TS + timedelta(seconds=conv_i * 3600 + turn_idx * 37)
     return {"conv_id": conv_id, "turn_idx": turn_idx, "role": role,
             "text": text, "tool": tool, "ts": ts}

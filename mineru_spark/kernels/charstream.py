@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import emit
+from .xycut import xy_cut_order
 
 DEDUP_TOL = 2.5          # pt; covers jitter ≤1.0 and shadow 1.0-2.5
 DEDUP_CELL = 8.0         # spatial hash cell size
@@ -232,10 +233,16 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         layout = page.get("layout", [])
         if not isinstance(layout, list):
             layout = []
-        layout = sorted((b for b in layout
-                         if isinstance(b, dict) and isinstance(b.get("bbox"), list)
-                         and len(b["bbox"]) == 4),
-                        key=lambda b: b.get("index", 0))
+        layout = [b for b in layout
+                  if isinstance(b, dict) and isinstance(b.get("bbox"), list)
+                  and len(b["bbox"]) == 4]
+        if any(int(b.get("index", -1)) < 0 for b in layout):
+            # no model-emitted order → geometric XY-cut (B8)
+            order = xy_cut_order([b["bbox"] for b in layout])
+            layout = [layout[i] for i in order]
+        else:
+            # model-emitted reading order (B7, pipeline_magic_model.py:121)
+            layout = sorted(layout, key=lambda b: b.get("index", 0))
         for blk in layout:
             label = blk.get("label", "text")
             bx0, by0, bx1, by1 = blk["bbox"]
@@ -260,6 +267,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                                "level": level})
             spans_out.extend(bspans)
 
+    blocks_out, para_merged = _merge_split_paras(blocks_out)
+
     ocr = 0
     if total_chars / n_pages < MIN_CHARS_PER_PAGE:
         ocr = 1
@@ -273,8 +282,35 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         "tables_parsed": 0,
         "chars_deduped": chars_deduped,
         "ocr_fallback": ocr,
+        "para_merged": para_merged,
+        "tables_merged": 0,
     }
     return blocks_out, spans_out, metrics
+
+
+_MERGE_TAIL = set("abcdefghijklmnopqrstuvwxyz-")
+
+
+def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
+    """Cross-block/cross-page paragraph merge (D1, reference
+    para_split.py:265-306): a text block that ends mid-sentence (last char
+    a lowercase letter or hyphen — sentence stops carry punctuation) is
+    merged with the next text block iff that block starts lowercase.
+    Hyphen endings splice (char_utils.py:7-18); otherwise space-joined via
+    the shared line-merge rule."""
+    out: list[dict] = []
+    merged = 0
+    for b in blocks:
+        if (out and b["type"] == "text" and out[-1]["type"] == "text"
+                and out[-1]["text"] and b["text"]
+                and out[-1]["text"][-1] in _MERGE_TAIL
+                and b["text"][:1].islower() and b["text"][:1].isascii()):
+            out[-1] = {**out[-1],
+                       "text": emit.merge_lines([out[-1]["text"], b["text"]])}
+            merged += 1
+        else:
+            out.append(b)
+    return out, merged
 
 
 def blocks_to_md(blocks: list[dict]) -> str:

@@ -227,6 +227,8 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
         "tables_parsed": tables_parsed,
         "chars_deduped": 0,
         "ocr_fallback": 0,
+        "para_merged": 0,
+        "tables_merged": 0,
     }
     return blocks, metrics
 

@@ -29,6 +29,7 @@ OUTPUT_FIELDS = ["route", "md", "content_list", "spans", "metrics"]
 _ZERO_METRICS = {
     "blocks_classified": 0, "blocks_discarded": 0, "boilerplate_dropped": 0,
     "tables_parsed": 0, "chars_deduped": 0, "ocr_fallback": 0,
+    "para_merged": 0, "tables_merged": 0,
 }
 
 _METRIC_KEYS = list(_ZERO_METRICS)
@@ -121,3 +122,53 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
 
 def metrics_tuple(metrics: dict) -> tuple:
     return tuple(int(metrics[k]) for k in _METRIC_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level finalize (D2: cross-turn table merge)
+# ---------------------------------------------------------------------------
+
+def finalize_conv(turn_outs: list[dict]) -> list[dict]:
+    """Cross-turn continuation-table merge (reference cross-page table
+    merge, table_merge.py:661-733 / :1123): an office turn immediately
+    following another office turn, whose table is headerless with the same
+    column count, is folded into the anchor turn's table.  The continuation
+    turn's outputs are emptied; the anchor's ``tables_merged`` counts the
+    folds.  Chains (A←B←C) anchor at A.
+
+    Mutates and returns ``turn_outs`` (each: {turn_idx, route, md,
+    content_list, metrics}); input must be the complete turn set of ONE
+    conversation sorted by turn_idx.
+    """
+    anchor: dict | None = None
+    anchor_grid = None
+    for t in turn_outs:
+        if t["route"] != "office":
+            anchor, anchor_grid = None, None
+            continue
+        grids = tbl.parse_tables(t["md"]) if t["md"] else []
+        if anchor is not None and t["turn_idx"] == anchor["_last_idx"] + 1 \
+                and len(grids) == 1 and anchor_grid is not None:
+            merged = tbl.merge_continuation(anchor_grid, grids[0])
+            if merged is not None:
+                anchor_grid = merged
+                html = tbl.render_table_html(merged)
+                anchor["md"] = html
+                anchor["content_list"] = _content_list_json(
+                    [{"type": "table", "text": html, "page_idx": 0,
+                      "bbox": [0, 0, 0, 0], "level": 1}])
+                anchor["metrics"]["tables_merged"] += 1
+                anchor["_last_idx"] = t["turn_idx"]
+                t["md"] = ""
+                t["content_list"] = "[]"
+                t["metrics"]["blocks_classified"] = 0
+                continue
+        # this turn becomes the new anchor (if it holds exactly one table)
+        if len(grids) == 1:
+            anchor, anchor_grid = t, grids[0]
+            anchor["_last_idx"] = t["turn_idx"]
+        else:
+            anchor, anchor_grid = None, None
+    for t in turn_outs:
+        t.pop("_last_idx", None)
+    return turn_outs

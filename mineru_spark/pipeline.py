@@ -68,10 +68,13 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("tables_parsed", T.IntegerType(), True),
     T.StructField("chars_deduped", T.IntegerType(), True),
     T.StructField("ocr_fallback", T.IntegerType(), True),
+    T.StructField("para_merged", T.IntegerType(), True),
+    T.StructField("tables_merged", T.IntegerType(), True),
 ])
 
 _METRIC_COLS = ["blocks_classified", "blocks_discarded", "boilerplate_dropped",
-                "tables_parsed", "chars_deduped", "ocr_fallback"]
+                "tables_parsed", "chars_deduped", "ocr_fallback",
+                "para_merged", "tables_merged"]
 
 
 def get_spark(app: str = "mineru_spark", master: str | None = None,
@@ -202,6 +205,55 @@ def extract(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Conversation-level finalize (D2: cross-turn table merge)
+# ---------------------------------------------------------------------------
+
+def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from .kernels.oracle import finalize_conv, _METRIC_KEYS
+
+    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+    outs = [{"turn_idx": int(r.turn_idx), "route": r.route, "md": r.md,
+             "content_list": r.content_list,
+             "metrics": {k: int(getattr(r, k)) for k in _METRIC_KEYS}}
+            for r in pdf.itertuples()]
+    finalize_conv(outs)
+    for i, o in enumerate(outs):
+        pdf.loc[i, "md"] = o["md"]
+        pdf.loc[i, "content_list"] = o["content_list"]
+        for k in _METRIC_KEYS:
+            pdf.loc[i, k] = o["metrics"][k]
+    for k in _METRIC_COLS:
+        pdf[k] = pdf[k].astype("int32")
+    return pdf
+
+
+def finalize_convs(extracted: DataFrame) -> DataFrame:
+    """Grouped conv-level pass for the cross-turn operators (currently the
+    continuation-table merge).  Only conversations that contain ≥2
+    adjacent office turns are shuffled into groups — everything else
+    passes through untouched — so the grouped stage moves a small fraction
+    of the data (the reference's table merge is likewise gated,
+    runtime_utils.py:10-26).  The candidate filter is computed with a
+    window (lag on route) and broadcast back as a semi/anti join key set."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    # candidate detection on a narrow projection: the window shuffle moves
+    # (conv_id, turn_idx, route) only — never the payload columns
+    narrow = extracted.select("conv_id", "turn_idx", "route") \
+        .filter(F.col("route") == "office")
+    cand_convs = (narrow
+                  .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+                  .filter(F.col("turn_idx") == F.col("_prev_idx") + 1)
+                  .select("conv_id").distinct())
+    cand = extracted.join(F.broadcast(cand_convs), "conv_id", "left_semi")
+    rest = extracted.join(F.broadcast(cand_convs), "conv_id", "left_anti")
+    updated = cand.groupBy("conv_id").applyInPandas(
+        _finalize_group, schema=extracted.schema)
+    return updated.unionByName(rest)
+
+
+# ---------------------------------------------------------------------------
 # Sink + resume + metrics (SURVEY §7 step 7)
 # ---------------------------------------------------------------------------
 
@@ -230,6 +282,7 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         already = before - after
 
     result = extract(todo, salt_partitions=salt_partitions)
+    result = finalize_convs(result)
     result = result.withColumn("part_id", F.spark_partition_id())
     result.write.mode("append").parquet(extracted_path)
 

@@ -15,15 +15,24 @@ N_CONVS = 60
 
 @pytest.fixture(scope="module")
 def oracle_frame():
+    from mineru_spark.kernels.oracle import finalize_conv
+
     src = gen_transcripts_pdf(N_CONVS)
     rows = []
-    for _, r in src.iterrows():
-        out = extract_turn(r.text, r.tool)
-        rows.append({"conv_id": r.conv_id, "turn_idx": r.turn_idx,
-                     "route": out["route"], "md": out["md"],
-                     "content_list": out["content_list"],
-                     "n_spans": len(out["spans"]),
-                     **{k: v for k, v in out["metrics"].items()}})
+    for conv_id, grp in src.groupby("conv_id", sort=True):
+        outs = []
+        for _, r in grp.sort_values("turn_idx").iterrows():
+            out = extract_turn(r.text, r.tool)
+            out["conv_id"] = r.conv_id
+            out["turn_idx"] = r.turn_idx
+            outs.append(out)
+        finalize_conv(outs)  # conv-level pass (cross-turn table merge)
+        for out in outs:
+            rows.append({"conv_id": out["conv_id"], "turn_idx": out["turn_idx"],
+                         "route": out["route"], "md": out["md"],
+                         "content_list": out["content_list"],
+                         "n_spans": len(out["spans"]),
+                         **{k: v for k, v in out["metrics"].items()}})
     return (pd.DataFrame(rows)
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
 
@@ -32,7 +41,10 @@ def oracle_frame():
 def spark_frame(spark):
     from mineru_spark.pipeline import synthesize_transcripts, extract
 
-    df = extract(synthesize_transcripts(spark, N_CONVS), salt_partitions=8)
+    from mineru_spark.pipeline import finalize_convs
+
+    df = finalize_convs(
+        extract(synthesize_transcripts(spark, N_CONVS), salt_partitions=8))
     got = (df.toPandas()
            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     got["n_spans"] = got["spans"].map(len)
@@ -60,7 +72,7 @@ def test_content_list_byte_equality(oracle_frame, spark_frame):
 def test_route_and_metrics_equality(oracle_frame, spark_frame):
     for col in ["route", "blocks_classified", "blocks_discarded",
                 "boilerplate_dropped", "tables_parsed", "chars_deduped",
-                "ocr_fallback", "n_spans"]:
+                "ocr_fallback", "para_merged", "tables_merged", "n_spans"]:
         assert list(oracle_frame[col]) == list(spark_frame[col]), col
 
 

@@ -211,3 +211,91 @@ def test_extract_turn_shapes():
     out = extract_turn("<table><tr><td>z</td></tr></table>", "file_reader")
     assert out["md"] == "<table><tr><td>z</td></tr></table>"
     assert out["metrics"]["tables_parsed"] == 1
+
+
+# ---------------------------------------------------------------------------
+# xy-cut reading order (B8)
+# ---------------------------------------------------------------------------
+
+def test_xycut_two_columns():
+    from mineru_spark.kernels.xycut import xy_cut_order
+    # header spans full width on top; two columns below; footer at bottom
+    boxes = [
+        [50, 700, 550, 720],    # 0 footer (bottom)
+        [300, 100, 550, 300],   # 1 right column top
+        [50, 100, 280, 200],    # 2 left column top
+        [50, 20, 550, 40],      # 3 header (top)
+        [50, 220, 280, 380],    # 4 left column bottom
+        [300, 320, 550, 500],   # 5 right column bottom
+    ]
+    assert xy_cut_order(boxes) == [3, 2, 4, 1, 5, 0]
+
+
+def test_charstream_xycut_when_no_index():
+    mk = lambda s, x, y, i0: [_char(c, x + 5 * k, y, idx=i0 + k)
+                              for k, c in enumerate(s)]
+    chars = (mk("left.", 50, 100, 0) + mk("right.", 320, 100, 10)
+             + mk("leftb.", 50, 140, 20))
+    # layout order scrambled and index=-1 → kernel must XY-cut:
+    # top slice splits into left/right columns, bottom row last
+    layout = [{"bbox": [315, 95, 560, 130], "label": "text", "index": -1},
+              {"bbox": [45, 95, 290, 130], "label": "text", "index": -1},
+              {"bbox": [45, 135, 290, 170], "label": "text", "index": -1}]
+    blocks, _, _ = extract_pdf(_page(chars, layout))
+    # column gutter (25pt) beats the inter-row gap (5pt) → column-major
+    assert [b["text"] for b in blocks] == ["left.", "leftb.", "right."]
+
+
+# ---------------------------------------------------------------------------
+# cross-block paragraph merge (D1)
+# ---------------------------------------------------------------------------
+
+def test_para_merge_across_blocks():
+    mk = lambda s, y, i0: [_char(c, 50 + 5 * k, y, idx=i0 + k)
+                           for k, c in enumerate(s)]
+    # block 1 ends mid-sentence (lowercase, no period); block 2 starts lower
+    chars = mk("starts.", 100, 0) + mk("and", 112, 10) + mk("ends.", 200, 20)
+    layout = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0},
+              {"bbox": [45, 195, 300, 230], "label": "text", "index": 1}]
+    blocks, _, m = extract_pdf(_page(chars, layout))
+    assert len(blocks) == 1
+    assert blocks[0]["text"] == "starts. and ends."
+    assert m["para_merged"] == 1
+
+
+def test_para_no_merge_after_period():
+    mk = lambda s, y, i0: [_char(c, 50 + 5 * k, y, idx=i0 + k)
+                           for k, c in enumerate(s)]
+    chars = mk("done.", 100, 0) + mk("next.", 200, 20)
+    layout = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0},
+              {"bbox": [45, 195, 300, 230], "label": "text", "index": 1}]
+    blocks, _, m = extract_pdf(_page(chars, layout))
+    assert len(blocks) == 2 and m["para_merged"] == 0
+
+
+# ---------------------------------------------------------------------------
+# conv-level finalize (D2)
+# ---------------------------------------------------------------------------
+
+def test_finalize_conv_table_merge():
+    from mineru_spark.kernels.oracle import finalize_conv
+    a = extract_turn('<table><tr><th>h1</th><th>h2</th></tr>'
+                     '<tr><td>1</td><td>2</td></tr></table>', "file_reader")
+    b = extract_turn('<table><tr><td>3</td><td>4</td></tr></table>',
+                     "file_reader")
+    a["turn_idx"], b["turn_idx"] = 0, 1
+    finalize_conv([a, b])
+    assert a["metrics"]["tables_merged"] == 1
+    assert "<td>3</td><td>4</td>" in a["md"]
+    assert b["md"] == "" and b["content_list"] == "[]"
+
+
+def test_finalize_conv_no_merge_nonadjacent():
+    from mineru_spark.kernels.oracle import finalize_conv
+    a = extract_turn('<table><tr><th>h1</th><th>h2</th></tr>'
+                     '<tr><td>1</td><td>2</td></tr></table>', "file_reader")
+    b = extract_turn('<table><tr><td>3</td><td>4</td></tr></table>',
+                     "file_reader")
+    a["turn_idx"], b["turn_idx"] = 0, 5  # gap: not a continuation
+    finalize_conv([a, b])
+    assert a["metrics"]["tables_merged"] == 0 and b["md"] != ""
