@@ -71,6 +71,34 @@ def x_docwrap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("boilerplate_dropped")))
 
 
+def x_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (order-sensitive rolling hashes —
+    not SQL-expressible; rows-only check)."""
+    from mineru_spark.textops import doc_fingerprints
+    return doc_fingerprints(spark, sf_dir).select("doc_id", "n_fp")
+
+
+def x_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mineru_spark.textops import fingerprint_overlap_pairs
+    return fingerprint_overlap_pairs(spark, sf_dir)
+
+
+def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: synthesize media, extract
+    deterministic stub features via mapInPandas (rows-only check)."""
+    from mineru_spark.multimodal import synthesize_media, extract_features
+    n = max(50, _n_convs_for(sf_dir) // 4)
+    return (extract_features(synthesize_media(spark, n))
+            .select("media_id", "mime", "decode_ok"))
+
+
+def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (scale path; brute-force baseline is the
+    oracle-checked q_embed_cosine_topk)."""
+    from mineru_spark.simsearch import ann_topk
+    return ann_topk(spark, sf_dir, k=10, radius=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
@@ -78,6 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["x_docwrap_metrics"] = x_docwrap_metrics
     out["x_transcripts_extract"] = x_transcripts_extract
     out["x_transcripts_route_metrics"] = x_transcripts_route_metrics
+    out["x_doc_fingerprints"] = x_doc_fingerprints
+    out["x_fingerprint_pairs"] = x_fingerprint_pairs
+    out["x_media_features"] = x_media_features
+    out["x_ann_topk"] = x_ann_topk
     return out
 
 

@@ -739,3 +739,70 @@ RELATIONAL_QUERIES = {
     "q_embed_cosine_topk": q_embed_cosine_topk,
     "q_embed_label_centroid_norm": q_embed_label_centroid_norm,
 }
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search + near-dup additions (cross-engine checkable)
+# ---------------------------------------------------------------------------
+
+def q_lsh_signature(spark, sf_dir):
+    """SRP-LSH bucket signatures (simsearch scale path) — the 6 deterministic
+    hyperplanes are literal arrays, so DuckDB recomputes the identical
+    signature and the bucketing is verified across engines."""
+    from .simsearch import signature_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", signature_col().alias("lsh_sig"))
+
+
+def _lsh_oracle_sql() -> str:
+    from .simsearch import _PLANES
+
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({arr} AS DOUBLE[])) > 0 THEN {1 << p} ELSE 0 END)")
+    return ("SELECT vec_id, CAST(" + " + ".join(terms)
+            + " AS BIGINT) AS lsh_sig FROM embeddings")
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs: hamming distance ≤ 8 over a bounded id
+    range (dedup family; bit_count on the xor of 60-bit signatures)."""
+    sig = q_simhash(spark, sf_dir).filter(F.col("doc_id") < 200)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= 8))
+
+
+ORACLES["q_lsh_signature"] = _lsh_oracle_sql()
+ORACLES["q_simhash_near_pairs"] = """
+    WITH words AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), ' +'))), 1, 15)) AS BIGINT) AS h
+      FROM documents WHERE doc_id < 200
+    ), bits AS (
+      SELECT doc_id, h, b FROM words, generate_series(0, 59) t(b)
+    ), votes AS (
+      SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS v
+      FROM bits GROUP BY doc_id, b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+RELATIONAL_QUERIES["q_lsh_signature"] = q_lsh_signature
+RELATIONAL_QUERIES["q_simhash_near_pairs"] = q_simhash_near_pairs

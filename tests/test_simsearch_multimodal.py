@@ -1,0 +1,88 @@
+"""ANN recall vs brute force; multimodal binary plumbing."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ann_enrichment_and_mechanism(spark):
+    """The synthetic embeddings are isotropic (top-10 cosine ≈ 0.3), so the
+    honest LSH metric is enrichment: probed buckets must hold true
+    neighbors at a higher rate than a random sample of equal size.
+    Mechanism checks: Spark signatures equal the numpy signatures; probing
+    returns exactly the rows whose signature is in the probe set."""
+    import numpy as np
+    import pandas as pd
+    from mineru_spark import simsearch as ss
+
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    sigs_np = ((mat @ ss._PLANES.T) > 0) @ (1 << np.arange(ss.N_PLANES))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = emb.withColumn("lsh_sig", ss.signature_col()) \
+        .select("vec_id", "lsh_sig").toPandas().sort_values("vec_id")
+    assert list(got.lsh_sig) == [int(s) for s in sigs_np]
+
+    # enrichment over 15 queries
+    norms = np.linalg.norm(mat, axis=1)
+    recalls, fractions = [], []
+    for qi in range(15):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        top = set(np.argsort(-cos)[1:11].tolist())
+        probes = set(ss.probe_set(int(sigs_np[qi]), radius=1))
+        cand = {i for i in range(len(mat))
+                if int(sigs_np[i]) in probes and i != qi}
+        recalls.append(len(cand & top) / 10)
+        fractions.append(len(cand) / len(mat))
+    enrich = (sum(recalls) / 15) / max(1e-9, sum(fractions) / 15)
+    assert enrich >= 1.3, f"enrichment {enrich:.2f} (recalls {recalls})"
+
+    # the Spark probe path returns exactly the numpy candidate set
+    qvec = [float(v) for v in mat[0]]
+    spark_cand = ss.bucketed_candidates(
+        emb.filter(F.col("vec_id") != 0), qvec, radius=1) \
+        .select("vec_id").toPandas()
+    probes = set(ss.probe_set(ss.query_signature(qvec), radius=1))
+    np_cand = {int(pdf.vec_id[i]) for i in range(len(mat))
+               if int(sigs_np[i]) in probes and int(pdf.vec_id[i]) != 0}
+    assert set(spark_cand.vec_id) == np_cand
+    assert len(np_cand) < len(mat)  # genuinely prunes
+
+
+def test_multimodal_feature_plumbing(spark):
+    from mineru_spark.multimodal import (synthesize_media, extract_features,
+                                         FEATURE_DIM)
+
+    media = synthesize_media(spark, 60)
+    feats = extract_features(media)
+    got = feats.toPandas()
+    assert len(got) == 60
+    assert got.decode_ok.all()
+    assert all(len(f) == FEATURE_DIM for f in got.feature)
+    # deterministic: same media_id → same feature on re-run
+    again = extract_features(media).toPandas().sort_values("media_id")
+    got = got.sort_values("media_id")
+    assert all(list(a) == list(b)
+               for a, b in zip(got.feature, again.feature))
+    # features join the embedding pipeline: cosine vs first row, JVM-side
+    qcol = F.array(*[F.lit(float(v)) for v in got.feature.iloc[0]])
+    dot = F.aggregate(F.zip_with("feature", qcol,
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    sim = feats.select("media_id", dot.alias("dot")).toPandas()
+    assert len(sim) == 60 and sim["dot"].notna().all()
+
+
+def test_multimodal_decode_failure_degrades(spark):
+    import pandas as pd
+    from mineru_spark.multimodal import extract_features, MEDIA_SCHEMA
+
+    bad = pd.DataFrame({"media_id": [1, 2], "mime": ["image/png", None],
+                        "width": pd.array([None, None], dtype="Int32"),
+                        "height": pd.array([None, None], dtype="Int32"),
+                        "duration_ms": pd.array([None, None], dtype="Int32"),
+                        "payload": [b"", None]})
+    df = spark.createDataFrame(bad, schema=MEDIA_SCHEMA)
+    got = extract_features(df).toPandas()
+    assert list(got.decode_ok) == [False, False]

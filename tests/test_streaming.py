@@ -1,0 +1,47 @@
+"""Streaming ingestion: duplicates dropped, outputs equal the batch path,
+restart-with-replay writes nothing twice."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+
+
+def test_streaming_extract_matches_batch(spark, stream_dirs):
+    from mineru_spark.pipeline import synthesize_transcripts, extract
+    from mineru_spark.streaming.ingest import streaming_extract
+
+    src = synthesize_transcripts(spark, 20)
+    # two input files, the second replays half of the first (duplicates)
+    src.filter(F.col("conv_id") <= "conv-00000011") \
+        .write.mode("overwrite").parquet(stream_dirs["in"])
+    src.filter(F.col("conv_id") >= "conv-00000006") \
+        .write.mode("append").parquet(stream_dirs["in"])
+
+    q = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
+                          stream_dirs["ckpt"])
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(os.path.join(stream_dirs["out"], "extracted"))
+    n_src = src.count()
+    assert got.count() == n_src  # duplicates dropped exactly once
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_src
+
+    # per-turn equality with the batch path
+    batch = extract(src).select("conv_id", "turn_idx",
+                                F.col("md").alias("md_b"))
+    joined = got.join(batch, ["conv_id", "turn_idx"])
+    assert joined.filter(F.col("md") != F.col("md_b")).count() == 0
+
+    # restart with a new checkpoint (full replay) → idempotent sink
+    q2 = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
+                           stream_dirs["ckpt"] + "_2")
+    q2.awaitTermination(180)
+    assert spark.read.parquet(
+        os.path.join(stream_dirs["out"], "extracted")).count() == n_src
