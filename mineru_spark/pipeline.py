@@ -104,6 +104,9 @@ def get_spark(app: str = "mineru_spark", master: str | None = None,
         # keeps batches ~10 MB. Same knob matters on a real cluster for any
         # document-payload table.
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/mineru_spark_warehouse"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         # local mode = single JVM: size the driver heap + netty direct
@@ -258,14 +261,18 @@ def finalize_convs(extracted: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
-            resume: bool = True, salt_partitions: int | None = None) -> dict:
+            resume: bool = True, salt_partitions: int | None = None,
+            partition_by_day: bool = True) -> dict:
     """Idempotent extraction job with lineage-based resume.
 
     Sink layout (parquet stand-in for the Iceberg table — Iceberg jars are
     not on the sandbox classpath; the layout keeps Iceberg-style
     snapshot/lineage semantics):
 
-      out_dir/extracted/   extraction output, appended per run
+      out_dir/extracted/   extraction output, appended per run,
+                           hive-partitioned by ds=days(ts) (the Iceberg
+                           `days(ts)` transform; FIXTURES.md §1) so time
+                           predicates prune partitions at read
       out_dir/metrics/     one row per run: per-partition + global metrics
     """
     extracted_path = os.path.join(out_dir, "extracted")
@@ -284,7 +291,12 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     result = extract(todo, salt_partitions=salt_partitions)
     result = finalize_convs(result)
     result = result.withColumn("part_id", F.spark_partition_id())
-    result.write.mode("append").parquet(extracted_path)
+    writer = result.write.mode("append")
+    if partition_by_day:
+        result = result.withColumn(
+            "ds", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"))
+        writer = result.write.mode("append").partitionBy("ds")
+    writer.parquet(extracted_path)
 
     out = spark.read.parquet(extracted_path)
     per_part = (out.groupBy("part_id")
@@ -307,3 +319,17 @@ def _path_has_data(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def write_bucketed_sink(spark: SparkSession, extracted: DataFrame,
+                        table: str = "extracted_turns",
+                        n_buckets: int = 16) -> None:
+    """Bucketed-table sink variant: bucketBy(conv_id) + sortBy(turn_idx)
+    (FIXTURES.md §1 `bucket(conv_id)`).  Later equi-joins on conv_id —
+    the lineage anti-join, the conv-level finalize — co-locate without a
+    shuffle when both sides share the bucketing."""
+    (extracted.write.mode("overwrite")
+     .bucketBy(n_buckets, "conv_id")
+     .sortBy("turn_idx")
+     .format("parquet")
+     .saveAsTable(table))

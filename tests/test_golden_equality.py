@@ -5,6 +5,7 @@ single-process oracle under stable (conv_id, turn_idx) ordering
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from mineru_spark.datagen import gen_transcripts_pdf
@@ -92,3 +93,35 @@ def test_run_job_resume_idempotent(spark, tmp_path):
     # per-partition metrics table exists and covers all turns
     m = spark.read.parquet(os.path.join(out, "metrics")).toPandas()
     assert m["turns"].sum() == n
+
+
+def test_sink_partitioned_by_day(spark, tmp_path):
+    """Sink is hive-partitioned by ds=days(ts); a ds predicate prunes
+    partitions at scan."""
+    import os
+    from mineru_spark.pipeline import synthesize_transcripts, run_job
+
+    out = str(tmp_path / "psink")
+    run_job(spark, synthesize_transcripts(spark, 30), out)
+    root = os.path.join(out, "extracted")
+    ds_dirs = [d for d in os.listdir(root) if d.startswith("ds=")]
+    assert len(ds_dirs) >= 2
+    got = spark.read.parquet(root)
+    one = got.filter(F.col("ds") == ds_dirs[0].split("=")[1])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() > 0
+
+
+def test_bucketed_sink_join_without_shuffle(spark, tmp_path):
+    from mineru_spark.pipeline import (synthesize_transcripts, extract,
+                                       write_bucketed_sink)
+
+    ext = extract(synthesize_transcripts(spark, 8))
+    write_bucketed_sink(spark, ext, table="tg_bucketed", n_buckets=4)
+    t = spark.table("tg_bucketed")
+    assert t.count() == ext.count()
+    # self equi-join on the bucket key: no Exchange on either side
+    j = t.alias("a").join(t.alias("b"), ["conv_id", "turn_idx"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(conv_id" not in plan
+    spark.sql("DROP TABLE IF EXISTS tg_bucketed")
