@@ -312,6 +312,63 @@ def _gen_pdf(rng: random.Random) -> str:
             h = rng.randint(2, 4) * LINE_H
             add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2))
             y += h + 14.0
+        def add_text_line_block(label, text, y, size=BODY_SIZE):
+            """One literal text line as chars (captions, code lines, list
+            items keep their exact glyph sequence; spaces become gaps)."""
+            nonlocal ci, li
+            blk_chars: list = []
+            x = 50.0
+            j = ci
+            for word in text.split(" "):
+                for chx in word:
+                    blk_chars.append({
+                        "char": chx,
+                        "bbox": [round(x, 2), round(y, 2),
+                                 round(x + CHAR_W, 2), round(y + size, 2)],
+                        "font": {"name": "Body", "size": size, "flags": 0,
+                                 "weight": 400},
+                        "rotation": 0.0, "char_idx": j})
+                    x += CHAR_W
+                    j += 1
+                x += CHAR_W  # word gap
+            ci = j
+            layout.append({"bbox": [50.0, round(y, 2), round(x, 2),
+                                    round(y + size, 2)],
+                           "label": label, "index": -1 if no_index else li})
+            chars.extend(blk_chars)
+            li += 1
+
+        def add_multiline_block(label, lines, y):
+            nonlocal ci, li
+            blk_chars: list = []
+            j = ci
+            yy = y
+            x_max = 50.0
+            for line in lines:
+                x = 50.0
+                for word in line.split(" "):
+                    for chx in word:
+                        blk_chars.append({
+                            "char": chx,
+                            "bbox": [round(x, 2), round(yy, 2),
+                                     round(x + CHAR_W, 2),
+                                     round(yy + BODY_SIZE, 2)],
+                            "font": {"name": "Mono", "size": BODY_SIZE,
+                                     "flags": 0, "weight": 400},
+                            "rotation": 0.0, "char_idx": j})
+                        x += CHAR_W
+                        j += 1
+                    x += CHAR_W
+                x_max = max(x_max, x)
+                yy += LINE_H
+            ci = j
+            layout.append({"bbox": [50.0, round(y, 2), round(x_max, 2),
+                                    round(yy, 2)],
+                           "label": label, "index": -1 if no_index else li})
+            chars.extend(blk_chars)
+            li += 1
+            return yy
+
         two_col = rng.random() < 0.4
         if two_col:
             max_yy = y
@@ -332,6 +389,79 @@ def _gen_pdf(rng: random.Random) -> str:
                           [50.0, y, 562.0, y + h], rng.randint(1, 2),
                           cjk=rng.random() < 0.05)
                 y += h + 14.0
+
+        # rich block kinds (each with its own extraction kernel path)
+        r_rich = rng.random()
+        if r_rich < 0.25:
+            # table block: structure-rec html on the layout record (G4)
+            # + caption/footnote blocks matched by B10
+            html, _nc = _gen_office(rng)
+            layout.append({"bbox": [50.0, round(y, 2), 562.0, round(y + 60, 2)],
+                           "label": "table", "index": -1 if no_index else li,
+                           "html": html})
+            li += 1
+            y += 64.0
+            add_text_line_block(
+                "table_caption", f"Table {p + 1}: {_sentence(rng, 3, 6)}.", y)
+            y += 24.0
+            if rng.random() < 0.4:
+                add_text_line_block(
+                    "table_footnote", f"Note: {_sentence(rng, 2, 4)}.", y)
+                y += 24.0
+        elif r_rich < 0.40:
+            # image block (opaque body) + caption
+            layout.append({"bbox": [150.0, round(y, 2), 450.0, round(y + 80, 2)],
+                           "label": "image", "index": -1 if no_index else li})
+            li += 1
+            y += 84.0
+            add_text_line_block(
+                "image_caption", f"Figure {p + 1}: {_sentence(rng, 3, 6)}.", y)
+            y += 24.0
+        elif r_rich < 0.55:
+            # interline equation: latex on the layout record (G2/MFR)
+            latex = rng.choice((
+                r"\frac{a}{b} = \sum_{i=0}^{n} x_i",
+                r"e^{i\pi} + 1 = 0",
+                r"\int_0^1 f(x)\,dx",
+                r"\bar{x} = \frac{1}{n}\sum x_i",
+            ))
+            layout.append({"bbox": [200.0, round(y, 2), 400.0, round(y + 24, 2)],
+                           "label": "interline_equation",
+                           "index": -1 if no_index else li, "latex": latex})
+            li += 1
+            y += 30.0
+        elif r_rich < 0.70:
+            code_lines = rng.choice((
+                ["def run(x):", "return x + 1"],
+                ["import os", "print(os.name)"],
+                ["SELECT a FROM t", "WHERE a > 1"],
+                ["const f = (x) => x", "var y = f(2)"],
+            ))
+            y = add_multiline_block("code", code_lines, y) + 12.0
+        elif r_rich < 0.85:
+            items = [f"• {_sentence(rng, 2, 5)}" for _ in range(rng.randint(2, 4))]
+            y = add_multiline_block("list", items, y) + 12.0
+        elif r_rich < 0.93:
+            # vertical CJK run (B5/B6): single column, chars stacked
+            vtext = rng.choice(_CJK_SENTENCES)[:6]
+            vx = 530.0
+            vy = y
+            j = ci
+            for chv in vtext:
+                chars.append({"char": chv,
+                              "bbox": [vx, round(vy, 2), vx + 10.0,
+                                       round(vy + 10.0, 2)],
+                              "font": {"name": "CJK", "size": BODY_SIZE,
+                                       "flags": 0, "weight": 400},
+                              "rotation": 0.0, "char_idx": j})
+                vy += 12.0
+                j += 1
+            ci = j
+            layout.append({"bbox": [vx - 2, round(y - 2, 2), vx + 12.0,
+                                    round(vy + 2, 2)],
+                           "label": "text", "index": -1 if no_index else li})
+            li += 1
+            y = vy + 12.0
         if p == 0 and cross_page:
             # the continuing paragraph: ends mid-sentence (no period)
             h = rng.randint(2, 4) * LINE_H

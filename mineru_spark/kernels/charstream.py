@@ -57,7 +57,55 @@ LABEL_MAP = {
     "table": ("table", 1),
     "image": ("image", 1),
     "code": ("code", 1),
+    "interline_equation": ("equation", 1),
+    "vertical_text": ("text", 1),
 }
+
+# caption/footnote labels → (parent block type, slot)   (B10)
+CAPTION_LABELS = {
+    "table_caption": ("table", "caption"),
+    "table_footnote": ("table", "footnote"),
+    "image_caption": ("image", "caption"),
+    "image_footnote": ("image", "footnote"),
+}
+
+PUNCT_RUN_RATIO = 0.25   # C10: chars inside punct runs ≥ 4 long
+_PUNCT = set(".,;:!?|-_=+*#~^'`\"()[]{}<>/\\")
+
+VERTICAL_ASPECT = 3.0     # B5: block h/w ≥ 3 → vertical-text candidate
+VERTICAL_SINGLE = 0.8     # ≥80% single-char lines confirms vertical
+
+# B12 language guess: first matching keyword set wins (deterministic
+# substitute for the reference's magika call, guess_suffix_or_lang.py:73-85)
+_CODE_LANGS = (
+    ("python", ("def ", "import ", "lambda ", "print(")),
+    ("sql", ("select ", "from ", "where ", "group by")),
+    ("javascript", ("function ", "var ", "const ", "=>")),
+)
+
+
+def _punct_run_count(glyphs) -> int:
+    """Chars belonging to ASCII-punctuation runs of length ≥ 4
+    (C10 analog, reference pdf_classify.py:837-929)."""
+    total = run = 0
+    for ch in glyphs:
+        if ch in _PUNCT:
+            run += 1
+        else:
+            if run >= 4:
+                total += run
+            run = 0
+    if run >= 4:
+        total += run
+    return total
+
+
+def guess_code_lang(text: str) -> str:
+    low = text.lower()
+    for lang, keys in _CODE_LANGS:
+        if any(k in low for k in keys):
+            return lang
+    return ""
 
 
 def _is_abnormal(ch: str) -> bool:
@@ -187,7 +235,29 @@ def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
             })
         lines_text.append("".join(parts))
 
-    return emit.merge_lines(lines_text), spans_out
+    return lines_text, spans_out
+
+
+def _assemble_vertical(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
+    """Vertical-text reassembly (B5/B6, reference span_block_fix.py:9-30,
+    :91-167): columns ordered right→left, chars top→bottom within a
+    column, joined without separators (vertical runs are CJK)."""
+    if not chars:
+        return "", []
+    xs = sorted({round(c["bbox"][0], 1) for c in chars}, reverse=True)
+    cols: dict[float, list[dict]] = {x: [] for x in xs}
+    for c in chars:
+        cols[round(c["bbox"][0], 1)].append(c)
+    parts = []
+    for x in xs:
+        col = sorted(cols[x], key=lambda c: c["bbox"][1])
+        parts.append("".join(c["char"] for c in col))
+    text = emit.expand_ligatures("".join(parts))
+    bbox = [min(c["bbox"][0] for c in chars), min(c["bbox"][1] for c in chars),
+            max(c["bbox"][2] for c in chars), max(c["bbox"][3] for c in chars)]
+    span = {"page_idx": page_idx, "bbox": [float(v) for v in bbox],
+            "type": "text", "content": text}
+    return text, [span]
 
 
 def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
@@ -198,6 +268,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     blocks_discarded = 0
     total_chars = 0
     abnormal_chars = 0
+    tables_parsed = 0
+    punct_run_chars = 0
 
     pages = payload.get("pages", [])
     if not isinstance(pages, list):
@@ -223,6 +295,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         chars_deduped += dropped
         total_chars += len(kept)
         abnormal_chars += sum(1 for r in kept if _is_abnormal(r["char"]))
+        punct_run_chars += _punct_run_count(r["char"] for r in kept)
 
         cx = np.array([(r["bbox"][0] + r["bbox"][2]) / 2.0 for r in kept]) \
             if kept else np.empty(0)
@@ -243,7 +316,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         else:
             # model-emitted reading order (B7, pipeline_magic_model.py:121)
             layout = sorted(layout, key=lambda b: b.get("index", 0))
-        for blk in layout:
+        raw: list[dict] = []  # per-page, in reading order
+        for pos, blk in enumerate(layout):
             label = blk.get("label", "text")
             bx0, by0, bx1, by1 = blk["bbox"]
             if len(kept):
@@ -257,29 +331,89 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 blocks_discarded += 1
                 continue
             btype, level = LABEL_MAP.get(label, ("text", 1))
-            text, bspans = _assemble_block(blk_chars, page_idx)
-            if not text:
-                continue
             nb = [round(bx0 / pw * 1000), round(by0 / ph * 1000),
                   round(bx1 / pw * 1000), round(by1 / ph * 1000)]
-            blocks_out.append({"type": btype, "text": text,
-                               "page_idx": page_idx, "bbox": nb,
-                               "level": level})
-            spans_out.extend(bspans)
+            rec = {"type": btype, "label": label, "pos": pos, "text": "",
+                   "page_idx": page_idx, "bbox": nb, "level": level,
+                   "caption": [], "footnote": []}
+
+            if label == "interline_equation":
+                # MFR-analog: latex arrives on the layout record (G2)
+                rec["text"] = str(blk.get("latex", "")).strip()
+            elif label == "table":
+                # structure-rec analog: html arrives on the layout record
+                # (G4); normalized through the grid algebra
+                from . import tables as tbl
+                grids = tbl.parse_tables(str(blk.get("html", "")))
+                if grids:
+                    rec["text"] = tbl.render_table_html(grids[0])
+                    tables_parsed += 1
+            elif label == "image":
+                pass  # opaque body; captions carry the text
+            else:
+                # vertical detection (B5): tall-narrow block whose line
+                # segmentation degenerates to single-char lines
+                bw, bh = max(1e-6, bx1 - bx0), by1 - by0
+                lines, bspans = _assemble_block(blk_chars, page_idx)
+                if (bh / bw >= VERTICAL_ASPECT and len(lines) >= 3
+                        and sum(1 for ln in lines if len(ln) == 1)
+                        >= VERTICAL_SINGLE * len(lines)):
+                    text, bspans = _assemble_vertical(blk_chars, page_idx)
+                    rec["text"] = text
+                elif label == "code":
+                    rec["text"] = "\n".join(lines)
+                    rec["lang"] = guess_code_lang(rec["text"])
+                elif label == "list":
+                    items = [ln.lstrip("•◦-* ").strip() for ln in lines]
+                    rec["text"] = "\n".join(it for it in items if it)
+                else:
+                    rec["text"] = emit.merge_lines(lines)
+                spans_out.extend(bspans)
+
+            if rec["text"] or label == "image":
+                raw.append(rec)
+
+        # B10: attach caption/footnote blocks to the nearest visual parent
+        # of the matching kind (index distance, tie → earlier block)
+        page_blocks: list[dict] = []
+        visuals = {i: r for i, r in enumerate(raw)
+                   if r["label"] in ("table", "image")}
+        for i, r in enumerate(raw):
+            slot = CAPTION_LABELS.get(r["label"])
+            if slot:
+                kind, field = slot
+                best = None
+                for j, v in visuals.items():
+                    if v["label"] != kind:
+                        continue
+                    d = abs(v["pos"] - r["pos"])
+                    if best is None or d < best[0]:
+                        best = (d, j)
+                if best is not None:
+                    visuals[best[1]][field].append(r["text"])
+                    continue
+                r["type"] = "text"  # orphan caption degrades to text
+            page_blocks.append(r)
+        for r in page_blocks:
+            r.pop("label", None)
+            r.pop("pos", None)
+        blocks_out.extend(page_blocks)
 
     blocks_out, para_merged = _merge_split_paras(blocks_out)
 
     ocr = 0
     if total_chars / n_pages < MIN_CHARS_PER_PAGE:
-        ocr = 1
+        ocr = 1  # C3
     elif total_chars and abnormal_chars / total_chars >= ABNORMAL_RATIO:
-        ocr = 1
+        ocr = 1  # C7 (control/PUA/replacement; PUA doubles as E10 signal)
+    elif total_chars and punct_run_chars / total_chars >= PUNCT_RUN_RATIO:
+        ocr = 1  # C10 (ASCII-punct runs, pdf_classify.py:837-929)
 
     metrics = {
         "blocks_classified": len(blocks_out),
         "blocks_discarded": blocks_discarded,
         "boilerplate_dropped": blocks_discarded,
-        "tables_parsed": 0,
+        "tables_parsed": tables_parsed,
         "chars_deduped": chars_deduped,
         "ocr_fallback": ocr,
         "para_merged": para_merged,
@@ -318,7 +452,7 @@ def blocks_to_md(blocks: list[dict]) -> str:
     blank line like the reference (mkcontent :1005-1006)."""
     pages: dict[int, list[str]] = {}
     for b in blocks:
-        seg = emit.render_md_block(b["type"], b["text"], b.get("level", 1))
+        seg = emit.render_block(b)
         if seg:
             pages.setdefault(b["page_idx"], []).append(seg)
     return emit.join_pages(["\n\n".join(pages[p]) for p in sorted(pages)])

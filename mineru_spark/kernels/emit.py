@@ -137,6 +137,28 @@ def render_md_block(btype: str, text: str, level: int = 1) -> str:
     return escape_markdown(normalize_text(text))
 
 
+def render_block(b: dict) -> str:
+    """Rich block dict → markdown segment (M5 visual segments; M2 display
+    math `$$...$$`, reference mkcontent :207-219; code fences with the B12
+    language guess)."""
+    t = b["type"]
+    text = b.get("text", "")
+    if t == "equation":
+        return f"$$\n{text}\n$$" if text else ""
+    if t == "code":
+        lang = b.get("lang", "")
+        return f"```{lang}\n{text}\n```" if text else ""
+    if t in ("table", "image"):
+        segs = [escape_markdown(normalize_text(c))
+                for c in b.get("caption", []) if c]
+        if t == "table" and text:
+            segs.append(text)  # canonical HTML body
+        segs += [escape_markdown(normalize_text(f))
+                 for f in b.get("footnote", []) if f]
+        return "\n\n".join(s for s in segs if s)
+    return render_md_block(t, text, b.get("level", 1))
+
+
 def join_pages(page_mds: list[str]) -> str:
     """Pages joined by blank line (reference mkcontent :1005-1006)."""
     return "\n\n".join(m for m in page_mds if m)

@@ -48,6 +48,21 @@ def _content_list_json(blocks: list[dict]) -> str:
         }
         if b["type"] == "table":
             item["table_body"] = b["text"]
+            item["table_caption"] = [emit.normalize_text(c)
+                                     for c in b.get("caption", [])]
+            item["table_footnote"] = [emit.normalize_text(f)
+                                      for f in b.get("footnote", [])]
+        elif b["type"] == "image":
+            item["image_caption"] = [emit.normalize_text(c)
+                                     for c in b.get("caption", [])]
+            item["image_footnote"] = [emit.normalize_text(f)
+                                      for f in b.get("footnote", [])]
+        elif b["type"] == "equation":
+            item["text"] = b["text"]
+            item["text_format"] = "latex"
+        elif b["type"] == "code":
+            item["text"] = b["text"]
+            item["code_language"] = b.get("lang", "")
         else:
             item["text"] = emit.normalize_text(b["text"])
             if b["type"] == "title":
@@ -106,8 +121,7 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         metrics["blocks_classified"] = 1
 
     if route in ("html", "office", "plain", "empty"):
-        segs = [emit.render_md_block(b["type"], b["text"], b.get("level", 1))
-                for b in blocks]
+        segs = [emit.render_block(b) for b in blocks]
         md = "\n\n".join(s for s in segs if s)
         for b in blocks:
             if b["type"] != "table":

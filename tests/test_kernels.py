@@ -299,3 +299,93 @@ def test_finalize_conv_no_merge_nonadjacent():
     a["turn_idx"], b["turn_idx"] = 0, 5  # gap: not a continuation
     finalize_conv([a, b])
     assert a["metrics"]["tables_merged"] == 0 and b["md"] != ""
+
+
+# ---------------------------------------------------------------------------
+# rich block kinds (B10-B12, G2/G4 analogs, B5/B6, C10)
+# ---------------------------------------------------------------------------
+
+def _caption_chars(text, y, i0):
+    out = []
+    x = 50.0
+    j = i0
+    for word in text.split(" "):
+        for c in word:
+            out.append(_char(c, x, y, idx=j)); x += 5.0; j += 1
+        x += 5.0
+    return out, x, j
+
+
+def test_visual_caption_matching():
+    cap, xe, _ = _caption_chars("Table 1: demo.", 210, 0)
+    layout = [
+        {"bbox": [50, 100, 300, 200], "label": "table", "index": 0,
+         "html": "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"},
+        {"bbox": [45, 205, 320, 225], "label": "table_caption", "index": 1},
+    ]
+    blocks, _, m = extract_pdf(_page(cap, layout))
+    assert len(blocks) == 1 and blocks[0]["type"] == "table"
+    assert blocks[0]["caption"] == ["Table 1: demo."]
+    assert m["tables_parsed"] == 1
+    md = blocks_to_md(blocks)
+    assert md == ("Table 1: demo.\n\n"
+                  "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")
+
+
+def test_orphan_caption_degrades_to_text():
+    cap, _, _ = _caption_chars("Figure 9: alone.", 210, 0)
+    layout = [{"bbox": [45, 205, 320, 225], "label": "image_caption",
+               "index": 0}]
+    blocks, _, _ = extract_pdf(_page(cap, layout))
+    assert blocks[0]["type"] == "text"
+
+
+def test_equation_block():
+    layout = [{"bbox": [200, 100, 400, 124], "label": "interline_equation",
+               "index": 0, "latex": r"\frac{a}{b}"}]
+    blocks, _, _ = extract_pdf(_page([], layout))
+    assert blocks[0]["type"] == "equation"
+    assert blocks_to_md(blocks) == "$$\n\\frac{a}{b}\n$$"
+
+
+def test_code_block_language_guess():
+    from mineru_spark.kernels.charstream import guess_code_lang
+    assert guess_code_lang("def run(x):\nreturn x") == "python"
+    assert guess_code_lang("SELECT a FROM t") == "sql"
+    assert guess_code_lang("const f = (x) => x") == "javascript"
+    assert guess_code_lang("plain words") == ""
+    l1, _, j = _caption_chars("def run(x):", 100, 0)
+    l2, _, _ = _caption_chars("return x", 112, j)
+    layout = [{"bbox": [45, 95, 300, 130], "label": "code", "index": 0}]
+    blocks, _, _ = extract_pdf(_page(l1 + l2, layout))
+    assert blocks[0]["type"] == "code" and blocks[0]["lang"] == "python"
+    assert blocks_to_md(blocks) == "```python\ndef run(x):\nreturn x\n```"
+
+
+def test_list_block_bullets():
+    l1, _, j = _caption_chars("• alpha beta", 100, 0)
+    l2, _, _ = _caption_chars("• gamma", 112, j)
+    layout = [{"bbox": [45, 95, 300, 130], "label": "list", "index": 0}]
+    blocks, _, _ = extract_pdf(_page(l1 + l2, layout))
+    assert blocks[0]["type"] == "list"
+    assert blocks_to_md(blocks) == "- alpha beta\n- gamma"
+
+
+def test_vertical_text_assembly():
+    # two columns of CJK, right column first (B6 right→left)
+    chars = []
+    for k, c in enumerate("数据管"):    # right column x=530
+        chars.append(_char(c, 530, 100 + 12 * k, idx=k, w=10))
+    for k, c in enumerate("处理文"):    # left column x=515
+        chars.append(_char(c, 515, 100 + 12 * k, idx=10 + k, w=10))
+    layout = [{"bbox": [513, 95, 542, 240], "label": "text", "index": 0}]
+    blocks, _, _ = extract_pdf(_page(chars, layout))
+    assert blocks[0]["text"] == "数据管处理文"
+
+
+def test_punct_run_ocr_route():
+    text = "...." * 30  # 120 punct chars in runs
+    chars, _, _ = _caption_chars(text, 100, 0)
+    layout = [{"bbox": [45, 95, 700, 130], "label": "text", "index": 0}]
+    _, _, m = extract_pdf(_page(chars, layout))
+    assert m["ocr_fallback"] == 1
