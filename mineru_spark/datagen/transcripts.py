@@ -425,9 +425,12 @@ def _gen_pdf(rng: random.Random) -> str:
                 r"\int_0^1 f(x)\,dx",
                 r"\bar{x} = \frac{1}{n}\sum x_i",
             ))
-            layout.append({"bbox": [200.0, round(y, 2), 400.0, round(y + 24, 2)],
-                           "label": "interline_equation",
-                           "index": -1 if no_index else li, "latex": latex})
+            eq_rec = {"bbox": [200.0, round(y, 2), 400.0, round(y + 24, 2)],
+                      "label": "interline_equation",
+                      "index": -1 if no_index else li, "latex": latex}
+            if rng.random() < 0.3:
+                eq_rec["tag"] = p * 10 + 1  # D3 formula number
+            layout.append(eq_rec)
             li += 1
             y += 30.0
         elif r_rich < 0.70:

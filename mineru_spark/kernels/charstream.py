@@ -70,6 +70,10 @@ CAPTION_LABELS = {
 }
 
 PUNCT_RUN_RATIO = 0.25   # C10: chars inside punct runs ≥ 4 long
+ASPECT_MAX = 10.0        # C2: page w/h or h/w beyond this → ocr
+SCRIPT_MIX_RATIO = 0.18  # C8: non-dominant-script share threshold
+SCRIPT_MIN = 3           # C8: ≥3 scripts present
+MOJIBAKE_RATIO = 0.026   # C9: U+7280-72DF share of CJK chars
 _PUNCT = set(".,;:!?|-_=+*#~^'`\"()[]{}<>/\\")
 
 VERTICAL_ASPECT = 3.0     # B5: block h/w ≥ 3 → vertical-text candidate
@@ -106,6 +110,26 @@ def guess_code_lang(text: str) -> str:
         if any(k in low for k in keys):
             return lang
     return ""
+
+
+_SCRIPT_RANGES = (
+    ("latin", 0x0041, 0x024F),
+    ("greek", 0x0370, 0x03FF),
+    ("cyrillic", 0x0400, 0x04FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("cjk", 0x4E00, 0x9FFF),
+    ("kana", 0x3040, 0x30FF),
+    ("hangul", 0xAC00, 0xD7AF),
+)
+
+
+def _script_of(ch: str) -> str | None:
+    o = ord(ch)
+    for name, lo, hi in _SCRIPT_RANGES:
+        if lo <= o <= hi:
+            return name
+    return None
 
 
 def _is_abnormal(ch: str) -> bool:
@@ -270,6 +294,10 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     abnormal_chars = 0
     tables_parsed = 0
     punct_run_chars = 0
+    bad_aspect = False
+    script_counts: dict[str, int] = {}
+    cjk_chars = 0
+    mojibake_chars = 0
 
     pages = payload.get("pages", [])
     if not isinstance(pages, list):
@@ -280,6 +308,9 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             continue
         page_idx = int(page.get("page_idx", 0))
         pw, ph = (page.get("page_size") or [612.0, 792.0])[:2]
+        # C2: extreme page aspect ratio (pdf_classify.py:290-310)
+        if pw > 0 and ph > 0 and max(pw / ph, ph / pw) > ASPECT_MAX:
+            bad_aspect = True
         recs = page.get("chars", [])
         if not isinstance(recs, list):
             recs = []
@@ -296,6 +327,15 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         total_chars += len(kept)
         abnormal_chars += sum(1 for r in kept if _is_abnormal(r["char"]))
         punct_run_chars += _punct_run_count(r["char"] for r in kept)
+        for r in kept:
+            sc = _script_of(r["char"])
+            if sc:
+                script_counts[sc] = script_counts.get(sc, 0) + 1
+            o = ord(r["char"])
+            if 0x4E00 <= o <= 0x9FFF:
+                cjk_chars += 1
+                if 0x7280 <= o <= 0x72DF:
+                    mojibake_chars += 1
 
         cx = np.array([(r["bbox"][0] + r["bbox"][2]) / 2.0 for r in kept]) \
             if kept else np.empty(0)
@@ -338,8 +378,12 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                    "caption": [], "footnote": []}
 
             if label == "interline_equation":
-                # MFR-analog: latex arrives on the layout record (G2)
+                # MFR-analog: latex arrives on the layout record (G2);
+                # formula-number attach (D3, formula_number.py:94-166)
                 rec["text"] = str(blk.get("latex", "")).strip()
+                tag = blk.get("tag")
+                if rec["text"] and tag is not None:
+                    rec["text"] += r" \tag{" + str(tag) + "}"
             elif label == "table":
                 # structure-rec analog: html arrives on the layout record
                 # (G4); normalized through the grid algebra
@@ -402,10 +446,20 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     blocks_out, para_merged = _merge_split_paras(blocks_out)
 
     ocr = 0
-    if total_chars / n_pages < MIN_CHARS_PER_PAGE:
+    scripted = sum(script_counts.values())
+    minor_scripts = [k for k, v in script_counts.items()
+                     if scripted and v / scripted >= 0.05]
+    minor_share = (1.0 - max(script_counts.values()) / scripted)         if scripted else 0.0
+    if bad_aspect:
+        ocr = 1  # C2 (pdf_classify.py:290-310)
+    elif total_chars / n_pages < MIN_CHARS_PER_PAGE:
         ocr = 1  # C3
     elif total_chars and abnormal_chars / total_chars >= ABNORMAL_RATIO:
         ocr = 1  # C7 (control/PUA/replacement; PUA doubles as E10 signal)
+    elif len(minor_scripts) >= SCRIPT_MIN and minor_share >= SCRIPT_MIX_RATIO:
+        ocr = 1  # C8 cross-script mix (pdf_classify.py:49-71, :749-799)
+    elif cjk_chars >= 50 and mojibake_chars / cjk_chars >= MOJIBAKE_RATIO:
+        ocr = 1  # C9 mojibake detector (pdf_classify.py:802-828)
     elif total_chars and punct_run_chars / total_chars >= PUNCT_RUN_RATIO:
         ocr = 1  # C10 (ASCII-punct runs, pdf_classify.py:837-929)
 

@@ -389,3 +389,28 @@ def test_punct_run_ocr_route():
     layout = [{"bbox": [45, 95, 700, 130], "label": "text", "index": 0}]
     _, _, m = extract_pdf(_page(chars, layout))
     assert m["ocr_fallback"] == 1
+
+
+def test_classification_cascade_c2_c8():
+    # C2: extreme page aspect
+    pg = {"pages": [{"page_idx": 0, "page_size": [2000.0, 100.0],
+                     "chars": [], "layout": []}]}
+    _, _, m = extract_pdf(pg)
+    assert m["ocr_fallback"] == 1
+    # C8: three scripts heavily mixed
+    chars = []
+    for k, c in enumerate("abcdefgh"):
+        chars.append(_char(c, 50 + 5 * k, 100, idx=k))
+    for k, c in enumerate("αβγδεζηθ"):
+        chars.append(_char(c, 50 + 5 * k, 112, idx=10 + k))
+    for k, c in enumerate("абвгдежз"):
+        chars.append(_char(c, 50 + 5 * k, 124, idx=20 + k))
+    chars = chars * 4  # dedup-safe? same positions → dup! offset instead
+    chars = []
+    j = 0
+    for row, text in enumerate(("abcdefgh", "αβγδεζηθ", "абвгдежз") * 3):
+        for k, c in enumerate(text):
+            chars.append(_char(c, 50 + 5 * k, 100 + 12 * row, idx=j)); j += 1
+    layout = [{"bbox": [45, 95, 300, 250], "label": "text", "index": 0}]
+    _, _, m = extract_pdf(_page(chars, layout))
+    assert m["ocr_fallback"] == 1
