@@ -88,6 +88,37 @@ _CODE_LANGS = (
 )
 
 
+_PUNCT_CODES = np.array(sorted(ord(c) for c in _PUNCT), dtype=np.uint32)
+
+
+def _page_signals(codes: "np.ndarray") -> dict:
+    """All per-char classification signals in one vectorized pass over the
+    page's codepoint array (C7/C8/C9/C10 + E10 PUA)."""
+    abnormal = int((((codes < 32) & (codes != 9) & (codes != 10)
+                     & (codes != 13))
+                    | (codes == 0xFFFD)
+                    | ((codes >= 0xE000) & (codes <= 0xF8FF))).sum())
+    scripts = {}
+    for name, lo, hi in _SCRIPT_RANGES:
+        n = int(((codes >= lo) & (codes <= hi)).sum())
+        if n:
+            scripts[name] = n
+    cjk = int(((codes >= 0x4E00) & (codes <= 0x9FFF)).sum())
+    moji = int(((codes >= 0x7280) & (codes <= 0x72DF)).sum())
+    # punct runs ≥ 4 (C10): boolean mask run-length via edge detection
+    mask = np.isin(codes, _PUNCT_CODES)
+    if mask.any():
+        edges = np.diff(np.concatenate(([0], mask.view(np.int8), [0])))
+        starts = np.flatnonzero(edges == 1)
+        ends = np.flatnonzero(edges == -1)
+        lens = ends - starts
+        punct_run = int(lens[lens >= 4].sum())
+    else:
+        punct_run = 0
+    return {"abnormal": abnormal, "scripts": scripts, "cjk": cjk,
+            "mojibake": moji, "punct_run": punct_run}
+
+
 def _punct_run_count(glyphs) -> int:
     """Chars belonging to ASCII-punctuation runs of length ≥ 4
     (C10 analog, reference pdf_classify.py:837-929)."""
@@ -143,27 +174,40 @@ def _dedup_chars(recs: list[dict]) -> tuple[list[dict], int]:
     the same glyph and size lies within DEDUP_TOL pt (covers both jitter
     and shadow-offset duplicates).  Payload order wins (first kept)."""
     kept: list[dict] = []
-    grid: dict[tuple, list[tuple[float, float]]] = {}
+    grid: dict[tuple, dict[tuple, list]] = {}
     dropped = 0
     for r in recs:
-        x0, y0 = r["bbox"][0], r["bbox"][1]
-        key_base = (r["char"], round(r["font"]["size"], 1))
-        cx, cy = int(x0 // DEDUP_CELL), int(y0 // DEDUP_CELL)
+        b = r["bbox"]
+        x0 = b[0]
+        y0 = b[1]
+        kb = (r["char"], int(r["font"]["size"] * 10 + 0.5))
+        sub = grid.get(kb)
+        if sub is None:
+            sub = grid[kb] = {}
+        cx = int(x0 // DEDUP_CELL)
+        cy = int(y0 // DEDUP_CELL)
         dup = False
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for px, py in grid.get((*key_base, cx + dx, cy + dy), ()):
-                    if abs(px - x0) <= DEDUP_TOL and abs(py - y0) <= DEDUP_TOL:
-                        dup = True
+        for nx in (cx - 1, cx, cx + 1):
+            for ny in (cy - 1, cy, cy + 1):
+                lst = sub.get((nx, ny))
+                if lst:
+                    for px, py in lst:
+                        if -DEDUP_TOL <= px - x0 <= DEDUP_TOL and \
+                                -DEDUP_TOL <= py - y0 <= DEDUP_TOL:
+                            dup = True
+                            break
+                    if dup:
                         break
-                if dup:
-                    break
             if dup:
                 break
         if dup:
             dropped += 1
             continue
-        grid.setdefault((*key_base, cx, cy), []).append((x0, y0))
+        lst = sub.get((cx, cy))
+        if lst is None:
+            sub[(cx, cy)] = [(x0, y0)]
+        else:
+            lst.append((x0, y0))
         kept.append(r)
     return kept, dropped
 
@@ -325,17 +369,17 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         kept, dropped = _dedup_chars(axis)
         chars_deduped += dropped
         total_chars += len(kept)
-        abnormal_chars += sum(1 for r in kept if _is_abnormal(r["char"]))
-        punct_run_chars += _punct_run_count(r["char"] for r in kept)
-        for r in kept:
-            sc = _script_of(r["char"])
-            if sc:
-                script_counts[sc] = script_counts.get(sc, 0) + 1
-            o = ord(r["char"])
-            if 0x4E00 <= o <= 0x9FFF:
-                cjk_chars += 1
-                if 0x7280 <= o <= 0x72DF:
-                    mojibake_chars += 1
+        if kept:
+            codes = np.frombuffer(
+                "".join(r["char"] for r in kept).encode("utf-32-le"),
+                dtype=np.uint32)
+            sig = _page_signals(codes)
+            abnormal_chars += sig["abnormal"]
+            punct_run_chars += sig["punct_run"]
+            cjk_chars += sig["cjk"]
+            mojibake_chars += sig["mojibake"]
+            for name, n in sig["scripts"].items():
+                script_counts[name] = script_counts.get(name, 0) + n
 
         cx = np.array([(r["bbox"][0] + r["bbox"][2]) / 2.0 for r in kept]) \
             if kept else np.empty(0)

@@ -42,17 +42,15 @@ def expand_ligatures(text: str) -> str:
     return _LIG_RE.sub(lambda m: LIGATURE_MAP[m.group(0)], text)
 
 
+_FW_TABLE = {o: o - 0xFEE0
+             for rng in ((0xFF21, 0xFF3A), (0xFF41, 0xFF5A), (0xFF10, 0xFF19))
+             for o in range(rng[0], rng[1] + 1)}
+
+
 def fullwidth_to_halfwidth(text: str) -> str:
     """Normalize full-width letters/digits (U+FF01-FF5E letters/digits only,
     mirroring the reference's letter/digit-scoped conversion)."""
-    out = []
-    for ch in text:
-        o = ord(ch)
-        if 0xFF21 <= o <= 0xFF3A or 0xFF41 <= o <= 0xFF5A or 0xFF10 <= o <= 0xFF19:
-            out.append(chr(o - 0xFEE0))
-        else:
-            out.append(ch)
-    return "".join(out)
+    return text.translate(_FW_TABLE)
 
 
 def is_cjk_char(ch: str) -> bool:
