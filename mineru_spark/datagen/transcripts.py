@@ -442,8 +442,16 @@ def _gen_pdf(rng: random.Random) -> str:
             ))
             y = add_multiline_block("code", code_lines, y) + 12.0
         elif r_rich < 0.85:
-            items = [f"• {_sentence(rng, 2, 5)}" for _ in range(rng.randint(2, 4))]
-            y = add_multiline_block("list", items, y) + 12.0
+            if rng.random() < 0.4:
+                # numbered list that the layout model mislabels as text —
+                # the kernel's D1 classifier must recover it
+                items = [f"{k + 1}. {_sentence(rng, 2, 5)}"
+                         for k in range(rng.randint(3, 5))]
+                y = add_multiline_block("text", items, y) + 12.0
+            else:
+                items = [f"• {_sentence(rng, 2, 5)}"
+                         for _ in range(rng.randint(2, 4))]
+                y = add_multiline_block("list", items, y) + 12.0
         elif r_rich < 0.93:
             # vertical CJK run (B5/B6): single column, chars stacked
             vtext = rng.choice(_CJK_SENTENCES)[:6]
@@ -497,6 +505,35 @@ def _gen_pdf(rng: random.Random) -> str:
         pages.append({"page_idx": p, "page_size": [PAGE_W, PAGE_H],
                       "chars": chars, "layout": layout})
     return json.dumps({"kind": "pdf_chars", "pages": pages}, ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# PPTX shape fragments (O2: unordered shapes, XY-cut ordering)
+# ---------------------------------------------------------------------------
+
+def _gen_pptx(rng: random.Random) -> str:
+    slides = []
+    for sidx in range(rng.randint(1, 2)):
+        shapes = [{"bbox": [80.0, 30.0, 880.0, 80.0], "kind": "title",
+                   "text": _sentence(rng, 3, 6).title()}]
+        # two content placeholders side by side (xy-cut orders them)
+        for cx0, cx1 in ((80.0, 460.0), (500.0, 880.0)):
+            if rng.random() < 0.5:
+                items = "\n".join(f"• {_sentence(rng, 2, 5)}"
+                                   for _ in range(rng.randint(2, 4)))
+                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                               "kind": "bullets", "text": items})
+            else:
+                lines = "\n".join(_sentence(rng, 4, 8) + "."
+                                   for _ in range(rng.randint(1, 3)))
+                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                               "kind": "body", "text": lines})
+        # shapes arrive shuffled (no reading order in the payload)
+        rng.shuffle(shapes)
+        slides.append({"slide_idx": sidx, "size": [960.0, 540.0],
+                       "shapes": shapes})
+    return json.dumps({"kind": "pptx_shapes", "slides": slides},
+                      ensure_ascii=False)
 
 
 # ---------------------------------------------------------------------------
@@ -600,8 +637,10 @@ def gen_turn(conv_i: int, turn_idx: int) -> dict:
         tool = "file_reader"
     elif r < 0.05:
         text, tool = "", "none"
-    elif r < 0.65:
+    elif r < 0.60:
         text, tool = _gen_html(rng), "browser"
+    elif r < 0.65:
+        text, tool = _gen_pptx(rng), "file_reader"
     else:
         text, tool = _gen_pdf(rng), "pdf_reader"
         # rare mojibake corruption → abnormal-char ratio ≥ 3% → the

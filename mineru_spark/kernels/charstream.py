@@ -78,6 +78,7 @@ _PUNCT = set(".,;:!?|-_=+*#~^'`\"()[]{}<>/\\")
 
 VERTICAL_ASPECT = 3.0     # B5: block h/w ≥ 3 → vertical-text candidate
 VERTICAL_SINGLE = 0.8     # ≥80% single-char lines confirms vertical
+LIST_LINE_RATIO = 0.8     # D1: ≥80% of ≥3 lines carry a list marker
 
 # B12 language guess: first matching keyword set wins (deterministic
 # substitute for the reference's magika call, guess_suffix_or_lang.py:73-85)
@@ -133,6 +134,25 @@ def _punct_run_count(glyphs) -> int:
     if run >= 4:
         total += run
     return total
+
+
+import re as _re
+
+_LIST_MARKER = _re.compile(r"^(?:[•◦▪*-]|\d{1,3}[.)])\s")
+
+
+def is_list_block(lines: list[str]) -> bool:
+    """D1 list/index-block classification (simplified from the reference's
+    line-edge alignment statistics, para_split.py:59-262): ≥3 lines of
+    which ≥80% start with a bullet or a numbered marker."""
+    if len(lines) < 3:
+        return False
+    hits = sum(1 for ln in lines if _LIST_MARKER.match(ln))
+    return hits >= LIST_LINE_RATIO * len(lines)
+
+
+def strip_list_markers(lines: list[str]) -> list[str]:
+    return [_LIST_MARKER.sub("", ln).strip() for ln in lines if ln.strip()]
 
 
 def guess_code_lang(text: str) -> str:
@@ -454,6 +474,10 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 elif label == "list":
                     items = [ln.lstrip("•◦-* ").strip() for ln in lines]
                     rec["text"] = "\n".join(it for it in items if it)
+                elif label == "text" and is_list_block(lines):
+                    # D1: unlabeled list detected from line structure
+                    rec["type"] = "list"
+                    rec["text"] = "\n".join(strip_list_markers(lines))
                 else:
                     rec["text"] = emit.merge_lines(lines)
                 spans_out.extend(bspans)

@@ -14,7 +14,7 @@ abnormal char ratio) lives in charstream.extract_pdf and surfaces as the
 
 from __future__ import annotations
 
-ROUTES = ("empty", "html", "pdf", "office", "plain")
+ROUTES = ("empty", "html", "pdf", "pptx", "office", "plain")
 
 
 def classify_payload(text: str | None, tool: str | None = None) -> str:
@@ -25,6 +25,8 @@ def classify_payload(text: str | None, tool: str | None = None) -> str:
     head = text.lstrip()[:200]
     if head.startswith("{") and '"kind"' in head and "pdf_chars" in head:
         return "pdf"
+    if head.startswith("{") and '"kind"' in head and "pptx_shapes" in head:
+        return "pptx"
     low = head.lower()
     if low.startswith("<table"):
         return "office"

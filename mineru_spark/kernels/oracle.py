@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 
-from . import charstream, emit, html_extract
+from . import charstream, emit, html_extract, pptx as pptx_kernel
 from . import tables as tbl
 from .classify import classify_payload
 
@@ -110,6 +110,14 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         return {"route": "pdf_ocr" if metrics["ocr_fallback"] else "pdf_txt",
                 "md": md, "content_list": _content_list_json(blocks),
                 "spans": spans, "metrics": metrics}
+    elif route == "pptx":
+        try:
+            payload = json.loads(text)
+        except (json.JSONDecodeError, TypeError):
+            payload = {}
+        blocks, extra = pptx_kernel.extract_pptx(payload)
+        metrics = dict(_ZERO_METRICS)
+        metrics.update(extra)
     elif route == "office":
         blocks, metrics = _extract_office(text)
     elif route == "html":
@@ -120,7 +128,7 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         metrics = dict(_ZERO_METRICS)
         metrics["blocks_classified"] = 1
 
-    if route in ("html", "office", "plain", "empty"):
+    if route in ("html", "pptx", "office", "plain", "empty"):
         segs = [emit.render_block(b) for b in blocks]
         md = "\n\n".join(s for s in segs if s)
         for b in blocks:

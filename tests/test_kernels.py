@@ -414,3 +414,32 @@ def test_classification_cascade_c2_c8():
     layout = [{"bbox": [45, 95, 300, 250], "label": "text", "index": 0}]
     _, _, m = extract_pdf(_page(chars, layout))
     assert m["ocr_fallback"] == 1
+
+
+def test_d1_list_classification():
+    from mineru_spark.kernels.charstream import is_list_block
+    assert is_list_block(["1. alpha", "2. beta", "3. gamma"])
+    assert not is_list_block(["• a", "• b", "• c", "plain"])  # 3/4 < 0.8
+    assert not is_list_block(["one line", "two line", "three line"])
+    l1, _, j = _caption_chars("1. alpha beta", 100, 0)
+    l2, _, j = _caption_chars("2. gamma", 112, j)
+    l3, _, _ = _caption_chars("3. delta", 124, j)
+    layout = [{"bbox": [45, 95, 300, 140], "label": "text", "index": 0}]
+    blocks, _, _ = extract_pdf(_page(l1 + l2 + l3, layout))
+    assert blocks[0]["type"] == "list"
+    assert blocks_to_md(blocks) == "- alpha beta\n- gamma\n- delta"
+
+
+def test_pptx_route():
+    import json
+    payload = {"kind": "pptx_shapes", "slides": [{
+        "slide_idx": 0, "size": [960, 540], "shapes": [
+            {"bbox": [500, 120, 880, 400], "kind": "body",
+             "text": "right col."},
+            {"bbox": [80, 30, 880, 80], "kind": "title", "text": "Deck"},
+            {"bbox": [80, 120, 460, 400], "kind": "bullets",
+             "text": "• one\n• two"},
+        ]}]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["route"] == "pptx"
+    assert out["md"] == "## Deck\n\n- one\n- two\n\nright col."
