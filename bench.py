@@ -60,10 +60,13 @@ def main():
     # corpus once, then time the scan→classify→extract path — the shape of
     # the real job (Iceberg scan → extraction), not corpus synthesis.
     from mineru_spark.datagen.transcripts import n_convs_for_sf
+    import hashlib
+    import mineru_spark.datagen.transcripts as dgmod
+    gen_ver = hashlib.md5(open(dgmod.__file__, "rb").read()).hexdigest()[:8]
     n_convs = n_convs_for_sf(sf)
     corpus = os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
-        f"mineru_spark_bench_corpus_sf{sf}")
+        f"mineru_spark_bench_corpus_sf{sf}_{gen_ver}")
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         synthesize_transcripts(spark, n_convs).write \
             .mode("overwrite").parquet(corpus)
@@ -71,9 +74,15 @@ def main():
     n_turns = src.count()
     # measured optimum for 10-100 KB payload rows (BENCH/BASELINE.md)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
-    t0 = time.perf_counter()
-    _force(extract(src))
-    dt = time.perf_counter() - t0
+    # warm-up (page cache + python workers), then best of 2 timed reps —
+    # sandbox timing noise is ±30% cold vs warm
+    _force(extract(src.limit(2000)))
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(extract(src))
+        rep = time.perf_counter() - t0
+        dt = rep if dt is None else min(dt, rep)
     timings["x_transcripts_extract"] = round(dt, 3)
     turns_per_sec = round(n_turns / dt, 1)
 

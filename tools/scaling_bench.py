@@ -70,7 +70,10 @@ def main():
     sys.path.insert(0, REPO)
     n_convs = import_module("mineru_spark.datagen.transcripts") \
         .n_convs_for_sf(sf)
-    corpus = f"/tmp/mineru_spark_bench_corpus_sf{sf}"
+    import hashlib
+    import mineru_spark.datagen.transcripts as dgmod
+    gen_ver = hashlib.md5(open(dgmod.__file__, "rb").read()).hexdigest()[:8]
+    corpus = f"/tmp/mineru_spark_bench_corpus_sf{sf}_{gen_ver}"
 
     lo = run_level(n, corpus, n_convs)
     hi = run_level(4 * n, corpus, n_convs)
