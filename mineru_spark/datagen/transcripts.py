@@ -508,6 +508,33 @@ def _gen_pdf(rng: random.Random) -> str:
 
 
 # ---------------------------------------------------------------------------
+# DOCX styled-run fragments (O1: linear paragraph walk, style chain)
+# ---------------------------------------------------------------------------
+
+def _gen_docx(rng: random.Random) -> str:
+    paras = [{"style": "Heading1",
+              "runs": [{"text": _sentence(rng, 3, 6).title()}]}]
+    for _ in range(rng.randint(2, 5)):
+        kind = rng.random()
+        if kind < 0.15:
+            paras.append({"style": "Heading2",
+                          "runs": [{"text": _sentence(rng, 2, 4).title()}]})
+        elif kind < 0.35:
+            for _k in range(rng.randint(2, 4)):
+                paras.append({"style": "ListParagraph",
+                              "runs": [{"text": _sentence(rng, 2, 5)}]})
+        else:
+            runs = []
+            for _k in range(rng.randint(1, 4)):
+                runs.append({"text": _sentence(rng, 3, 8, special=True) + ".",
+                             "bold": rng.random() < 0.2,
+                             "italic": rng.random() < 0.15})
+            paras.append({"style": "Normal", "runs": runs})
+    return json.dumps({"kind": "docx_runs", "paras": paras},
+                      ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
 # PPTX shape fragments (O2: unordered shapes, XY-cut ordering)
 # ---------------------------------------------------------------------------
 
@@ -637,10 +664,12 @@ def gen_turn(conv_i: int, turn_idx: int) -> dict:
         tool = "file_reader"
     elif r < 0.05:
         text, tool = "", "none"
-    elif r < 0.60:
+    elif r < 0.58:
         text, tool = _gen_html(rng), "browser"
-    elif r < 0.65:
+    elif r < 0.62:
         text, tool = _gen_pptx(rng), "file_reader"
+    elif r < 0.65:
+        text, tool = _gen_docx(rng), "file_reader"
     else:
         text, tool = _gen_pdf(rng), "pdf_reader"
         # rare mojibake corruption → abnormal-char ratio ≥ 3% → the

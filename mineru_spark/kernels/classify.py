@@ -14,7 +14,7 @@ abnormal char ratio) lives in charstream.extract_pdf and surfaces as the
 
 from __future__ import annotations
 
-ROUTES = ("empty", "html", "pdf", "pptx", "office", "plain")
+ROUTES = ("empty", "html", "pdf", "pptx", "docx", "office", "plain")
 
 
 def classify_payload(text: str | None, tool: str | None = None) -> str:
@@ -27,6 +27,8 @@ def classify_payload(text: str | None, tool: str | None = None) -> str:
         return "pdf"
     if head.startswith("{") and '"kind"' in head and "pptx_shapes" in head:
         return "pptx"
+    if head.startswith("{") and '"kind"' in head and "docx_runs" in head:
+        return "docx"
     low = head.lower()
     if low.startswith("<table"):
         return "office"

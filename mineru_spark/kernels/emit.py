@@ -154,6 +154,14 @@ def render_block(b: dict) -> str:
         segs += [escape_markdown(normalize_text(f))
                  for f in b.get("footnote", []) if f]
         return "\n\n".join(s for s in segs if s)
+    if b.get("pre_rendered"):
+        # run-level renderers (docx styled runs) escape inline; don't
+        # double-escape here
+        if t == "title":
+            return "#" * max(1, b.get("level", 1)) + " " + text
+        if t == "list":
+            return "\n".join("- " + it for it in text.split("\n") if it)
+        return text
     return render_md_block(t, text, b.get("level", 1))
 
 

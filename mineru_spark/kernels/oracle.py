@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 
 from . import charstream, emit, html_extract, pptx as pptx_kernel
+from . import docx as docx_kernel
 from . import tables as tbl
 from .classify import classify_payload
 
@@ -118,6 +119,14 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         blocks, extra = pptx_kernel.extract_pptx(payload)
         metrics = dict(_ZERO_METRICS)
         metrics.update(extra)
+    elif route == "docx":
+        try:
+            payload = json.loads(text)
+        except (json.JSONDecodeError, TypeError):
+            payload = {}
+        blocks, extra = docx_kernel.extract_docx(payload)
+        metrics = dict(_ZERO_METRICS)
+        metrics.update(extra)
     elif route == "office":
         blocks, metrics = _extract_office(text)
     elif route == "html":
@@ -128,7 +137,7 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         metrics = dict(_ZERO_METRICS)
         metrics["blocks_classified"] = 1
 
-    if route in ("html", "pptx", "office", "plain", "empty"):
+    if route in ("html", "pptx", "docx", "office", "plain", "empty"):
         segs = [emit.render_block(b) for b in blocks]
         md = "\n\n".join(s for s in segs if s)
         for b in blocks:

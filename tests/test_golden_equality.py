@@ -125,3 +125,18 @@ def test_bucketed_sink_join_without_shuffle(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(conv_id" not in plan
     spark.sql("DROP TABLE IF EXISTS tg_bucketed")
+
+
+def test_skew_partition_balance(spark):
+    """The Zipf conv-length tail must not create straggler partitions: the
+    unit of work is one TURN, so per-partition turn counts stay balanced
+    even though conversation lengths are skewed (north rule: explicit
+    skew handling for long documents)."""
+    from mineru_spark.pipeline import synthesize_transcripts, extract
+
+    df = synthesize_transcripts(spark, 2000, partitions=64)
+    counts = (extract(df)
+              .withColumn("pid", F.spark_partition_id())
+              .groupBy("pid").count().toPandas())
+    mean = counts["count"].mean()
+    assert counts["count"].max() <= 2.0 * mean, counts["count"].describe()

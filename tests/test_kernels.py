@@ -443,3 +443,22 @@ def test_pptx_route():
     out = extract_turn(json.dumps(payload), "file_reader")
     assert out["route"] == "pptx"
     assert out["md"] == "## Deck\n\n- one\n- two\n\nright col."
+
+
+def test_docx_route_styled_runs():
+    import json
+    payload = {"kind": "docx_runs", "paras": [
+        {"style": "Heading1", "runs": [{"text": "Doc Title"}]},
+        {"style": "Normal", "runs": [
+            {"text": "plain start"}, {"text": "bold bit", "bold": True},
+            {"text": "it_x", "italic": True}]},
+        {"style": "ListParagraph", "runs": [{"text": "first"}]},
+        {"style": "ListParagraph", "runs": [{"text": "second"}]},
+        {"style": "Normal", "runs": [{"text": "after list"}]},
+    ]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["route"] == "docx"
+    assert out["md"] == ("# Doc Title\n\n"
+                         "plain start **bold bit** *it\\_x*\n\n"
+                         "- first\n- second\n\n"
+                         "after list")
