@@ -25,7 +25,8 @@ from . import docx as docx_kernel
 from . import tables as tbl
 from .classify import classify_payload
 
-OUTPUT_FIELDS = ["route", "md", "content_list", "spans", "metrics"]
+OUTPUT_FIELDS = ["route", "md", "md_nlp", "content_list", "middle",
+                 "spans", "metrics"]
 
 _ZERO_METRICS = {
     "blocks_classified": 0, "blocks_discarded": 0, "boilerplate_dropped": 0,
@@ -73,6 +74,45 @@ def _content_list_json(blocks: list[dict]) -> str:
                       separators=(",", ":"))
 
 
+def _middle_json(blocks: list[dict], route: str) -> str:
+    """Full-IR encoding (reference middle_json: {"pdf_info": [page_info...],
+    "_backend"}, model_json_to_middle_json.py:234-235): blocks grouped per
+    page with their type/text/bbox/level/caption structure."""
+    pages: dict[int, list[dict]] = {}
+    for b in blocks:
+        item = {"type": b["type"], "bbox": [int(v) for v in b["bbox"]],
+                "level": b.get("level", 1)}
+        if b["type"] in ("table", "image"):
+            if b["type"] == "table":
+                item["html"] = b["text"]
+            item["caption"] = [emit.normalize_text(c)
+                               for c in b.get("caption", [])]
+            item["footnote"] = [emit.normalize_text(f)
+                                for f in b.get("footnote", [])]
+        else:
+            item["text"] = b["text"]
+            if b.get("lang"):
+                item["lang"] = b["lang"]
+        pages.setdefault(b["page_idx"], []).append(item)
+    info = [{"page_idx": p, "para_blocks": pages[p]} for p in sorted(pages)]
+    return json.dumps({"pdf_info": info, "_backend": route},
+                      ensure_ascii=False, sort_keys=True,
+                      separators=(",", ":"))
+
+
+def _md_nlp(blocks: list[dict]) -> str:
+    """NLP_MD MakeMode (reference MakeMode enum_class.py:89-93; union_make
+    :968-1011): image blocks are dropped from the text-only rendering."""
+    pages: dict[int, list[str]] = {}
+    for b in blocks:
+        if b["type"] == "image":
+            continue
+        seg = emit.render_block(b)
+        if seg:
+            pages.setdefault(b["page_idx"], []).append(seg)
+    return emit.join_pages(["\n\n".join(pages[p]) for p in sorted(pages)])
+
+
 def _extract_office(payload: str) -> tuple[list[dict], dict]:
     grids = tbl.parse_tables(payload)
     blocks = [{"type": "table", "text": tbl.render_table_html(g),
@@ -92,7 +132,8 @@ def extract_turn(text: str | None, tool: str | None = None) -> dict:
         return _extract_turn_inner(text, tool)
     except Exception:
         m = dict(_ZERO_METRICS)
-        return {"route": "error", "md": "", "content_list": "[]",
+        return {"route": "error", "md": "", "md_nlp": "",
+                "content_list": "[]", "middle": "{}",
                 "spans": [], "metrics": m}
 
 
@@ -107,9 +148,12 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         except (json.JSONDecodeError, TypeError):
             payload = {"pages": []}
         blocks, spans, metrics = charstream.extract_pdf(payload)
-        md = charstream.blocks_to_md(blocks)
-        return {"route": "pdf_ocr" if metrics["ocr_fallback"] else "pdf_txt",
-                "md": md, "content_list": _content_list_json(blocks),
+        route = "pdf_ocr" if metrics["ocr_fallback"] else "pdf_txt"
+        return {"route": route,
+                "md": charstream.blocks_to_md(blocks),
+                "md_nlp": _md_nlp(blocks),
+                "content_list": _content_list_json(blocks),
+                "middle": _middle_json(blocks, route),
                 "spans": spans, "metrics": metrics}
     elif route == "pptx":
         try:
@@ -146,8 +190,9 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
                               "bbox": [float(v) for v in b["bbox"]],
                               "type": b["type"],
                               "content": emit.normalize_text(b["text"])})
-    return {"route": route, "md": md,
+    return {"route": route, "md": md, "md_nlp": _md_nlp(blocks),
             "content_list": _content_list_json(blocks),
+            "middle": _middle_json(blocks, route),
             "spans": spans, "metrics": metrics}
 
 
@@ -184,14 +229,18 @@ def finalize_conv(turn_outs: list[dict]) -> list[dict]:
             if merged is not None:
                 anchor_grid = merged
                 html = tbl.render_table_html(merged)
+                mb = [{"type": "table", "text": html, "page_idx": 0,
+                       "bbox": [0, 0, 0, 0], "level": 1}]
                 anchor["md"] = html
-                anchor["content_list"] = _content_list_json(
-                    [{"type": "table", "text": html, "page_idx": 0,
-                      "bbox": [0, 0, 0, 0], "level": 1}])
+                anchor["md_nlp"] = html
+                anchor["content_list"] = _content_list_json(mb)
+                anchor["middle"] = _middle_json(mb, "office")
                 anchor["metrics"]["tables_merged"] += 1
                 anchor["_last_idx"] = t["turn_idx"]
                 t["md"] = ""
+                t["md_nlp"] = ""
                 t["content_list"] = "[]"
+                t["middle"] = "{}"
                 t["metrics"]["blocks_classified"] = 0
                 continue
         # this turn becomes the new anchor (if it holds exactly one table)

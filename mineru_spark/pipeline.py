@@ -60,7 +60,9 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("ts", T.TimestampType(), True),
     T.StructField("route", T.StringType(), True),
     T.StructField("md", T.StringType(), True),
+    T.StructField("md_nlp", T.StringType(), True),
     T.StructField("content_list", T.StringType(), True),
+    T.StructField("middle", T.StringType(), True),
     T.StructField("spans", SPAN_TYPE, True),
     T.StructField("blocks_classified", T.IntegerType(), True),
     T.StructField("blocks_discarded", T.IntegerType(), True),
@@ -168,7 +170,8 @@ def classify_routes(df: DataFrame) -> DataFrame:
 def _extract_batch(batches):
     for pdf in batches:
         out = {k: [] for k in ("conv_id", "turn_idx", "ts", "route", "md",
-                               "content_list", "spans", *_METRIC_COLS)}
+                               "md_nlp", "content_list", "middle", "spans",
+                               *_METRIC_COLS)}
         for conv_id, turn_idx, ts, text, tool in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["ts"],
                 pdf["text"], pdf["tool"]):
@@ -178,7 +181,9 @@ def _extract_batch(batches):
             out["ts"].append(ts)
             out["route"].append(r["route"])
             out["md"].append(r["md"])
+            out["md_nlp"].append(r["md_nlp"])
             out["content_list"].append(r["content_list"])
+            out["middle"].append(r["middle"])
             out["spans"].append([
                 {"page_idx": s["page_idx"],
                  "bbox": [float(v) for v in s["bbox"]],
@@ -216,13 +221,16 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
     pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
     outs = [{"turn_idx": int(r.turn_idx), "route": r.route, "md": r.md,
-             "content_list": r.content_list,
+             "md_nlp": r.md_nlp, "content_list": r.content_list,
+             "middle": r.middle,
              "metrics": {k: int(getattr(r, k)) for k in _METRIC_KEYS}}
             for r in pdf.itertuples()]
     finalize_conv(outs)
     for i, o in enumerate(outs):
         pdf.loc[i, "md"] = o["md"]
+        pdf.loc[i, "md_nlp"] = o["md_nlp"]
         pdf.loc[i, "content_list"] = o["content_list"]
+        pdf.loc[i, "middle"] = o["middle"]
         for k in _METRIC_KEYS:
             pdf.loc[i, k] = o["metrics"][k]
     for k in _METRIC_COLS:

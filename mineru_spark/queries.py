@@ -806,3 +806,53 @@ ORACLES["q_simhash_near_pairs"] = """
 
 RELATIONAL_QUERIES["q_lsh_signature"] = q_lsh_signature
 RELATIONAL_QUERIES["q_simhash_near_pairs"] = q_simhash_near_pairs
+
+
+def q_semi_anti_orders(spark, sf_dir):
+    """EXISTS / NOT EXISTS as left-semi / left-anti joins (SURVEY §2.9:
+    regression-diff and resume-lineage join shapes)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 45).select("l_orderkey").distinct()
+    with_big = (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+                .groupBy("o_orderstatus")
+                .agg(F.count("*").cast("long").alias("n"))
+                .withColumn("kind", F.lit("with_big_item")))
+    without = (o.join(big, o.o_orderkey == big.l_orderkey, "left_anti")
+               .groupBy("o_orderstatus")
+               .agg(F.count("*").cast("long").alias("n"))
+               .withColumn("kind", F.lit("without_big_item")))
+    return with_big.unionByName(without)
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE grouping sets over status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+ORACLES["q_semi_anti_orders"] = """
+    WITH big AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           'with_big_item' AS kind
+    FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           'without_big_item' AS kind
+    FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big)
+    GROUP BY o_orderstatus
+"""
+ORACLES["q_cube_orders"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+RELATIONAL_QUERIES["q_semi_anti_orders"] = q_semi_anti_orders
+RELATIONAL_QUERIES["q_cube_orders"] = q_cube_orders

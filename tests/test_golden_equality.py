@@ -31,7 +31,9 @@ def oracle_frame():
         for out in outs:
             rows.append({"conv_id": out["conv_id"], "turn_idx": out["turn_idx"],
                          "route": out["route"], "md": out["md"],
+                         "md_nlp": out["md_nlp"],
                          "content_list": out["content_list"],
+                         "middle": out["middle"],
                          "n_spans": len(out["spans"]),
                          **{k: v for k, v in out["metrics"].items()}})
     return (pd.DataFrame(rows)
@@ -68,6 +70,12 @@ def test_md_byte_equality(oracle_frame, spark_frame):
 def test_content_list_byte_equality(oracle_frame, spark_frame):
     mism = oracle_frame.content_list.values != spark_frame.content_list.values
     assert not mism.any()
+
+
+def test_md_nlp_and_middle_byte_equality(oracle_frame, spark_frame):
+    for col in ("md_nlp", "middle"):
+        mism = oracle_frame[col].values != spark_frame[col].values
+        assert not mism.any(), col
 
 
 def test_route_and_metrics_equality(oracle_frame, spark_frame):
