@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may run these in its own session: pin UTC so NTZ→TZ casts
+    # (epoch-micros surfacing, second-granularity session gaps) agree with
+    # DuckDB's naive-as-UTC semantics regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

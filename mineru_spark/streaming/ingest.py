@@ -60,3 +60,54 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (task brief: applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def conv_progress_stream(spark: SparkSession, in_dir: str, out_dir: str,
+                         checkpoint_dir: str):
+    """Per-conversation streaming progress tracker: arbitrary keyed state
+    via applyInPandasWithState.  State per conv_id = (turns_seen,
+    max_turn_idx); each micro-batch emits the updated totals for the convs
+    it touched — the streaming analog of the reference's per-doc
+    on_doc_ready completion callback (cli/common.py:402-422).
+
+    Returns the StreamingQuery appending progress rows to ``out_dir``
+    (latest row per conv_id = current progress; the memory sink cannot
+    recover from a checkpoint, so the sink is a parquet foreachBatch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        turns = 0
+        max_idx = -1
+        if state.exists:
+            turns, max_idx = state.get
+        for pdf in pdf_iter:
+            turns += len(pdf)
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, max_idx))
+        yield pd.DataFrame({"conv_id": [key[0]],
+                            "turns_seen": [turns],
+                            "max_turn_idx": [max_idx]})
+
+    src = read_transcript_stream(spark, in_dir).select("conv_id", "turn_idx")
+    out = (src.groupBy("conv_id")
+           .applyInPandasWithState(
+               track,
+               outputStructType="conv_id string, turns_seen long, "
+                                "max_turn_idx long",
+               stateStructType="turns long, max_idx long",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(int(epoch_id))) \
+            .write.mode("append").parquet(out_dir)
+
+    return (out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

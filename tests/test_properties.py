@@ -1,0 +1,81 @@
+"""Property-based robustness tests (hypothesis).
+
+The reference has no property tests (SURVEY §5); at 10^12-turn scale the
+properties that matter are: the kernel NEVER raises on arbitrary payload
+bytes, outputs are deterministic, the table algebra reaches a fixed point,
+and reading-order is a true permutation."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from mineru_spark.kernels.oracle import extract_turn
+from mineru_spark.kernels import tables as tbl
+from mineru_spark.kernels.xycut import xy_cut_order
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=400))
+def test_extract_turn_never_raises_on_text(payload):
+    out = extract_turn(payload, None)
+    assert isinstance(out["md"], str)
+    assert isinstance(json.loads(out["content_list"]), list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.recursive(
+    st.none() | st.booleans() | st.integers() | st.floats(allow_nan=False)
+    | st.text(max_size=12),
+    lambda ch: st.lists(ch, max_size=4) | st.dictionaries(
+        st.sampled_from(["pages", "chars", "layout", "bbox", "char", "font",
+                         "kind", "rotation", "char_idx", "label", "index",
+                         "page_idx", "page_size", "size"]),
+        ch, max_size=5),
+    max_leaves=24))
+def test_extract_turn_never_raises_on_jsonish(doc):
+    payload = json.dumps({"kind": "pdf_chars", "pages": doc},
+                         ensure_ascii=False)
+    out = extract_turn(payload, "pdf_reader")
+    assert out["route"] in ("pdf_txt", "pdf_ocr", "error")
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=300))
+def test_extract_turn_deterministic(payload):
+    a = extract_turn(payload, "browser")
+    b = extract_turn(payload, "browser")
+    assert a["md"] == b["md"] and a["content_list"] == b["content_list"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(1, 3), st.integers(1, 3), st.booleans(),
+              st.text(alphabet="abc ", max_size=8)),
+    min_size=1, max_size=12))
+def test_table_render_parse_fixed_point(cells):
+    """render(parse(x)) is a fixed point: canonicalization is idempotent."""
+    rows = []
+    for i in range(0, len(cells), 3):
+        row = "".join(
+            f'<{"th" if h else "td"} rowspan="{r}" colspan="{c}">{t}'
+            f'</{"th" if h else "td"}>'
+            for r, c, h, t in cells[i:i + 3])
+        rows.append(f"<tr>{row}</tr>")
+    html = f"<table>{''.join(rows)}</table>"
+    grids = tbl.parse_tables(html)
+    if not grids:
+        return
+    once = tbl.render_table_html(grids[0])
+    again = tbl.render_table_html(tbl.parse_tables(once)[0])
+    assert once == again
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.tuples(st.floats(0, 500), st.floats(0, 700),
+              st.floats(1, 100), st.floats(1, 60)),
+    min_size=1, max_size=20))
+def test_xycut_is_permutation(boxes):
+    bxs = [[x, y, x + w, y + h] for x, y, w, h in boxes]
+    order = xy_cut_order(bxs)
+    assert sorted(order) == list(range(len(bxs)))

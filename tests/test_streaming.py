@@ -45,3 +45,38 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
     q2.awaitTermination(180)
     assert spark.read.parquet(
         os.path.join(stream_dirs["out"], "extracted")).count() == n_src
+
+
+def test_stateful_conv_progress(spark, tmp_path):
+    """applyInPandasWithState keyed state survives across micro-batch runs
+    through the checkpoint: totals accumulate, not reset."""
+    from pyspark.sql import functions as F
+    from mineru_spark.pipeline import synthesize_transcripts
+    from mineru_spark.streaming.ingest import conv_progress_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "prog")
+    ckpt = str(tmp_path / "ckpt")
+    src = synthesize_transcripts(spark, 10)
+    first = src.filter(F.col("turn_idx") < 2)
+    rest = src.filter(F.col("turn_idx") >= 2)
+    first.write.parquet(in_dir)
+
+    q = conv_progress_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir).toPandas() \
+        .sort_values(["conv_id", "turns_seen"]).groupby("conv_id").last()
+    exp1 = first.groupBy("conv_id").count().toPandas().set_index("conv_id")
+    assert all(got1.loc[c].turns_seen == exp1.loc[c]["count"]
+               for c in exp1.index)
+
+    # second tranche through the SAME checkpoint: state must ACCUMULATE
+    rest.write.mode("append").parquet(in_dir)
+    q2 = conv_progress_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).toPandas() \
+        .sort_values(["conv_id", "turns_seen"]).groupby("conv_id").last()
+    total = src.groupBy("conv_id").count().toPandas().set_index("conv_id")
+    touched = rest.select("conv_id").distinct().toPandas()["conv_id"]
+    for c in touched:
+        assert got2.loc[c].turns_seen == total.loc[c]["count"], c
