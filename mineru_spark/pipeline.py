@@ -133,6 +133,7 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int,
     an Iceberg scan; here the scan is replaced by deterministic
     generation, TESTDATA-style seed discipline)."""
     parts = partitions or spark.sparkContext.defaultParallelism
+    _tune_session_for_payloads(spark)
 
     def gen(batches):
         for pdf in batches:
@@ -198,6 +199,19 @@ def _extract_batch(batches):
         yield res
 
 
+def _tune_session_for_payloads(spark: SparkSession) -> None:
+    """Runtime-settable knobs that MUST hold when the extraction map runs,
+    even inside a session we didn't build (the round driver's): small
+    Arrow batches bound worker memory for 10-100 KB payload rows (default
+    10000-row batches are ~1 GB), and UTC keeps ts columns stable."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    except Exception:
+        pass  # static in some sessions; best-effort
+
+
 def extract(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """Salted repartition + mapInPandas extraction.
 
@@ -206,6 +220,7 @@ def extract(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     all tasks — the Zipf conv-length tail cannot create a straggler
     partition.  This is the reference's cross-document batch packing
     (pipeline_analyze.py:232-262) expressed as a partitioner."""
+    _tune_session_for_payloads(df.sparkSession)
     narrow = df.select("conv_id", "turn_idx", "ts", "text", "tool")
     if salt_partitions:
         narrow = narrow.repartition(salt_partitions, "conv_id", "turn_idx")

@@ -63,6 +63,8 @@ def _wrap_extract(batches):
 
 
 def extract_wrapped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import _tune_session_for_payloads
+    _tune_session_for_payloads(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     return docs.mapInPandas(_wrap_extract, schema=_WRAP_EXTRACT_SCHEMA)
