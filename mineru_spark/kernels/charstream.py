@@ -43,6 +43,7 @@ SUP_SIZE_RATIO = 0.8     # size < 0.8 × body size → candidate sup/sub
 BAND_RATIO = 0.15        # body-band half-width as fraction of body height
 SPACE_GAP_RATIO = 0.25   # gap > 0.25 × median char width → insert space
 MIN_CHARS_PER_PAGE = 50  # C3: below this → ocr route
+MAX_CHARS_PER_PAGE = 65535  # E6: beyond this → ocr (span_pre_proc.py:17)
 ABNORMAL_RATIO = 0.03    # C7: control/PUA/replacement char ratio → ocr
 
 DISCARD_LABELS = {"header", "footer", "page_number", "aside_text",
@@ -359,6 +360,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     tables_parsed = 0
     punct_run_chars = 0
     bad_aspect = False
+    max_page_chars = 0
     script_counts: dict[str, int] = {}
     cjk_chars = 0
     mojibake_chars = 0
@@ -389,6 +391,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         kept, dropped = _dedup_chars(axis)
         chars_deduped += dropped
         total_chars += len(kept)
+        max_page_chars = max(max_page_chars, len(kept))
         if kept:
             codes = np.frombuffer(
                 "".join(r["char"] for r in kept).encode("utf-32-le"),
@@ -520,6 +523,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     minor_share = (1.0 - max(script_counts.values()) / scripted)         if scripted else 0.0
     if bad_aspect:
         ocr = 1  # C2 (pdf_classify.py:290-310)
+    elif max_page_chars > MAX_CHARS_PER_PAGE:
+        ocr = 1  # E6 runaway page (reference const span_pre_proc.py:17)
     elif total_chars / n_pages < MIN_CHARS_PER_PAGE:
         ocr = 1  # C3
     elif total_chars and abnormal_chars / total_chars >= ABNORMAL_RATIO:

@@ -30,6 +30,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (epoch-micros surfacing, second-granularity session gaps) agree with
     # DuckDB's naive-as-UTC semantics regardless of host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # small-SF correctness runs shouldn't pay 200 default shuffle
+    # partitions; AQE coalesces anyway, this just trims scheduling noise
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
