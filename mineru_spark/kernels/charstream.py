@@ -272,19 +272,24 @@ def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
 
     lines_text: list[str] = []
     spans_out: list[dict] = []
-    for lid in range(int(line_id[-1]) + 1):
-        m = line_id == lid
-        li = np.nonzero(m)[0]
+    # line boundaries (contiguous slices: line_id is nondecreasing)
+    bounds = np.concatenate(
+        ([0], np.nonzero(new_line)[0] + 1, [n]))
+    for lid in range(len(bounds) - 1):
+        li = np.arange(bounds[lid], bounds[lid + 1])
         l_size = size[li]
         max_size = float(l_size.max())
-        body = li[l_size >= SUP_SIZE_RATIO * max_size]
-        body_c = float(np.median((y0[body] + y1[body]) / 2.0))
-        body_h = float(np.median(h[body]))
-        centers = (y0[li] + y1[li]) / 2.0
         small = l_size < SUP_SIZE_RATIO * max_size
         role = np.zeros(len(li), dtype=np.int8)  # 0 normal, 1 sup, 2 sub
-        role[small & (centers < body_c - BAND_RATIO * body_h)] = 1
-        role[small & (centers > body_c + BAND_RATIO * body_h)] = 2
+        if small.any():
+            # body-band medians only when sup/sub candidates exist (the
+            # rare case; medians on tiny arrays are the hot cost otherwise)
+            body = li[~small]
+            body_c = float(np.median((y0[body] + y1[body]) / 2.0))
+            body_h = float(np.median(h[body]))
+            centers = (y0[li] + y1[li]) / 2.0
+            role[small & (centers < body_c - BAND_RATIO * body_h)] = 1
+            role[small & (centers > body_c + BAND_RATIO * body_h)] = 2
 
         # spans = runs of equal role
         run_start = np.concatenate([[True], role[1:] != role[:-1]])
