@@ -266,6 +266,20 @@ def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int
                 x, ci = _emit_word_chars(chars, str(rng.randint(1, 9)), x,
                                          y - 0.2 * BODY_SIZE, 0.7 * BODY_SIZE,
                                          rng, ci, sup=True)
+            # inline math run in the Math font (M2 `$...$` analog)
+            if wi != n_words - 1 and rng.random() < 0.02:
+                x += CHAR_W
+                expr = rng.choice(("x+y", "a=b", "n<m"))
+                for chm in expr:
+                    chars.append({"char": chm,
+                                  "bbox": [round(x, 2), round(y, 2),
+                                           round(x + CHAR_W, 2),
+                                           round(y + BODY_SIZE, 2)],
+                                  "font": {"name": "Math", "size": BODY_SIZE,
+                                           "flags": 0, "weight": 400},
+                                  "rotation": 0.0, "char_idx": ci})
+                    x += CHAR_W
+                    ci += 1
             x += CHAR_W  # inter-word gap (no space char emitted)
     return chars, ci
 

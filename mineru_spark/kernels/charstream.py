@@ -121,22 +121,6 @@ def _page_signals(codes: "np.ndarray") -> dict:
             "mojibake": moji, "punct_run": punct_run}
 
 
-def _punct_run_count(glyphs) -> int:
-    """Chars belonging to ASCII-punctuation runs of length ≥ 4
-    (C10 analog, reference pdf_classify.py:837-929)."""
-    total = run = 0
-    for ch in glyphs:
-        if ch in _PUNCT:
-            run += 1
-        else:
-            if run >= 4:
-                total += run
-            run = 0
-    if run >= 4:
-        total += run
-    return total
-
-
 import re as _re
 
 _LIST_MARKER = _re.compile(r"^(?:[•◦▪*-]|\d{1,3}[.)])\s")
@@ -174,20 +158,6 @@ _SCRIPT_RANGES = (
     ("kana", 0x3040, 0x30FF),
     ("hangul", 0xAC00, 0xD7AF),
 )
-
-
-def _script_of(ch: str) -> str | None:
-    o = ord(ch)
-    for name, lo, hi in _SCRIPT_RANGES:
-        if lo <= o <= hi:
-            return name
-    return None
-
-
-def _is_abnormal(ch: str) -> bool:
-    o = ord(ch)
-    return (o < 32 and ch not in "\t\n\r") or o == 0xFFFD or \
-        0xE000 <= o <= 0xF8FF
 
 
 def _dedup_chars(recs: list[dict]) -> tuple[list[dict], int]:
@@ -249,12 +219,20 @@ def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
     size = np.array([c["font"]["size"] for c in chars])
     idx = np.array([c["char_idx"] for c in chars])
     glyphs = [c["char"] for c in chars]
+    # inline-math runs are marked by the font (MFR-analog for in-line
+    # formulas); mask built only when such a font appears
+    math_mask = None
+    if any(c["font"].get("name") == "Math" for c in chars):
+        math_mask = np.array([c["font"].get("name") == "Math"
+                              for c in chars])
 
     # E9 sort-avoidance: sort by char_idx only when out of order
     if not np.all(idx[1:] >= idx[:-1]):
         order = np.argsort(idx, kind="stable")
         x0, y0, x1, y1, size, idx = (a[order] for a in (x0, y0, x1, y1, size, idx))
         glyphs = [glyphs[i] for i in order]
+        if math_mask is not None:
+            math_mask = math_mask[order]
 
     h = y1 - y0
     # line segmentation: consecutive-char y-interval overlap
@@ -280,7 +258,9 @@ def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
         l_size = size[li]
         max_size = float(l_size.max())
         small = l_size < SUP_SIZE_RATIO * max_size
-        role = np.zeros(len(li), dtype=np.int8)  # 0 normal, 1 sup, 2 sub
+        role = np.zeros(len(li), dtype=np.int8)  # 0 normal 1 sup 2 sub 3 math
+        if math_mask is not None:
+            role[math_mask[li]] = 3
         if small.any():
             # body-band medians only when sup/sub candidates exist (the
             # rare case; medians on tiny arrays are the hot cost otherwise)
@@ -318,13 +298,17 @@ def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
                 parts.append(f"{lead}<sup>{stripped}</sup>")
             elif r == 2:
                 parts.append(f"{lead}<sub>{stripped}</sub>")
+            elif r == 3:
+                # inline math span (M2 `$...$`, mkcontent :207-219)
+                parts.append(f"{lead}${stripped}$")
             else:
                 parts.append(lead + stripped)
             spans_out.append({
                 "page_idx": page_idx,
                 "bbox": [float(x0[ridx].min()), float(y0[ridx].min()),
                          float(x1[ridx].max()), float(y1[ridx].max())],
-                "type": "text" if r == 0 else ("sup" if r == 1 else "sub"),
+                "type": {0: "text", 1: "sup", 2: "sub",
+                         3: "inline_equation"}[r],
                 "content": stripped,
             })
         lines_text.append("".join(parts))

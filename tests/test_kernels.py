@@ -462,3 +462,16 @@ def test_docx_route_styled_runs():
                          "plain start **bold bit** *it\\_x*\n\n"
                          "- first\n- second\n\n"
                          "after list")
+
+
+def test_inline_math_span():
+    chars = ([_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("cost")]
+             + [{**_char(c, 80 + 5 * k, 100, idx=10 + k),
+                 "font": {"name": "Math", "size": 10.0, "flags": 0,
+                          "weight": 400}} for k, c in enumerate("x+y")]
+             + [_char(c, 100 + 5 * k, 100, idx=20 + k)
+                for k, c in enumerate("here.")])
+    layout = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0}]
+    blocks, spans, _ = extract_pdf(_page(chars, layout))
+    assert blocks[0]["text"] == "cost $x+y$ here."
+    assert any(s["type"] == "inline_equation" for s in spans)
