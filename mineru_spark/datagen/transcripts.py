@@ -285,7 +285,9 @@ def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int
 
 
 def _gen_pdf(rng: random.Random) -> str:
-    n_pages = rng.randint(1, 2)
+    # rare giant document (the long-document tail the processing-window /
+    # Arrow-batch memory bounds exist for)
+    n_pages = 15 if rng.random() < 0.004 else rng.randint(1, 2)
     # cross-page split: page 0's last body paragraph continues onto page 1
     # (reference cross-page merge, para_split.py:265-306)
     cross_page = n_pages == 2 and rng.random() < 0.5
