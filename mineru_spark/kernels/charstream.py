@@ -357,8 +357,14 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     pages = payload.get("pages", [])
     if not isinstance(pages, list):
         pages = []
-    n_pages = max(1, len(pages))
-    for page in pages:
+    # C1: the classification cascade samples ≤10 evenly spaced pages
+    # (reference pdf_classify.py:259-287); extraction still walks them all
+    if len(pages) > 10:
+        sampled = set(np.linspace(0, len(pages) - 1, 10).astype(int).tolist())
+    else:
+        sampled = set(range(len(pages)))
+    n_pages = max(1, len(sampled))
+    for page_no, page in enumerate(pages):
         if not isinstance(page, dict):
             continue
         page_idx = int(page.get("page_idx", 0))
@@ -379,9 +385,11 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
 
         kept, dropped = _dedup_chars(axis)
         chars_deduped += dropped
-        total_chars += len(kept)
+        in_sample = page_no in sampled
+        if in_sample:
+            total_chars += len(kept)
         max_page_chars = max(max_page_chars, len(kept))
-        if kept:
+        if kept and in_sample:
             codes = np.frombuffer(
                 "".join(r["char"] for r in kept).encode("utf-32-le"),
                 dtype=np.uint32)
