@@ -74,11 +74,12 @@ def main():
     n_turns = src.count()
     # measured optimum for 10-100 KB payload rows (BENCH/BASELINE.md)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
-    # warm-up (page cache + python workers), then best of 2 timed reps —
-    # sandbox timing noise is ±30% cold vs warm
+    # warm-up (page cache + python workers), then best of 3 timed reps —
+    # sandbox timing noise is ±30% cold vs warm and the shared host loads
+    # up unpredictably
     _force(extract(src.limit(2000)))
     dt = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _force(extract(src))
         rep = time.perf_counter() - t0
