@@ -643,14 +643,19 @@ def _inject_mojibake(payload: str) -> str:
 # Turn assembly
 # ---------------------------------------------------------------------------
 
+OFFICE_P = 0.90       # base office-route probability threshold (r ≥ 0.90)
+OFFICE_CONT_P = 0.70  # relaxed threshold after an office turn (r ≥ 0.70)
+
+
 def _is_office(conv_id: str, turn_idx: int) -> bool:
-    """Deterministic route rule: office on r ≥ 0.90, or on r ≥ 0.85 when the
-    previous turn was office (tables tend to continue across tool turns —
-    exercises the cross-turn merge)."""
+    """Deterministic route rule: office on r ≥ OFFICE_P, or on
+    r ≥ OFFICE_CONT_P when the previous turn was office (tables tend to
+    continue across tool turns — exercises the cross-turn merge)."""
     r = _prng("turn", conv_id, turn_idx).random()
-    if r >= 0.90:
+    if r >= OFFICE_P:
         return True
-    return r >= 0.70 and turn_idx > 0 and _is_office(conv_id, turn_idx - 1)
+    return r >= OFFICE_CONT_P and turn_idx > 0 \
+        and _is_office(conv_id, turn_idx - 1)
 
 
 def _office_ncols(conv_id: str, turn_idx: int) -> int:

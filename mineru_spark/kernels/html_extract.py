@@ -124,11 +124,47 @@ class Block:
     level: int = 1
 
 
+_INLINE_TAGS = ("span", "b", "i", "em", "strong", "a", "code", "u", "small")
+
+
+def _flush_loose(pending: list[tuple[str, bool]], out: list[Block],
+                 dropped: list[int]) -> None:
+    """Merge adjacent bare-text / inline children of a container into one
+    paragraph block (readability-style: text directly under <div>/<body>
+    is content too).  The buffered run is subject to the same link-density
+    rule as a real <p>."""
+    if not pending:
+        return
+    chars = sum(len(t.strip()) for t, _ in pending)
+    link_chars = sum(len(t.strip()) for t, is_link in pending if is_link)
+    txt = _collapse("".join(t for t, _ in pending))
+    pending.clear()
+    if not txt:
+        return
+    if chars and link_chars / chars > LINK_DENSITY_MAX:
+        dropped[0] += 1
+        return
+    out.append(Block("text", txt))
+
+
 def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
                     raw_html: str) -> None:
+    # run of loose text/inline children awaiting promotion to a text block:
+    # list of (text, came_from_link) fragments
+    pending: list[tuple[str, bool]] = []
     for ch in node.children:
         if isinstance(ch, str):
+            if ch.strip():
+                pending.append((ch, False))
+            elif pending:
+                pending.append((" ", False))
             continue
+        if ch.tag in _INLINE_TAGS:
+            txt = _inner_text(ch)
+            if txt.strip():
+                pending.append((txt, ch.tag == "a"))
+            continue
+        _flush_loose(pending, out, dropped)
         if ch.tag in _DROP_TAGS:
             dropped[0] += 1
             continue
@@ -169,10 +205,8 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
             # occurrence index so dropped-subtree tables cannot misalign it.
             out.append(Block("table", "", level=ch.table_index))
             continue
-        if ch.tag in _BLOCK_TAGS or ch.tag in ("head", "title", "span", "b",
-                                               "i", "em", "strong", "a"):
-            # container or inline wrapper: check link density for generic
-            # containers, then recurse
+        if ch.tag in _BLOCK_TAGS or ch.tag in ("head", "title"):
+            # container: check link density for generic containers, recurse
             if ch.tag in ("div", "section"):
                 chars, link_chars = _text_stats(ch)
                 if chars and link_chars / chars > LINK_DENSITY_MAX:
@@ -180,15 +214,11 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
                     continue
             if ch.tag in ("head", "title"):
                 continue
-            if ch.tag in ("span", "b", "i", "em", "strong", "a"):
-                # loose inline text directly under a container — promote to
-                # a text block only at top level; skip here (handled by the
-                # parent's _inner_text when inside <p>)
-                continue
             _collect_blocks(ch, out, dropped, raw_html)
             continue
         # unknown tag: recurse conservatively
         _collect_blocks(ch, out, dropped, raw_html)
+    _flush_loose(pending, out, dropped)
 
 
 def extract_html(payload: str) -> tuple[list[dict], dict]:

@@ -295,25 +295,38 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
       out_dir/extracted/   extraction output, appended per run,
                            hive-partitioned by ds=days(ts) (the Iceberg
                            `days(ts)` transform; FIXTURES.md §1) so time
-                           predicates prune partitions at read
-      out_dir/metrics/     one row per run: per-partition + global metrics
+                           predicates prune partitions at read; every row
+                           carries this run's run_id (the Iceberg
+                           snapshot-id analog)
+      out_dir/metrics/     appended per run: one row per task partition,
+                           keyed by run_id
+
+    Cost discipline (the 10^12-turn budget): exactly ONE extraction pass
+    over the new data (the write), plus one narrow semi-join count for the
+    resume report, plus a run_id-filtered read-back for metrics — parquet
+    row-group stats (run_id is constant per file) skip all previous runs'
+    files, so the metric scan touches only this run's output.
     """
+    import uuid
+
     extracted_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "metrics")
+    run_id = uuid.uuid4().hex
 
     todo = transcripts
     already = 0
     if resume and _path_has_data(spark, extracted_path):
         lineage = spark.read.parquet(extracted_path) \
             .select("conv_id", "turn_idx")
-        before = todo.count()
+        # one narrow count (keys only) instead of before/after full counts
+        already = transcripts.select("conv_id", "turn_idx") \
+            .join(lineage, ["conv_id", "turn_idx"], "left_semi").count()
         todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
-        after = todo.count()
-        already = before - after
 
     result = extract(todo, salt_partitions=salt_partitions)
     result = finalize_convs(result)
-    result = result.withColumn("part_id", F.spark_partition_id())
+    result = result.withColumn("part_id", F.spark_partition_id()) \
+                   .withColumn("run_id", F.lit(run_id))
     writer = result.write.mode("append")
     if partition_by_day:
         result = result.withColumn(
@@ -321,19 +334,24 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         writer = result.write.mode("append").partitionBy("ds")
     writer.parquet(extracted_path)
 
-    out = spark.read.parquet(extracted_path)
+    # metrics over THIS run only: run_id is constant per written file, so
+    # min/max row-group stats prune every older file from the scan
+    out = spark.read.parquet(extracted_path).filter(F.col("run_id") == run_id)
     per_part = (out.groupBy("part_id")
                 .agg(F.count("*").alias("turns"),
                      F.sum("blocks_classified").alias("blocks_classified"),
                      F.sum("boilerplate_dropped").alias("boilerplate_dropped"),
-                     F.sum("ocr_fallback").alias("ocr_fallback")))
-    per_part.write.mode("overwrite").parquet(metrics_path)
+                     F.sum("ocr_fallback").alias("ocr_fallback"))
+                .withColumn("run_id", F.lit(run_id))).collect()
+    if per_part:
+        spark.createDataFrame(per_part).write.mode("append") \
+            .parquet(metrics_path)
 
-    g = out.agg(F.count("*").alias("turns"),
-                F.sum("blocks_classified").alias("blocks"),
-                F.sum("ocr_fallback").alias("ocr_fallback")).collect()[0]
-    return {"turns": g["turns"], "blocks": g["blocks"],
-            "ocr_fallback": g["ocr_fallback"], "skipped_resume": already}
+    # globals derive from the (tiny) per-partition rows — no second scan
+    return {"turns": sum(r["turns"] for r in per_part),
+            "blocks": sum(r["blocks_classified"] for r in per_part),
+            "ocr_fallback": sum(r["ocr_fallback"] for r in per_part),
+            "skipped_resume": already, "run_id": run_id}
 
 
 def _path_has_data(spark: SparkSession, path: str) -> bool:

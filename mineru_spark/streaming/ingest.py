@@ -20,7 +20,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..pipeline import TRANSCRIPT_SCHEMA, extract, _path_has_data
+from ..pipeline import (TRANSCRIPT_SCHEMA, extract, finalize_convs,
+                        _path_has_data)
 
 
 def read_transcript_stream(spark: SparkSession, in_dir: str,
@@ -39,7 +40,15 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
 
     Late/duplicate turns inside the watermark are dropped by state;
     cross-restart duplicates are dropped by the sink's lineage anti-join
-    (idempotent foreachBatch)."""
+    (idempotent foreachBatch).
+
+    Each micro-batch runs the same conv-level ``finalize_convs`` pass as the
+    batch path, so adjacent office-table continuations arriving in one batch
+    are merged identically.  Known limit (documented, matches the batch
+    contract): a continuation whose anchor turn landed in an EARLIER batch
+    is already committed and is not re-finalized — keep one conversation's
+    turns inside one trigger (the file source groups by file; the producer
+    should not split a conversation across files beyond the watermark)."""
     extracted_path = os.path.join(out_dir, "extracted")
 
     src = (read_transcript_stream(spark, in_dir)
@@ -52,7 +61,8 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
             lineage = spark.read.parquet(extracted_path) \
                 .select("conv_id", "turn_idx")
             todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
-        result = extract(todo).withColumn("part_id", F.spark_partition_id())
+        result = finalize_convs(extract(todo)) \
+            .withColumn("part_id", F.spark_partition_id())
         result.write.mode("append").parquet(extracted_path)
 
     return (src.writeStream

@@ -95,8 +95,9 @@ def test_run_job_resume_idempotent(spark, tmp_path):
     n = df.count()
     r1 = run_job(spark, df, out, resume=True)
     assert r1["turns"] == n and r1["skipped_resume"] == 0
+    # run-scoped metrics: the second run processes nothing new
     r2 = run_job(spark, df, out, resume=True)
-    assert r2["turns"] == n and r2["skipped_resume"] == n
+    assert r2["turns"] == 0 and r2["skipped_resume"] == n
     assert spark.read.parquet(os.path.join(out, "extracted")).count() == n
     # per-partition metrics table exists and covers all turns
     m = spark.read.parquet(os.path.join(out, "metrics")).toPandas()
@@ -117,6 +118,10 @@ def test_sink_partitioned_by_day(spark, tmp_path):
     got = spark.read.parquet(root)
     one = got.filter(F.col("ds") == ds_dirs[0].split("=")[1])
     plan = one._jdf.queryExecution().executedPlan().toString()
+    # the ds predicate must reach the scan as a PartitionFilter (pruning),
+    # not survive as a post-scan Filter
+    assert "PartitionFilters" in plan and "ds" in \
+        plan.split("PartitionFilters")[1].split("]")[0]
     assert one.count() > 0
 
 

@@ -103,6 +103,28 @@ def test_html_boilerplate_strip():
     assert metrics["boilerplate_dropped"] >= 2  # nav, footer, link-dense <p>
 
 
+def test_html_loose_text_promoted():
+    """Bare text / inline children directly under a container become a text
+    block (readability semantics: unwrapped content is still content)."""
+    html = ("<html><body><div>loose text lives here "
+            "<b>bold bit</b> and continues.</div>"
+            "<section>another naked paragraph.</section></body></html>")
+    blocks, _ = extract_html(html)
+    md = html_md(blocks)
+    assert md == ("loose text lives here bold bit and continues."
+                  "\n\nanother naked paragraph.")
+
+
+def test_html_loose_link_run_is_boilerplate():
+    """A loose inline run that is mostly anchors is still link-density
+    boilerplate, same rule as a real <p>."""
+    html = ("<div><a href='/a'>one two three four</a> "
+            "<a href='/b'>five six seven eight</a> x</div>")
+    blocks, metrics = extract_html(html)
+    assert blocks == []
+    assert metrics["boilerplate_dropped"] == 1
+
+
 def test_html_list_and_table():
     html = ("<article><ul><li>alpha one</li><li>beta two</li></ul>"
             "<table><tr><th>h</th></tr><tr><td>v</td></tr></table></article>")

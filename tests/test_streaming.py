@@ -18,10 +18,12 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
     from mineru_spark.streaming.ingest import streaming_extract
 
     src = synthesize_transcripts(spark, 20)
-    # two input files, the second replays half of the first (duplicates)
-    src.filter(F.col("conv_id") <= "conv-00000011") \
+    # two input files, the second replays half of the first (duplicates);
+    # single-file writes keep each conversation whole within one trigger
+    # (the documented streaming-finalize contract)
+    src.filter(F.col("conv_id") <= "conv-00000011").coalesce(1) \
         .write.mode("overwrite").parquet(stream_dirs["in"])
-    src.filter(F.col("conv_id") >= "conv-00000006") \
+    src.filter(F.col("conv_id") >= "conv-00000006").coalesce(1) \
         .write.mode("append").parquet(stream_dirs["in"])
 
     q = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
@@ -33,9 +35,11 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
     assert got.count() == n_src  # duplicates dropped exactly once
     assert got.select("conv_id", "turn_idx").distinct().count() == n_src
 
-    # per-turn equality with the batch path
-    batch = extract(src).select("conv_id", "turn_idx",
-                                F.col("md").alias("md_b"))
+    # per-turn equality with the batch path (including conv-level finalize:
+    # streaming runs the same continuation-table merge per micro-batch)
+    from mineru_spark.pipeline import finalize_convs
+    batch = finalize_convs(extract(src)).select("conv_id", "turn_idx",
+                                                F.col("md").alias("md_b"))
     joined = got.join(batch, ["conv_id", "turn_idx"])
     assert joined.filter(F.col("md") != F.col("md_b")).count() == 0
 
