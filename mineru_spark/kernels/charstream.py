@@ -160,31 +160,101 @@ _SCRIPT_RANGES = (
 )
 
 
-def _dedup_chars(recs: list[dict]) -> tuple[list[dict], int]:
+class PageCols:
+    """Columnar page chars (the pdftext PageChars analog the reference
+    itself materializes, pdf_text_tool.py:174-190 — kept columnar here
+    instead of flipping back to row dicts).  Built ONCE per page; every
+    downstream kernel (dedup, block assignment, line assembly) works on
+    slices of these arrays."""
+
+    __slots__ = ("n", "x0", "y0", "x1", "y1", "size", "idx", "codes",
+                 "glyphs", "mathmask")
+
+    def __init__(self, recs: list[dict]):
+        n = len(recs)
+        self.n = n
+        bbox = np.array([r["bbox"] for r in recs],
+                        dtype=np.float64).reshape(n, 4)
+        self.x0, self.y0 = bbox[:, 0], bbox[:, 1]
+        self.x1, self.y1 = bbox[:, 2], bbox[:, 3]
+        self.size = np.array([r["font"]["size"] for r in recs],
+                             dtype=np.float64)
+        self.idx = np.array([r["char_idx"] for r in recs], dtype=np.int64)
+        glyphs = [r["char"] for r in recs]
+        self.glyphs = glyphs
+        joined = "".join(glyphs)
+        if len(joined) == n:  # all single-codepoint glyphs: C-speed decode
+            self.codes = np.frombuffer(joined.encode("utf-32-le"),
+                                       dtype=np.uint32).astype(np.int64)
+        else:
+            self.codes = np.array([(ord(g) if len(g) == 1 else hash(g))
+                                   & 0xFFFFF for g in glyphs], dtype=np.int64)
+        # inline-math marker font (MFR-analog); None when absent
+        names = [r["font"].get("name") for r in recs]
+        self.mathmask = (np.array([nm == "Math" for nm in names])
+                         if "Math" in names else None)
+
+    def take(self, mask: "np.ndarray") -> "PageCols":
+        out = PageCols.__new__(PageCols)
+        out.n = int(mask.sum())
+        for f in ("x0", "y0", "x1", "y1", "size", "idx", "codes"):
+            setattr(out, f, getattr(self, f)[mask])
+        out.glyphs = [g for g, m in zip(self.glyphs, mask) if m]
+        out.mathmask = self.mathmask[mask] if self.mathmask is not None \
+            else None
+        return out
+
+
+def _dedup_mask(pc: PageCols) -> "np.ndarray":
     """Spatial-hash dedup: a char is a duplicate iff an already-kept char of
     the same glyph and size lies within DEDUP_TOL pt (covers both jitter
-    and shadow-offset duplicates).  Payload order wins (first kept)."""
-    kept: list[dict] = []
-    grid: dict[tuple, dict[tuple, list]] = {}
-    dropped = 0
-    for r in recs:
-        b = r["bbox"]
-        x0 = b[0]
-        y0 = b[1]
-        kb = (r["char"], int(r["font"]["size"] * 10 + 0.5))
+    and shadow-offset duplicates).  Payload order wins (first kept).
+
+    Vectorized (SURVEY §2.3 E2 plan): a numpy prefilter quantizes
+    (key, x0, y0) to the DEDUP_CELL grid and finds 'suspects' — chars with
+    ANOTHER same-key char in their 3×3 cell neighborhood — with 9
+    searchsorted passes; only suspects (≈2× the dup rate, a few % of a
+    page) enter the sequential greedy resolution, whose semantics the
+    prefilter provably preserves: any pair within DEDUP_TOL shares a key
+    and a neighborhood, so both ends are suspects; non-suspects can
+    neither be duplicates nor decide one.  Returns the keep mask."""
+    n = pc.n
+    keep = np.ones(n, dtype=bool)
+    if n < 2:
+        return keep
+    sizek = (pc.size * 10 + 0.5).astype(np.int64)
+    key = ((pc.codes & 0xFFFFF) << 20) | (sizek & 0xFFFFF)
+    cx = np.floor_divide(pc.x0, DEDUP_CELL).astype(np.int64)
+    cy = np.floor_divide(pc.y0, DEDUP_CELL).astype(np.int64)
+    order = np.sort((key << 24) | ((cx & 0xFFF) << 12) | (cy & 0xFFF))
+    suspect = np.zeros(n, dtype=bool)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            tgt = (key << 24) | (((cx + dx) & 0xFFF) << 12) \
+                | ((cy + dy) & 0xFFF)
+            cnt = (np.searchsorted(order, tgt, side="right")
+                   - np.searchsorted(order, tgt, side="left"))
+            suspect |= cnt > 1 if dx == 0 and dy == 0 else cnt > 0
+    if not suspect.any():
+        return keep
+
+    x0, y0 = pc.x0, pc.y0
+    grid: dict[int, dict[tuple, list]] = {}
+    for i in np.flatnonzero(suspect):
+        rx, ry = x0[i], y0[i]
+        kb = int(key[i])
         sub = grid.get(kb)
         if sub is None:
             sub = grid[kb] = {}
-        cx = int(x0 // DEDUP_CELL)
-        cy = int(y0 // DEDUP_CELL)
+        ci, cj = int(cx[i]), int(cy[i])
         dup = False
-        for nx in (cx - 1, cx, cx + 1):
-            for ny in (cy - 1, cy, cy + 1):
-                lst = sub.get((nx, ny))
+        for nx2 in (ci - 1, ci, ci + 1):
+            for ny2 in (cj - 1, cj, cj + 1):
+                lst = sub.get((nx2, ny2))
                 if lst:
                     for px, py in lst:
-                        if -DEDUP_TOL <= px - x0 <= DEDUP_TOL and \
-                                -DEDUP_TOL <= py - y0 <= DEDUP_TOL:
+                        if -DEDUP_TOL <= px - rx <= DEDUP_TOL and \
+                                -DEDUP_TOL <= py - ry <= DEDUP_TOL:
                             dup = True
                             break
                     if dup:
@@ -192,39 +262,35 @@ def _dedup_chars(recs: list[dict]) -> tuple[list[dict], int]:
             if dup:
                 break
         if dup:
-            dropped += 1
+            keep[i] = False
             continue
-        lst = sub.get((cx, cy))
+        lst = sub.get((ci, cj))
         if lst is None:
-            sub[(cx, cy)] = [(x0, y0)]
+            sub[(ci, cj)] = [(rx, ry)]
         else:
-            lst.append((x0, y0))
-        kept.append(r)
-    return kept, dropped
+            lst.append((rx, ry))
+    return keep
 
 
-def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
-    """chars (one layout block) → (block text, span records).
+def _assemble_block(pc: PageCols, sel: "np.ndarray",
+                    page_idx: int) -> tuple[list[str], list[dict]]:
+    """Block chars (index array into the page columns) → (line texts, span
+    records).
 
-    Vectorized over numpy arrays; returns merged paragraph text (hyphen/CJK
-    line-merge applied) and span records {page_idx,bbox,type,content}.
+    Vectorized over the page's column arrays; returns per-line text
+    (hyphen/CJK merge is applied later by the caller) and span records
+    {page_idx,bbox,type,content}.
     """
-    n = len(chars)
+    n = len(sel)
     if n == 0:
-        return "", []
-    x0 = np.array([c["bbox"][0] for c in chars])
-    y0 = np.array([c["bbox"][1] for c in chars])
-    x1 = np.array([c["bbox"][2] for c in chars])
-    y1 = np.array([c["bbox"][3] for c in chars])
-    size = np.array([c["font"]["size"] for c in chars])
-    idx = np.array([c["char_idx"] for c in chars])
-    glyphs = [c["char"] for c in chars]
+        return [], []
+    x0, y0 = pc.x0[sel], pc.y0[sel]
+    x1, y1 = pc.x1[sel], pc.y1[sel]
+    size, idx = pc.size[sel], pc.idx[sel]
+    glyphs = [pc.glyphs[i] for i in sel]
     # inline-math runs are marked by the font (MFR-analog for in-line
-    # formulas); mask built only when such a font appears
-    math_mask = None
-    if any(c["font"].get("name") == "Math" for c in chars):
-        math_mask = np.array([c["font"].get("name") == "Math"
-                              for c in chars])
+    # formulas); mask built only when such a font appears on the page
+    math_mask = pc.mathmask[sel] if pc.mathmask is not None else None
 
     # E9 sort-avoidance: sort by char_idx only when out of order
     if not np.all(idx[1:] >= idx[:-1]):
@@ -316,24 +382,22 @@ def _assemble_block(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
     return lines_text, spans_out
 
 
-def _assemble_vertical(chars: list[dict], page_idx: int) -> tuple[str, list[dict]]:
+def _assemble_vertical(pc: PageCols, sel: "np.ndarray",
+                       page_idx: int) -> tuple[str, list[dict]]:
     """Vertical-text reassembly (B5/B6, reference span_block_fix.py:9-30,
     :91-167): columns ordered right→left, chars top→bottom within a
     column, joined without separators (vertical runs are CJK)."""
-    if not chars:
+    if len(sel) == 0:
         return "", []
-    xs = sorted({round(c["bbox"][0], 1) for c in chars}, reverse=True)
-    cols: dict[float, list[dict]] = {x: [] for x in xs}
-    for c in chars:
-        cols[round(c["bbox"][0], 1)].append(c)
-    parts = []
-    for x in xs:
-        col = sorted(cols[x], key=lambda c: c["bbox"][1])
-        parts.append("".join(c["char"] for c in col))
-    text = emit.expand_ligatures("".join(parts))
-    bbox = [min(c["bbox"][0] for c in chars), min(c["bbox"][1] for c in chars),
-            max(c["bbox"][2] for c in chars), max(c["bbox"][3] for c in chars)]
-    span = {"page_idx": page_idx, "bbox": [float(v) for v in bbox],
+    x0, y0 = pc.x0[sel], pc.y0[sel]
+    xr = np.round(x0, 1)
+    # lexsort: primary x descending (right→left), secondary y ascending
+    order = np.lexsort((y0, -xr))
+    text = emit.expand_ligatures(
+        "".join(pc.glyphs[sel[i]] for i in order))
+    bbox = [float(x0.min()), float(y0.min()),
+            float(pc.x1[sel].max()), float(pc.y1[sel].max())]
+    span = {"page_idx": page_idx, "bbox": bbox,
             "type": "text", "content": text}
     return text, [span]
 
@@ -383,17 +447,18 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         axis = [r for r in recs if float(r.get("rotation", 0.0)) % 90.0 == 0.0]
         chars_deduped += len(recs) - len(axis)
 
-        kept, dropped = _dedup_chars(axis)
-        chars_deduped += dropped
+        pc = PageCols(axis)
+        keep = _dedup_mask(pc)
+        n_kept = int(keep.sum())
+        if n_kept < pc.n:
+            chars_deduped += pc.n - n_kept
+            pc = pc.take(keep)
         in_sample = page_no in sampled
         if in_sample:
-            total_chars += len(kept)
-        max_page_chars = max(max_page_chars, len(kept))
-        if kept and in_sample:
-            codes = np.frombuffer(
-                "".join(r["char"] for r in kept).encode("utf-32-le"),
-                dtype=np.uint32)
-            sig = _page_signals(codes)
+            total_chars += pc.n
+        max_page_chars = max(max_page_chars, pc.n)
+        if pc.n and in_sample:
+            sig = _page_signals(pc.codes)
             abnormal_chars += sig["abnormal"]
             punct_run_chars += sig["punct_run"]
             cjk_chars += sig["cjk"]
@@ -401,11 +466,9 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             for name, n in sig["scripts"].items():
                 script_counts[name] = script_counts.get(name, 0) + n
 
-        cx = np.array([(r["bbox"][0] + r["bbox"][2]) / 2.0 for r in kept]) \
-            if kept else np.empty(0)
-        cy = np.array([(r["bbox"][1] + r["bbox"][3]) / 2.0 for r in kept]) \
-            if kept else np.empty(0)
-        assigned = np.zeros(len(kept), dtype=bool)
+        cx = (pc.x0 + pc.x1) / 2.0
+        cy = (pc.y0 + pc.y1) / 2.0
+        assigned = np.zeros(pc.n, dtype=bool)
 
         layout = page.get("layout", [])
         if not isinstance(layout, list):
@@ -424,13 +487,13 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         for pos, blk in enumerate(layout):
             label = blk.get("label", "text")
             bx0, by0, bx1, by1 = blk["bbox"]
-            if len(kept):
+            if pc.n:
                 m = (~assigned) & (cx >= bx0) & (cx <= bx1) & \
                     (cy >= by0) & (cy <= by1)
                 assigned |= m
-                blk_chars = [kept[i] for i in np.nonzero(m)[0]]
+                sel = np.flatnonzero(m)
             else:
-                blk_chars = []
+                sel = np.empty(0, dtype=np.int64)
             if label in DISCARD_LABELS:
                 blocks_discarded += 1
                 continue
@@ -462,11 +525,11 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 # vertical detection (B5): tall-narrow block whose line
                 # segmentation degenerates to single-char lines
                 bw, bh = max(1e-6, bx1 - bx0), by1 - by0
-                lines, bspans = _assemble_block(blk_chars, page_idx)
+                lines, bspans = _assemble_block(pc, sel, page_idx)
                 if (bh / bw >= VERTICAL_ASPECT and len(lines) >= 3
                         and sum(1 for ln in lines if len(ln) == 1)
                         >= VERTICAL_SINGLE * len(lines)):
-                    text, bspans = _assemble_vertical(blk_chars, page_idx)
+                    text, bspans = _assemble_vertical(pc, sel, page_idx)
                     rec["text"] = text
                 elif label == "code":
                     rec["text"] = "\n".join(lines)

@@ -41,7 +41,7 @@ class _Node:
     tag: str
     children: list = field(default_factory=list)  # _Node | str
     parent: "_Node | None" = None
-    table_index: int = -1  # occurrence index among all <table> in the doc
+    attrs: dict = field(default_factory=dict)     # td/th spans, a href, …
 
 
 class _DomParser(HTMLParser):
@@ -54,24 +54,15 @@ class _DomParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = _Node("#root")
         self.cur = self.root
-        self._n_tables = 0
 
     def handle_starttag(self, tag, attrs):
-        if tag in self._VOID:
-            node = _Node(tag)
-            node.parent = self.cur
-            self.cur.children.append(node)
-            return
         node = _Node(tag)
-        if tag == "table":
-            node.table_index = self._n_tables
-            self._n_tables += 1
-        if tag == "a":
-            node.children.append("")  # placeholder keeps structure stable
-            node.children.pop()
+        if attrs:
+            node.attrs = dict(attrs)
         node.parent = self.cur
         self.cur.children.append(node)
-        self.cur = node
+        if tag not in self._VOID:
+            self.cur = node
 
     def handle_endtag(self, tag):
         # walk up to the nearest matching open tag (tolerates misnesting)
@@ -122,6 +113,38 @@ class Block:
     btype: str          # title | text | list | table | code
     text: str           # text content, items joined by \n for lists, HTML for tables
     level: int = 1
+    grid: object = None  # TableGrid for table blocks
+
+
+def _grid_from_dom(tnode: _Node):
+    """Build the table grid straight from the parsed DOM (one parse per
+    payload — the table re-parse the round-1 design paid is gone).  Cell
+    text includes nested-table text, matching _TableParser's buffering;
+    nested tables contribute no structure (same depth==1 rule)."""
+    rows: list[list[tbl.Cell]] = []
+
+    def walk(n: _Node) -> None:
+        for ch in n.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "table":
+                continue  # nested table: text flows via the cell's inner text
+            if ch.tag == "tr":
+                row = []
+                for cc in ch.children:
+                    if not isinstance(cc, str) and cc.tag in ("td", "th"):
+                        row.append(tbl.Cell(
+                            " ".join(_inner_text(cc).split()),
+                            tbl.span_of(cc.attrs.get("rowspan")),
+                            tbl.span_of(cc.attrs.get("colspan")),
+                            cc.tag == "th"))
+                if row:
+                    rows.append(row)
+            else:
+                walk(ch)
+
+    walk(tnode)
+    return tbl.grid_from_rows(rows)
 
 
 _INLINE_TAGS = ("span", "b", "i", "em", "strong", "a", "code", "u", "small")
@@ -200,10 +223,9 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
                 out.append(Block("code", txt))
             continue
         if ch.tag == "table":
-            # re-parse this table from the raw payload via the grid parser
-            # (our light DOM drops attrs); the placeholder carries the
-            # occurrence index so dropped-subtree tables cannot misalign it.
-            out.append(Block("table", "", level=ch.table_index))
+            grid = _grid_from_dom(ch)
+            if grid is not None:
+                out.append(Block("table", "", grid=grid))
             continue
         if ch.tag in _BLOCK_TAGS or ch.tag in ("head", "title"):
             # container: check link density for generic containers, recurse
@@ -236,16 +258,14 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
     dropped = [0]
     _collect_blocks(parser.root, out, dropped, payload)
 
-    grids = tbl.parse_tables(payload)  # all tables, document order
     blocks: list[dict] = []
     tables_parsed = 0
     for b in out:
         if b.btype == "table":
-            if 0 <= b.level < len(grids):
-                html = tbl.render_table_html(grids[b.level])
-                tables_parsed += 1
-                blocks.append({"type": "table", "text": html,
-                               "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1})
+            html = tbl.render_table_html(b.grid)
+            tables_parsed += 1
+            blocks.append({"type": "table", "text": html,
+                           "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1})
             continue
         blocks.append({"type": b.btype, "text": b.text, "page_idx": 0,
                        "bbox": [0, 0, 0, 0], "level": b.level})

@@ -104,6 +104,22 @@ def parse_tables(html: str) -> list[TableGrid]:
     return out
 
 
+def grid_from_rows(rows: list[list[Cell]]) -> TableGrid | None:
+    """Normalize pre-collected cell rows into a grid (for callers that
+    already hold a parsed DOM — avoids re-parsing the payload)."""
+    grid = _normalize(rows)
+    return grid if grid.rows else None
+
+
+def span_of(value) -> int:
+    """Tolerant rowspan/colspan attribute parse (shared contract with
+    _TableParser)."""
+    try:
+        return max(1, int(value))
+    except (TypeError, ValueError):
+        return 1
+
+
 def _normalize(rows: list[list[Cell]]) -> TableGrid:
     """Resolve rowspan/colspan into a dense occupancy matrix; clip spans
     that overflow the table (reference table_merge.py:769-809 adjusts

@@ -349,14 +349,18 @@ LSH_MAX_BUCKET = 100   # hot-bucket guard: buckets beyond this are skipped
                        # mega-bucket means byte-identical boilerplate)
 
 
-def _shingles_col():
-    """Distinct 3-word shingle set per document (n-gram unit for Jaccard).
-    Guarded for <3-word docs (Spark's sequence(0, -1) would descend)."""
-    return F.array_distinct(F.expr(
-        "CASE WHEN size(split(trim(text), ' +')) < 3 THEN array() "
-        "ELSE transform(sequence(0, size(split(trim(text), ' +')) - 3), "
-        "i -> concat_ws(' ', split(trim(text), ' +')[i], "
-        "split(trim(text), ' +')[i+1], split(trim(text), ' +')[i+2])) END"))
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct 3-word shingle set per document (n-gram unit
+    for Jaccard).  The word split is materialized in its own projection so
+    the transform lambda references the array — inlining the split into the
+    lambda would re-split the text per shingle index (O(words²)).  Guarded
+    for <3-word docs (Spark's sequence(0, -1) would descend)."""
+    return (d.select("doc_id", F.split(F.trim("text"), " +").alias("w"))
+            .select("doc_id", F.array_distinct(F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END"))
+                .alias("sh")))
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -374,7 +378,7 @@ def q_jaccard_pairs(spark, sf_dir):
     at sf0.01); more bands raise it without changing the plan shape.
     """
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles_col().alias("sh"))
+    sh = _shingles(d)
     sig = sh.select(
         "doc_id",
         *[F.array_min(F.transform(

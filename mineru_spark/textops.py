@@ -78,12 +78,27 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(run, schema=_WINNOW_SCHEMA)
 
 
+FP_MAX_DF = 100  # hot-key guard: a fingerprint shared by more documents
+                 # than this is corpus boilerplate (shared template/banner),
+                 # not a near-dup signal — it would fan out quadratically
+
+
 def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str,
-                              min_shared: int = 20) -> DataFrame:
+                              min_shared: int = 20,
+                              max_df: int = FP_MAX_DF) -> DataFrame:
     """Near-dup candidates by shared winnowed fingerprints (explode +
-    self-join on fingerprint value — the dedup join shape at scale)."""
+    self-join on fingerprint value — the dedup join shape at scale).
+
+    Scale safety: join keys are document-frequency-capped first (a
+    fingerprint held by >max_df docs creates ~df²/2 pairs; boilerplate
+    common to 10⁶ docs would make 10¹² rows).  Dropping ubiquitous
+    fingerprints loses no near-dup evidence — winnowing emits ~dozens of
+    fingerprints per doc, and a true near-dup pair shares many low-df ones."""
     fps = doc_fingerprints(spark, sf_dir)
     w = fps.select("doc_id", F.explode("fp").alias("f"))
+    rare = (w.groupBy("f").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("f"))
+    w = w.join(rare, "f")
     a, b = w.alias("a"), w.alias("b")
     return (a.join(b, (F.col("a.f") == F.col("b.f"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
