@@ -1,0 +1,302 @@
+"""Golden-parquet oracles for the non-SQL-expressible extraction queries.
+
+The extraction kernels cannot be re-expressed in ANSI SQL, so their driver
+oracle is a MATERIALIZED one: the single-process oracle kernel (the same
+`extract_turn` contract the pytest golden-equality suite anchors byte-for-
+byte, tests/test_golden_equality.py) is run over the deterministic corpus
+and written to a parquet file; `oracle_sql()` then reads it with DuckDB's
+`read_parquet`.  What the driver gate verifies, therefore, is exactly the
+north rule's risk at scale: that the DISTRIBUTED path — Arrow batching,
+salted partitioning, conv-grouped finalize, ordering — reproduces the
+single-process result for every route (pdf_txt / pdf_ocr / html / pptx /
+docx / office / plain / empty / error).
+
+For the fingerprint PAIR query the golden file stores only the per-doc
+fingerprint arrays; DuckDB recomputes the df-cap + self-join + overlap
+count relationally — an independent check of the join logic itself.
+For ANN top-k the golden is an independent NUMPY reimplementation of the
+probe/cosine math (vs the Spark SQL expression tree).
+
+Files live under $SPARK_GRAFT_GOLDEN_DIR (default /tmp/mineru_spark_golden)
+keyed by a hash of every mineru_spark source file — any kernel or datagen
+change invalidates and regenerates them (same discipline as the bench
+corpus).  Writes are atomic (tmp + rename), safe under concurrent callers.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+GOLDEN_ROOT = os.environ.get("SPARK_GRAFT_GOLDEN_DIR",
+                             "/tmp/mineru_spark_golden")
+
+# the driver's correctness gate runs at sf=0.01; oracle_sql() strings are
+# static, so golden paths are pinned to this scale factor
+ORACLE_SF = 0.01
+
+_N_PROCS = min(16, os.cpu_count() or 4)
+
+
+def corpus_key() -> str:
+    """Hash of every mineru_spark source file: any change to kernels,
+    datagen, or this module regenerates the goldens."""
+    root = os.path.dirname(__file__)
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                              recursive=True)):
+        h.update(f.encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.001
+
+
+def golden_path(name: str, sf: float = ORACLE_SF) -> str:
+    return os.path.join(GOLDEN_ROOT, corpus_key(), f"sf{sf:g}",
+                        f"{name}.parquet")
+
+
+def _write_atomic(table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# transcripts extraction golden (flagship)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_COLS = ("conv_id", "turn_idx", "route", "md", "content_list",
+                 "blocks_classified", "boilerplate_dropped", "ocr_fallback")
+
+
+def _extract_conv_range(bounds: tuple[int, int]) -> list[tuple]:
+    """Worker: full oracle pipeline (extract_turn + finalize_conv) for convs
+    [lo, hi) — one complete conversation per finalize call, exactly like the
+    Spark path's conv-grouped finalize."""
+    from .datagen.transcripts import conv_length, gen_turn
+    from .kernels.oracle import extract_turn, finalize_conv
+
+    lo, hi = bounds
+    rows: list[tuple] = []
+    for ci in range(lo, hi):
+        conv_id = f"conv-{ci:08d}"
+        outs = []
+        for ti in range(conv_length(ci)):
+            t = gen_turn(ci, ti)
+            r = extract_turn(t["text"], t["tool"])
+            r["turn_idx"] = ti
+            outs.append(r)
+        finalize_conv(outs)
+        for r in outs:
+            m = r["metrics"]
+            rows.append((conv_id, r["turn_idx"], r["route"], r["md"],
+                         r["content_list"], m["blocks_classified"],
+                         m["boilerplate_dropped"], m["ocr_fallback"]))
+    return rows
+
+
+def ensure_golden_extract(sf: float = ORACLE_SF) -> str:
+    path = golden_path("golden_extract", sf)
+    if os.path.exists(path):
+        return path
+    import multiprocessing as mp
+
+    import pyarrow as pa
+
+    from .datagen.transcripts import n_convs_for_sf
+
+    n = n_convs_for_sf(sf)
+    step = max(1, (n + _N_PROCS * 4 - 1) // (_N_PROCS * 4))
+    bounds = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(_N_PROCS) as pool:
+        chunks = pool.map(_extract_conv_range, bounds)
+    rows = [r for ch in chunks for r in ch]
+    cols = list(zip(*rows))
+    table = pa.table({
+        "conv_id": pa.array(cols[0], pa.string()),
+        "turn_idx": pa.array(cols[1], pa.int32()),
+        "route": pa.array(cols[2], pa.string()),
+        "md": pa.array(cols[3], pa.string()),
+        "content_list": pa.array(cols[4], pa.string()),
+        "blocks_classified": pa.array(cols[5], pa.int32()),
+        "boilerplate_dropped": pa.array(cols[6], pa.int32()),
+        "ocr_fallback": pa.array(cols[7], pa.int32()),
+    })
+    _write_atomic(table, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# docwrap golden (per-doc HTML roundtrip metrics)
+# ---------------------------------------------------------------------------
+
+def _docwrap_chunk(args: tuple[list[int], list[str]]) -> list[tuple]:
+    from .kernels.html_extract import extract_html
+    from .sources.docwrap import wrap_doc_html
+
+    ids, texts = args
+    out = []
+    for did, text in zip(ids, texts):
+        blocks, metrics = extract_html(wrap_doc_html(did, text))
+        out.append((did, metrics["blocks_classified"],
+                    metrics["boilerplate_dropped"]))
+    return out
+
+
+def ensure_golden_docwrap(sf_dir: str, sf: float = ORACLE_SF) -> str:
+    path = golden_path("golden_docwrap", sf)
+    if os.path.exists(path):
+        return path
+    import multiprocessing as mp
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    step = max(1, (len(ids) + _N_PROCS - 1) // _N_PROCS)
+    chunks = [(ids[i:i + step], texts[i:i + step])
+              for i in range(0, len(ids), step)]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(min(_N_PROCS, len(chunks))) as pool:
+        parts = pool.map(_docwrap_chunk, chunks)
+    rows = [r for p in parts for r in p]
+    cols = list(zip(*rows))
+    table = pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "n_blocks": pa.array(cols[1], pa.int32()),
+        "boilerplate_dropped": pa.array(cols[2], pa.int32()),
+    })
+    _write_atomic(table, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# winnowed fingerprint golden (per-doc arrays; DuckDB does the pair join)
+# ---------------------------------------------------------------------------
+
+def ensure_golden_fingerprints(sf_dir: str, sf: float = ORACLE_SF) -> str:
+    path = golden_path("golden_fingerprints", sf)
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .textops import winnow_fingerprints
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    fps = [winnow_fingerprints(t or "") for t in docs["text"].to_pylist()]
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fp": pa.array(fps, pa.list_(pa.int64())),
+        "n_fp": pa.array([len(f) for f in fps], pa.int32()),
+    })
+    _write_atomic(table, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# media feature golden (stub decode is deterministic per media_id)
+# ---------------------------------------------------------------------------
+
+def ensure_golden_media(n: int, sf: float = ORACLE_SF) -> str:
+    path = golden_path("golden_media", sf)
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+
+    from .multimodal import decode_media
+
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"media-{i}".encode()).digest()
+        mime = ("image/png", "audio/wav", "video/mp4")[i % 3]
+        payload = h * (8 + i % 4)
+        try:
+            decode_media(payload, mime)
+            ok = True
+        except Exception:
+            ok = False
+        rows.append((i, mime, ok))
+    cols = list(zip(*rows))
+    table = pa.table({
+        "media_id": pa.array(cols[0], pa.int64()),
+        "mime": pa.array(cols[1], pa.string()),
+        "decode_ok": pa.array(cols[2], pa.bool_()),
+    })
+    _write_atomic(table, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# ANN golden: independent numpy reimplementation of the probe/cosine math
+# ---------------------------------------------------------------------------
+
+def ensure_golden_ann(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                      radius: int = 2, sf: float = ORACLE_SF) -> str:
+    path = golden_path("golden_ann", sf)
+    if os.path.exists(path):
+        return path
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .simsearch import _PLANES, probe_set, query_signature
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vec_ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    q = mat[np.flatnonzero(vec_ids == query_vec_id)[0]]
+    qvec = [float(v) for v in q]
+    sigs = ((mat @ _PLANES.T) > 0).astype(np.int64) @ (
+        1 << np.arange(_PLANES.shape[0], dtype=np.int64))
+    probes = set(probe_set(query_signature(qvec), radius))
+    cand = [i for i in range(len(mat))
+            if int(sigs[i]) in probes and int(vec_ids[i]) != query_vec_id]
+    # mirror the Spark expression's float64 LEFT-FOLD summation order
+    # (numpy's pairwise dot rounds differently in the last ulp) and its
+    # driver-side np.linalg.norm for the query norm, so the doubles going
+    # into round() are bit-identical; Spark ROUND(double, 6) goes through
+    # the shortest decimal repr then HALF_UP — Decimal(repr(v)) matches
+    qn = float(np.linalg.norm(np.array(qvec)))
+    cos_r = []
+    for i in cand:
+        dot = 0.0
+        nrm = 0.0
+        for a, b in zip(mat[i], q):
+            dot = dot + float(a) * float(b)
+            nrm = nrm + float(a) * float(a)
+        v = dot / (np.sqrt(nrm) * qn)
+        cos_r.append(float(Decimal(repr(float(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)))
+    order = sorted(range(len(cand)),
+                   key=lambda i: (-cos_r[i], int(vec_ids[cand[i]])))[:k]
+    table = pa.table({
+        "vec_id": pa.array([int(vec_ids[cand[i]]) for i in order],
+                           pa.int64()),
+        "label": pa.array([int(labels[cand[i]]) for i in order],
+                          pa.int32()),
+        "cos": pa.array([cos_r[i] for i in order], pa.float64()),
+    })
+    _write_atomic(table, path)
+    return path

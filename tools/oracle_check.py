@@ -29,7 +29,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default sf0.01: the driver's correctness scale — the golden-parquet
+    # oracles (mineru_spark/golden.py) are pinned to it
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
