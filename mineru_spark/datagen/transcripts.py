@@ -204,7 +204,8 @@ def _emit_word_chars(chars: list, word: str, x: float, y: float, size: float,
 
 def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int,
                          idx_start: int, cjk: bool = False,
-                         continues: bool = False) -> tuple[list, int]:
+                         continues: bool = False,
+                         lead_digit: bool = False) -> tuple[list, int]:
     """Lay words left-to-right, wrapping inside bbox; spaces are implied by
     gaps (1 char width), exactly like a real PDF text stream — the kernel
     re-inserts spaces when gap > 0.25 × median char width
@@ -232,6 +233,10 @@ def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int
     for si, n_words in enumerate(sentence_lens):
         for wi in range(n_words):
             word = rng.choice(_VOCAB)
+            if lead_digit and si == 0 and wi == 0:
+                # digit-led paragraph head (exercises the D1 merge veto:
+                # a block starting with a digit is never a continuation)
+                word = str(rng.randint(2020, 2030))
             # corruption: full-width forms (reference char_utils.py:21-38)
             if rng.random() < 0.05:
                 word = "".join(chr(ord(c) - ord("a") + 0xFF41)
@@ -266,6 +271,16 @@ def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int
                 x, ci = _emit_word_chars(chars, str(rng.randint(1, 9)), x,
                                          y - 0.2 * BODY_SIZE, 0.7 * BODY_SIZE,
                                          rng, ci, sup=True)
+            # a "continues" paragraph must end with a FULL last line (the
+            # page cut the sentence, it didn't trail off): pad the tail of
+            # the final sentence with filler words that keep fitting
+            if continues and si == n_sentences - 1 and wi == n_words - 1:
+                # gap + one 1-char word costs 2*CHAR_W; stop when the line
+                # is within 2*CHAR_W (< line height) of the right edge
+                while x + 2 * CHAR_W <= x1:
+                    x += CHAR_W
+                    x, ci = _emit_word_chars(chars, "a", x, y, BODY_SIZE,
+                                             rng, ci)
             # inline math run in the Math font (M2 `$...$` analog)
             if wi != n_words - 1 and rng.random() < 0.02:
                 x += CHAR_W
@@ -300,10 +315,12 @@ def _gen_pdf(rng: random.Random) -> str:
         ci = 0
         li = 0
 
-        def add_block(label, bbox, n_sent=1, cjk=False, continues=False):
+        def add_block(label, bbox, n_sent=1, cjk=False, continues=False,
+                      lead_digit=False):
             nonlocal ci, li
             blk_chars, ci = _gen_pdf_block_chars(rng, bbox, n_sent, ci,
-                                                 cjk=cjk, continues=continues)
+                                                 cjk=cjk, continues=continues,
+                                                 lead_digit=lead_digit)
             if blk_chars:
                 xs0 = min(c["bbox"][0] for c in blk_chars)
                 ys0 = min(c["bbox"][1] for c in blk_chars)
@@ -324,9 +341,12 @@ def _gen_pdf(rng: random.Random) -> str:
             add_block("doc_title", [50.0, y, 562.0, y + 14.0], 1)
             y += 40.0
         elif cross_page:
-            # continuation paragraph: first body block, starts lowercase
+            # continuation paragraph: first body block, starts lowercase —
+            # except ~30%: a digit-led paragraph that must NOT merge (the
+            # reference's span_start_with_num veto, para_split.py:292)
             h = rng.randint(2, 4) * LINE_H
-            add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2))
+            add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2),
+                      lead_digit=rng.random() < 0.3)
             y += h + 14.0
         def add_text_line_block(label, text, y, size=BODY_SIZE):
             """One literal text line as chars (captions, code lines, list
@@ -489,6 +509,13 @@ def _gen_pdf(rng: random.Random) -> str:
                            "label": "text", "index": -1 if no_index else li})
             li += 1
             y = vy + 12.0
+        elif r_rich < 0.97:
+            # TOC/index block mislabeled as text: left-flush lines ending
+            # in page numbers — the D1 geometric classifier (edge stats +
+            # ≥80% digit-end) must recover it as an index block
+            toc = [f"{_sentence(rng, 2, 4)} {rng.randint(1, 99)}"
+                   for _ in range(rng.randint(4, 6))]
+            y = add_multiline_block("text", toc, y) + 12.0
         if p == 0 and cross_page:
             # the continuing paragraph: ends mid-sentence (no period)
             h = rng.randint(2, 4) * LINE_H

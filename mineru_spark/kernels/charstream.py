@@ -125,15 +125,90 @@ import re as _re
 
 _LIST_MARKER = _re.compile(r"^(?:[•◦▪*-]|\d{1,3}[.)])\s")
 
+# reference para_split.py:7-8
+LINE_STOP_FLAG = ('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
+                  ':', '：', ';', '；')
+LIST_END_FLAG = ('.', '。', ';', '；')
+
 
 def is_list_block(lines: list[str]) -> bool:
-    """D1 list/index-block classification (simplified from the reference's
-    line-edge alignment statistics, para_split.py:59-262): ≥3 lines of
-    which ≥80% start with a bullet or a numbered marker."""
+    """D1 marker-based list detection (explicit bullets/numbering — the
+    cases the reference's layout model would label `list` outright): ≥3
+    lines of which ≥80% start with a bullet or a numbered marker."""
     if len(lines) < 3:
         return False
     hits = sum(1 for ln in lines if _LIST_MARKER.match(ln))
     return hits >= LIST_LINE_RATIO * len(lines)
+
+
+def classify_text_block(lines: list[str], lbb: "np.ndarray",
+                        block_bbox: tuple, page_w: float) -> str:
+    """D1 geometric list/index classification — the reference's line-edge
+    alignment statistics (para_split.py:59-262) over our line bboxes:
+
+    - index: ≥80% of lines flush on one edge AND ≥80% start or end with a
+      digit (TOC / index blocks);
+    - centered list: ≥2 lines clear of both edges, every line centered,
+      tall-ish block;
+    - list: ≥2 left-flush lines and (≥2 right-ragged, or ≥80% end with a
+      list terminator, or ≥2 left-indented), unless the block shows the
+      indented-first-line + short-last-line shape of a multi-paragraph;
+    - else text.
+
+    `lines` are the assembled line texts, `lbb` the (n,4) line bbox array.
+    """
+    n = len(lines)
+    if n < 2:
+        return "text"
+    # bbox_fs: union of line bboxes (reference __process_blocks)
+    ux0, uy0 = float(lbb[:, 0].min()), float(lbb[:, 1].min())
+    ux1, uy1 = float(lbb[:, 2].max()), float(lbb[:, 3].max())
+    lh = float(lbb[0, 3] - lbb[0, 1])
+    bw = ux1 - ux0
+    bh = uy1 - uy0
+    if lh <= 0 or bw <= 0:
+        return "text"
+    bw_ratio = bw / page_w if page_w else 0.0
+
+    x0, x1 = lbb[:, 0], lbb[:, 2]
+    left_close = np.abs(x0 - ux0) < lh / 2
+    left_not_close = (x0 - ux0) > lh
+    right_close = np.abs(ux1 - x1) < lh
+    # CJK-like text has no long unbreakable words → tighter ragged-edge
+    # threshold; same for wide blocks (para_split.py:141-151)
+    blk_text = "".join(lines)
+    if emit.is_cjk_text(blk_text) or bw_ratio >= 0.5:
+        closed_area = 0.26 * bw
+    else:
+        closed_area = 0.36 * bw
+    right_not_close = (ux1 - x1) > closed_area
+    mid = (x0 + x1) / 2.0
+    center_close = np.abs(mid - (ux0 + ux1) / 2.0) < lh / 2
+    both_clear = ((x0 - ux0) > 0.7 * lh) & ((ux1 - x1) > 0.7 * lh)
+
+    # indented first line + flush-left short last line → multi-paragraph
+    multiple_para = (x0[0] - ux0 > lh / 2
+                     and abs(x0[-1] - ux0) < lh / 2
+                     and ux1 - x1[-1] > lh)
+
+    num_start = sum(1 for t in lines if t and t[0].isdigit())
+    num_end = sum(1 for t in lines if t and t[-1].isdigit())
+    flag_end = sum(1 for t in lines if t and t[-1] in LIST_END_FLAG)
+    line_num_flag = num_start / n >= 0.8 or num_end / n >= 0.8
+    line_end_flag = flag_end / n >= 0.8
+
+    lc, rc = int(left_close.sum()), int(right_close.sum())
+    if (lc / n >= 0.8 or rc / n >= 0.8) and line_num_flag:
+        return "index"
+    if (int(both_clear.sum()) >= 2 and int(center_close.sum()) == n
+            and both_clear.sum() / n >= 0.5 and bh / bw > 0.4):
+        return "list"
+    if (lc >= 2
+            and (int(right_not_close.sum()) >= 2 or line_end_flag
+                 or int(left_not_close.sum()) >= 2)
+            and not multiple_para):
+        return "list"
+    return "text"
 
 
 def strip_list_markers(lines: list[str]) -> list[str]:
@@ -273,17 +348,18 @@ def _dedup_mask(pc: PageCols) -> "np.ndarray":
 
 
 def _assemble_block(pc: PageCols, sel: "np.ndarray",
-                    page_idx: int) -> tuple[list[str], list[dict]]:
-    """Block chars (index array into the page columns) → (line texts, span
-    records).
+                    page_idx: int) -> tuple[list[str], "np.ndarray",
+                                            list[dict]]:
+    """Block chars (index array into the page columns) → (line texts,
+    line bbox array (n_lines, 4), span records).
 
-    Vectorized over the page's column arrays; returns per-line text
-    (hyphen/CJK merge is applied later by the caller) and span records
-    {page_idx,bbox,type,content}.
+    Vectorized over the page's column arrays; per-line bboxes feed the D1
+    edge-alignment statistics; hyphen/CJK merge is applied later by the
+    caller.
     """
     n = len(sel)
     if n == 0:
-        return [], []
+        return [], np.empty((0, 4)), []
     x0, y0 = pc.x0[sel], pc.y0[sel]
     x1, y1 = pc.x1[sel], pc.y1[sel]
     size, idx = pc.size[sel], pc.idx[sel]
@@ -379,7 +455,12 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
             })
         lines_text.append("".join(parts))
 
-    return lines_text, spans_out
+    # per-line bboxes (contiguous slices → reduceat)
+    starts = bounds[:-1]
+    lbb = np.column_stack([
+        np.minimum.reduceat(x0, starts), np.minimum.reduceat(y0, starts),
+        np.maximum.reduceat(x1, starts), np.maximum.reduceat(y1, starts)])
+    return lines_text, lbb, spans_out
 
 
 def _assemble_vertical(pc: PageCols, sel: "np.ndarray",
@@ -525,7 +606,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 # vertical detection (B5): tall-narrow block whose line
                 # segmentation degenerates to single-char lines
                 bw, bh = max(1e-6, bx1 - bx0), by1 - by0
-                lines, bspans = _assemble_block(pc, sel, page_idx)
+                lines, lbb, bspans = _assemble_block(pc, sel, page_idx)
                 if (bh / bw >= VERTICAL_ASPECT and len(lines) >= 3
                         and sum(1 for ln in lines if len(ln) == 1)
                         >= VERTICAL_SINGLE * len(lines)):
@@ -538,11 +619,35 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                     items = [ln.lstrip("•◦-* ").strip() for ln in lines]
                     rec["text"] = "\n".join(it for it in items if it)
                 elif label == "text" and is_list_block(lines):
-                    # D1: unlabeled list detected from line structure
+                    # D1: unlabeled marker list detected from line structure
                     rec["type"] = "list"
                     rec["text"] = "\n".join(strip_list_markers(lines))
+                elif label == "text" and len(lines) >= 2 and (kind := (
+                        classify_text_block(lines, lbb,
+                                            (bx0, by0, bx1, by1), pw))
+                        ) != "text":
+                    # D1: geometric list/index classification (edge stats)
+                    rec["type"] = kind
+                    rec["text"] = "\n".join(
+                        ln.strip() for ln in lines if ln.strip())
                 else:
                     rec["text"] = emit.merge_lines(lines)
+                    if lines and len(lbb):
+                        # merge-guard geometry for the cross-page/column
+                        # paragraph merge (D1, para_split.py:265-306)
+                        ux0 = float(lbb[:, 0].min())
+                        ux1 = float(lbb[:, 2].max())
+                        lh = float(lbb[0, 3] - lbb[0, 1])
+                        rec["_mg"] = {
+                            "first_flush": abs(float(lbb[0, 0]) - ux0)
+                            < lh / 2,
+                            "last_right_flush": abs(ux1 - float(lbb[-1, 2]))
+                            < lh,
+                            "width": ux1 - ux0,
+                            "n_lines": len(lines),
+                            "y0": float(lbb[:, 1].min()),
+                            "y1": float(lbb[:, 3].max()),
+                        }
                 spans_out.extend(bspans)
 
             if rec["text"] or label == "image":
@@ -609,28 +714,56 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     return blocks_out, spans_out, metrics
 
 
-_MERGE_TAIL = set("abcdefghijklmnopqrstuvwxyz-")
-
-
 def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
-    """Cross-block/cross-page paragraph merge (D1, reference
-    para_split.py:265-306): a text block that ends mid-sentence (last char
-    a lowercase letter or hyphen — sentence stops carry punctuation) is
-    merged with the next text block iff that block starts lowercase.
-    Hyphen endings splice (char_utils.py:7-18); otherwise space-joined via
-    the shared line-merge rule."""
+    """Cross-page/column paragraph merge (D1, reference
+    para_split.py:265-306 __merge_2_text_blocks): a later text block merges
+    into the previous one iff ALL the reference guards hold:
+
+    - the later block's first line is left-flush (a real new paragraph
+      would be indented);
+    - the previous block's last line reaches its right edge (the sentence
+      ran out of room, not out of words);
+    - the previous text does not end with a stop flag (. ! ? ) " : ; and
+      CJK equivalents);
+    - block widths differ by less than 2× (width ratio guard);
+    - the later text does not start with a digit or an uppercase letter;
+    - the later block sits ABOVE the previous block's bottom edge or on a
+      later page (column/page wrap — stacked same-column paragraphs never
+      merge, para_split.py:300 `block1.bbox[1] < block2.bbox[3]`);
+    - at least one of the two blocks has more than one line.
+
+    Hyphen endings splice, CJK joins without a space (emit.merge_lines).
+    Blocks merged across pages are marked cross_page (SplitFlag analog)."""
     out: list[dict] = []
     merged = 0
     for b in blocks:
-        if (out and b["type"] == "text" and out[-1]["type"] == "text"
-                and out[-1]["text"] and b["text"]
-                and out[-1]["text"][-1] in _MERGE_TAIL
-                and b["text"][:1].islower() and b["text"][:1].isascii()):
-            out[-1] = {**out[-1],
-                       "text": emit.merge_lines([out[-1]["text"], b["text"]])}
-            merged += 1
-        else:
-            out.append(b)
+        if out and b["type"] == "text" and out[-1]["type"] == "text":
+            p = out[-1]
+            mp, mb = p.get("_mg"), b.get("_mg")
+            head = b["text"][:1]
+            if (mp and mb and p["text"] and b["text"]
+                    and mb["first_flush"]
+                    and mp["last_right_flush"]
+                    and not p["text"].endswith(LINE_STOP_FLAG)
+                    and abs(mp["width"] - mb["width"])
+                    < min(mp["width"], mb["width"])
+                    and not head.isdigit() and not head.isupper()
+                    and (b["page_idx"] > p["page_idx"]
+                         or mb["y0"] < mp["y1"])
+                    and (mp["n_lines"] > 1 or mb["n_lines"] > 1)):
+                cross = b["page_idx"] > p["page_idx"]
+                out[-1] = {**p,
+                           "text": emit.merge_lines([p["text"], b["text"]]),
+                           "_mg": {**mp, "last_right_flush":
+                                   mb["last_right_flush"],
+                                   "n_lines": mp["n_lines"] + mb["n_lines"]}}
+                if cross:
+                    out[-1]["cross_page"] = True
+                merged += 1
+                continue
+        out.append(b)
+    for b in out:
+        b.pop("_mg", None)
     return out, merged
 
 

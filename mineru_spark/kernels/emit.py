@@ -128,6 +128,11 @@ def render_md_block(btype: str, text: str, level: int = 1) -> str:
     if btype == "list":
         items = [it for it in text.split("\n") if it.strip()]
         return "\n".join("- " + escape_markdown(normalize_text(it)) for it in items)
+    if btype == "index":
+        # TOC/index block (D1, reference para_split.py:183-189): lines kept
+        # verbatim, one per row (the reference's per-line hard breaks)
+        items = [it for it in text.split("\n") if it.strip()]
+        return "\n".join(escape_markdown(normalize_text(it)) for it in items)
     if btype == "table":
         return text  # already canonical HTML block
     if btype == "code":

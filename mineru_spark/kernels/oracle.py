@@ -93,6 +93,9 @@ def _middle_json(blocks: list[dict], route: str) -> str:
             item["text"] = b["text"]
             if b.get("lang"):
                 item["lang"] = b["lang"]
+            if b.get("cross_page"):
+                # SplitFlag.CROSS_PAGE analog (para_split.py:301-304)
+                item["cross_page"] = True
         pages.setdefault(b["page_idx"], []).append(item)
     info = [{"page_idx": p, "para_blocks": pages[p]} for p in sorted(pages)]
     return json.dumps({"pdf_info": info, "_backend": route},

@@ -272,27 +272,87 @@ def test_charstream_xycut_when_no_index():
 # cross-block paragraph merge (D1)
 # ---------------------------------------------------------------------------
 
-def test_para_merge_across_blocks():
-    mk = lambda s, y, i0: [_char(c, 50 + 5 * k, y, idx=i0 + k)
-                           for k, c in enumerate(s)]
-    # block 1 ends mid-sentence (lowercase, no period); block 2 starts lower
-    chars = mk("starts.", 100, 0) + mk("and", 112, 10) + mk("ends.", 200, 20)
-    layout = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0},
-              {"bbox": [45, 195, 300, 230], "label": "text", "index": 1}]
-    blocks, _, m = extract_pdf(_page(chars, layout))
+def _mk_line(s, y, i0):
+    return [_char(c, 50 + 5 * k, y, idx=i0 + k) for k, c in enumerate(s)]
+
+
+def _two_page(chars0, layout0, chars1, layout1):
+    return {"kind": "pdf_chars", "pages": [
+        {"page_idx": 0, "page_size": [612.0, 792.0],
+         "chars": chars0, "layout": layout0},
+        {"page_idx": 1, "page_size": [612.0, 792.0],
+         "chars": chars1, "layout": layout1}]}
+
+
+def test_para_merge_across_pages():
+    """Reference merge guards (para_split.py:265-306): prev block's last
+    line right-flush, no stop flag, next block left-flush + lowercase, on a
+    later page → merge, with the cross_page flag."""
+    a = _mk_line("alpha beta gam", 100, 0) + \
+        _mk_line("delta epsilon zet", 112, 20)
+    la = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0}]
+    b = _mk_line("ends the tale.", 60, 40)
+    lb = [{"bbox": [45, 55, 300, 90], "label": "text", "index": 0}]
+    blocks, _, m = extract_pdf(_two_page(a, la, b, lb))
     assert len(blocks) == 1
-    assert blocks[0]["text"] == "starts. and ends."
+    assert blocks[0]["text"] == \
+        "alpha beta gam delta epsilon zet ends the tale."
+    assert blocks[0]["cross_page"] is True
     assert m["para_merged"] == 1
 
 
 def test_para_no_merge_after_period():
-    mk = lambda s, y, i0: [_char(c, 50 + 5 * k, y, idx=i0 + k)
-                           for k, c in enumerate(s)]
-    chars = mk("done.", 100, 0) + mk("next.", 200, 20)
+    """A stop flag on the previous block vetoes the merge even across
+    pages (LINE_STOP_FLAG, para_split.py:7)."""
+    a = _mk_line("alpha beta gam", 100, 0) + \
+        _mk_line("delta epsilon is.", 112, 20)
+    la = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0}]
+    b = _mk_line("next paragraph.", 60, 40)
+    lb = [{"bbox": [45, 55, 300, 90], "label": "text", "index": 0}]
+    blocks, _, m = extract_pdf(_two_page(a, la, b, lb))
+    assert len(blocks) == 2 and m["para_merged"] == 0
+
+
+def test_para_no_merge_digit_or_upper_head():
+    """span_start_with_num / span_start_with_big_char vetoes
+    (para_split.py:291-296)."""
+    a = _mk_line("alpha beta gam", 100, 0) + \
+        _mk_line("delta epsilon zet", 112, 20)
+    la = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0}]
+    for head in ("2026 follows it.", "Next sentence x."):
+        b = _mk_line(head, 60, 40)
+        lb = [{"bbox": [45, 55, 300, 90], "label": "text", "index": 0}]
+        blocks, _, m = extract_pdf(_two_page(a, la, b, lb))
+        assert len(blocks) == 2 and m["para_merged"] == 0
+
+
+def test_para_no_merge_same_column():
+    """Stacked same-column blocks never merge: the later block must sit
+    above the previous block's bottom edge or on a later page
+    (para_split.py:300)."""
+    chars = _mk_line("alpha beta gam", 100, 0) + \
+        _mk_line("delta epsilon zet", 112, 20) + \
+        _mk_line("ends the tale.", 200, 40)
     layout = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0},
               {"bbox": [45, 195, 300, 230], "label": "text", "index": 1}]
     blocks, _, m = extract_pdf(_page(chars, layout))
     assert len(blocks) == 2 and m["para_merged"] == 0
+
+
+def test_d1_geometric_index_block():
+    """TOC lines (left-flush, ≥80% digit-end) → index block, lines kept
+    verbatim (para_split.py:183-189)."""
+    chars, layout, j = [], [], 0
+    for r, line in enumerate(("alpha beta 12", "gamma delta 34",
+                              "epsilon zeta 56", "theta lambda 78")):
+        chars += _mk_line(line, 100 + 12 * r, j)
+        j += 20
+    layout = [{"bbox": [45, 95, 300, 160], "label": "text", "index": 0}]
+    blocks, _, _ = extract_pdf(_page(chars, layout))
+    assert blocks[0]["type"] == "index"
+    assert blocks[0]["text"].split("\n") == [
+        "alpha beta 12", "gamma delta 34", "epsilon zeta 56",
+        "theta lambda 78"]
 
 
 # ---------------------------------------------------------------------------
