@@ -666,6 +666,67 @@ def _inject_mojibake(payload: str) -> str:
     return json.dumps(d, ensure_ascii=False)
 
 
+def _inject_map_err(payload: str) -> str:
+    """Flag every 20th char as a unicode-map failure (C4 analog of the
+    pdfium per-char map-error signal, pdf_classify.py:459-476; ≥4%)."""
+    d = json.loads(payload)
+    k = 0
+    for page in d["pages"]:
+        for rec in page["chars"]:
+            if k % 20 == 0:
+                rec["map_err"] = True
+            k += 1
+    return json.dumps(d, ensure_ascii=False)
+
+
+def _inject_cid_font(payload: str) -> str:
+    """Re-font the first ≥40 chars of page 0 into a CID font that carries
+    no ToUnicode map (C5 analog, pdf_classify.py:596-655)."""
+    d = json.loads(payload)
+    page = d["pages"][0]
+    for rec in page["chars"][:max(40, len(page["chars"]) // 10)]:
+        f = rec["font"]
+        rec["font"] = {**f, "name": "CIDNoUni", "cid": True,
+                       "to_unicode": False}
+    return json.dumps(d, ensure_ascii=False)
+
+
+def _inject_latin_cjk(payload: str) -> str:
+    """Append 40 CJK chars set in a ToUnicode'd Latin-CharSet font (C6
+    analog, pdf_classify.py:658-732): the charset says Latin, the decoded
+    text is CJK."""
+    d = json.loads(payload)
+    page = d["pages"][0]
+    text = ("".join(_CJK_SENTENCES) * 3)[:40]
+    x, y = 50.0, 700.0
+    base = 20_000_000
+    for k, ch in enumerate(text):
+        if k == 20:
+            x, y = 50.0, 712.0
+        page["chars"].append({
+            "char": ch, "bbox": [round(x, 2), y, round(x + 10.0, 2), y + 10.0],
+            "font": {"name": "LatinCS", "size": BODY_SIZE, "flags": 0,
+                     "weight": 400, "charset": "latin", "to_unicode": True},
+            "rotation": 0.0, "char_idx": base + k})
+        x += 10.0
+    return json.dumps(d, ensure_ascii=False)
+
+
+def _inject_image_cover(payload: str) -> str:
+    """Append a near-full-page image object to EVERY page (C11 analog,
+    pdf_classify.py:1055-1090: per-page image-area coverage ≥ 0.8 on ≥ 80%
+    of sampled pages)."""
+    d = json.loads(payload)
+    for page in d["pages"]:
+        w, h = (page.get("page_size") or [PAGE_W, PAGE_H])[:2]
+        idxs = [b.get("index", -1) for b in page["layout"]]
+        nxt = max(idxs) + 1 if idxs and max(idxs) >= 0 else -1
+        page["layout"].append({"bbox": [0.0, 0.0, round(w * 0.95, 2),
+                                        round(h * 0.9, 2)],
+                               "label": "image", "index": nxt})
+    return json.dumps(d, ensure_ascii=False)
+
+
 # ---------------------------------------------------------------------------
 # Turn assembly
 # ---------------------------------------------------------------------------
@@ -720,10 +781,20 @@ def gen_turn(conv_i: int, turn_idx: int) -> dict:
         text, tool = _gen_docx(rng), "file_reader"
     else:
         text, tool = _gen_pdf(rng), "pdf_reader"
-        # rare mojibake corruption → abnormal-char ratio ≥ 3% → the
-        # classifier's ocr route (reference pdf_classify.py:418-451)
-        if _prng("corrupt", conv_id, turn_idx).random() < 0.04:
-            text = _inject_mojibake(text)
+        # rare corruption knobs, one per classifier signal family
+        # (reference pdf_classify.py cascade): each flips the doc to the
+        # ocr route through a different detector
+        rc = _prng("corrupt", conv_id, turn_idx).random()
+        if rc < 0.025:
+            text = _inject_mojibake(text)       # C7 abnormal ratio
+        elif rc < 0.040:
+            text = _inject_map_err(text)        # C4 unicode-map errors
+        elif rc < 0.055:
+            text = _inject_cid_font(text)       # C5 CID w/o ToUnicode
+        elif rc < 0.070:
+            text = _inject_latin_cjk(text)      # C6 Latin CharSet → CJK
+        elif rc < 0.085:
+            text = _inject_image_cover(text)    # C11 image coverage
     ts = _BASE_TS + timedelta(seconds=conv_i * 3600 + turn_idx * 37)
     return {"conv_id": conv_id, "turn_idx": turn_idx, "role": role,
             "text": text, "tool": tool, "ts": ts}

@@ -72,6 +72,15 @@ CAPTION_LABELS = {
 
 PUNCT_RUN_RATIO = 0.25   # C10: chars inside punct runs ≥ 4 long
 ASPECT_MAX = 10.0        # C2: page w/h or h/w beyond this → ocr
+# C4-C6, C11 font-table / raster signals (pdf_classify.py:18-26)
+MAP_ERR_RATIO = 0.04         # C4: unicode-map failure ratio over samples
+CID_USAGE_COUNT = 30         # C5: cid-without-ToUnicode chars per page ≥
+CID_USAGE_RATIO = 0.01       # C5: … and page-usage ratio ≥
+LATIN_CJK_COUNT = 30         # C6: latin-CharSet font chars per page ≥
+LATIN_CJK_USAGE_RATIO = 0.01 # C6: … page-usage ratio ≥
+LATIN_CJK_CJK_RATIO = 0.8    # C6: … of which CJK glyph share ≥
+IMAGE_COVERAGE = 0.8         # C11: image area / page area per page ≥,
+                             #      and share of such sampled pages ≥
 SCRIPT_MIX_RATIO = 0.18  # C8: non-dominant-script share threshold
 SCRIPT_MIN = 3           # C8: ≥3 scripts present
 MOJIBAKE_RATIO = 0.026   # C9: U+7280-72DF share of CJK chars
@@ -119,6 +128,36 @@ def _page_signals(codes: "np.ndarray") -> dict:
         punct_run = 0
     return {"abnormal": abnormal, "scripts": scripts, "cjk": cjk,
             "mojibake": moji, "punct_run": punct_run}
+
+
+def _font_signals(pc: PageCols) -> tuple[int, bool, bool]:
+    """Per-page font-table signals (C4/C5/C6 analogs over the payload's
+    font-resource metadata, reference pdf_classify.py:459-732):
+
+    returns (unicode-map-error char count, C5 triggered, C6 triggered).
+    C5: chars set in CID fonts that carry no ToUnicode map (count ≥ 30 and
+    ≥ 1% of the page).  C6: a Type1-style font whose CharSet is Latin but
+    whose decoded chars are ≥ 80% CJK (same count/usage gates)."""
+    map_err = int(pc.maperr.sum()) if pc.maperr is not None else 0
+    c5 = c6 = False
+    n = pc.n
+    if n:
+        cid_names = {nm for nm, f in pc.font_attrs.items()
+                     if f.get("cid") and not f.get("to_unicode")}
+        if cid_names:
+            cnt = sum(1 for nm in pc.names if nm in cid_names)
+            c5 = cnt >= CID_USAGE_COUNT and cnt / n >= CID_USAGE_RATIO
+        for nm, f in pc.font_attrs.items():
+            if f.get("charset") == "latin" and f.get("to_unicode"):
+                m = np.array([x == nm for x in pc.names])
+                cnt = int(m.sum())
+                if cnt >= LATIN_CJK_COUNT and cnt / n >= LATIN_CJK_USAGE_RATIO:
+                    codes = pc.codes[m]
+                    cjk = int(((codes >= 0x4E00) & (codes <= 0x9FFF)).sum())
+                    if cjk / cnt >= LATIN_CJK_CJK_RATIO:
+                        c6 = True
+                        break
+    return map_err, c5, c6
 
 
 import re as _re
@@ -243,7 +282,7 @@ class PageCols:
     slices of these arrays."""
 
     __slots__ = ("n", "x0", "y0", "x1", "y1", "size", "idx", "codes",
-                 "glyphs", "mathmask")
+                 "glyphs", "mathmask", "names", "font_attrs", "maperr")
 
     def __init__(self, recs: list[dict]):
         n = len(recs)
@@ -264,10 +303,28 @@ class PageCols:
         else:
             self.codes = np.array([(ord(g) if len(g) == 1 else hash(g))
                                    & 0xFFFFF for g in glyphs], dtype=np.int64)
+        # per-char font names + first-seen font resource attributes (the
+        # pypdf font-table signals, pdf_classify.py:932-1032) + per-char
+        # unicode-map failure flags (pdfium signal, :459-476)
+        names: list = []
+        attrs: dict = {}
+        maperr = None
+        for j, r in enumerate(recs):
+            f = r["font"]
+            nm = f.get("name")
+            names.append(nm)
+            if nm not in attrs:
+                attrs[nm] = f
+            if r.get("map_err"):
+                if maperr is None:
+                    maperr = np.zeros(n, dtype=bool)
+                maperr[j] = True
+        self.names = names
+        self.font_attrs = attrs
+        self.maperr = maperr
         # inline-math marker font (MFR-analog); None when absent
-        names = [r["font"].get("name") for r in recs]
         self.mathmask = (np.array([nm == "Math" for nm in names])
-                         if "Math" in names else None)
+                         if "Math" in attrs else None)
 
     def take(self, mask: "np.ndarray") -> "PageCols":
         out = PageCols.__new__(PageCols)
@@ -275,6 +332,9 @@ class PageCols:
         for f in ("x0", "y0", "x1", "y1", "size", "idx", "codes"):
             setattr(out, f, getattr(self, f)[mask])
         out.glyphs = [g for g, m in zip(self.glyphs, mask) if m]
+        out.names = [g for g, m in zip(self.names, mask) if m]
+        out.font_attrs = self.font_attrs
+        out.maperr = self.maperr[mask] if self.maperr is not None else None
         out.mathmask = self.mathmask[mask] if self.mathmask is not None \
             else None
         return out
@@ -498,6 +558,10 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     script_counts: dict[str, int] = {}
     cjk_chars = 0
     mojibake_chars = 0
+    map_err_chars = 0
+    c5_trig = False
+    c6_trig = False
+    high_cov_pages = 0
 
     pages = payload.get("pages", [])
     if not isinstance(pages, list):
@@ -546,6 +610,10 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             mojibake_chars += sig["mojibake"]
             for name, n in sig["scripts"].items():
                 script_counts[name] = script_counts.get(name, 0) + n
+            merr, c5, c6 = _font_signals(pc)
+            map_err_chars += merr
+            c5_trig = c5_trig or c5
+            c6_trig = c6_trig or c6
 
         cx = (pc.x0 + pc.x1) / 2.0
         cy = (pc.y0 + pc.y1) / 2.0
@@ -557,6 +625,15 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         layout = [b for b in layout
                   if isinstance(b, dict) and isinstance(b.get("bbox"), list)
                   and len(b["bbox"]) == 4]
+        if in_sample and pw > 0 and ph > 0:
+            # C11: summed image-object area vs page area (pdf_classify.py
+            # :1055-1090 — areas summed, ratio clipped to 1.0 per page)
+            img_area = sum(
+                max(0.0, b["bbox"][2] - b["bbox"][0])
+                * max(0.0, b["bbox"][3] - b["bbox"][1])
+                for b in layout if b.get("label") == "image")
+            if min(img_area / (pw * ph), 1.0) >= IMAGE_COVERAGE:
+                high_cov_pages += 1
         if any(int(b.get("index", -1)) < 0 for b in layout):
             # no model-emitted order → geometric XY-cut (B8)
             order = xy_cut_order([b["bbox"] for b in layout])
@@ -692,6 +769,12 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         ocr = 1  # E6 runaway page (reference const span_pre_proc.py:17)
     elif total_chars / n_pages < MIN_CHARS_PER_PAGE:
         ocr = 1  # C3
+    elif total_chars and map_err_chars / total_chars >= MAP_ERR_RATIO:
+        ocr = 1  # C4 unicode-map failures (pdf_classify.py:459-476, :137-149)
+    elif c5_trig:
+        ocr = 1  # C5 CID font without ToUnicode (pdf_classify.py:596-655)
+    elif c6_trig:
+        ocr = 1  # C6 Latin-CharSet font decoding CJK (pdf_classify.py:658-732)
     elif total_chars and abnormal_chars / total_chars >= ABNORMAL_RATIO:
         ocr = 1  # C7 (control/PUA/replacement; PUA doubles as E10 signal)
     elif len(minor_scripts) >= SCRIPT_MIN and minor_share >= SCRIPT_MIX_RATIO:
@@ -700,6 +783,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         ocr = 1  # C9 mojibake detector (pdf_classify.py:802-828)
     elif total_chars and punct_run_chars / total_chars >= PUNCT_RUN_RATIO:
         ocr = 1  # C10 (ASCII-punct runs, pdf_classify.py:837-929)
+    elif sampled and high_cov_pages / len(sampled) >= IMAGE_COVERAGE:
+        ocr = 1  # C11 high image coverage (pdf_classify.py:242-246,:1055-1090)
 
     metrics = {
         "blocks_classified": len(blocks_out),

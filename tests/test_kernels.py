@@ -498,6 +498,80 @@ def test_classification_cascade_c2_c8():
     assert m["ocr_fallback"] == 1
 
 
+def _body_block(n_rows=6, ncols=20):
+    """A healthy text page: n_rows x ncols plain chars + its layout."""
+    chars = []
+    j = 0
+    for r in range(n_rows):
+        for k in range(ncols):
+            chars.append(_char("abcdefghij"[k % 10], 50 + 5 * k,
+                               100 + 12 * r, idx=j))
+            j += 1
+    layout = [{"bbox": [45, 95, 200, 100 + 12 * n_rows],
+               "label": "text", "index": 0}]
+    return chars, layout
+
+
+def test_c4_unicode_map_errors():
+    chars, layout = _body_block()
+    for k, c in enumerate(chars):
+        if k % 20 == 0:
+            c["map_err"] = True  # 5% ≥ 4% threshold
+    _, _, m = extract_pdf(_page(chars, layout))
+    assert m["ocr_fallback"] == 1
+    chars2, layout2 = _body_block()
+    chars2[0]["map_err"] = True  # 1/120 < 4%
+    _, _, m2 = extract_pdf(_page(chars2, layout2))
+    assert m2["ocr_fallback"] == 0
+
+
+def test_c5_cid_font_without_tounicode():
+    chars, layout = _body_block()
+    for c in chars[:40]:  # 40 ≥ 30 and 40/120 ≥ 1%
+        c["font"] = {**c["font"], "name": "CIDX", "cid": True,
+                     "to_unicode": False}
+    _, _, m = extract_pdf(_page(chars, layout))
+    assert m["ocr_fallback"] == 1
+    chars2, layout2 = _body_block()
+    for c in chars2[:20]:  # 20 < 30 count gate
+        c["font"] = {**c["font"], "name": "CIDX", "cid": True,
+                     "to_unicode": False}
+    _, _, m2 = extract_pdf(_page(chars2, layout2))
+    assert m2["ocr_fallback"] == 0
+
+
+def test_c6_latin_charset_cjk():
+    chars, layout = _body_block()
+    for k in range(35):
+        chars.append(_char(chr(0x4E00 + k), 50 + 10 * (k % 20),
+                           300 + 12 * (k // 20), idx=1000 + k))
+        chars[-1]["font"] = {**chars[-1]["font"], "name": "LatinCS",
+                             "charset": "latin", "to_unicode": True}
+    _, _, m = extract_pdf(_page(chars, layout))
+    assert m["ocr_fallback"] == 1
+    # same font but Latin glyphs → not triggered
+    chars2, layout2 = _body_block()
+    for k in range(35):
+        chars2.append(_char("abcde"[k % 5], 50 + 10 * (k % 20),
+                            300 + 12 * (k // 20), idx=1000 + k))
+        chars2[-1]["font"] = {**chars2[-1]["font"], "name": "LatinCS",
+                              "charset": "latin", "to_unicode": True}
+    _, _, m2 = extract_pdf(_page(chars2, layout2))
+    assert m2["ocr_fallback"] == 0
+
+
+def test_c11_image_coverage():
+    chars, layout = _body_block()
+    layout = layout + [{"bbox": [0, 0, 581.4, 712.8],  # 0.95w × 0.9h ≥ 0.8
+                        "label": "image", "index": 1}]
+    _, _, m = extract_pdf(_page(chars, layout))
+    assert m["ocr_fallback"] == 1
+    small = layout[:1] + [{"bbox": [100, 100, 400, 400],
+                           "label": "image", "index": 1}]
+    _, _, m2 = extract_pdf(_page(chars, small))
+    assert m2["ocr_fallback"] == 0
+
+
 def test_d1_list_classification():
     from mineru_spark.kernels.charstream import is_list_block
     assert is_list_block(["1. alpha", "2. beta", "3. gamma"])
