@@ -55,7 +55,8 @@ def x_transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_golden_extract(ORACLE_SF)
     return _extract_finalized(spark, sf_dir) \
         .select("conv_id", "turn_idx", "route", "md", "content_list",
-                "blocks_classified", "boilerplate_dropped", "ocr_fallback")
+                "content_list_v2", "blocks_classified",
+                "boilerplate_dropped", "ocr_fallback")
 
 
 def x_transcripts_route_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +175,8 @@ def oracle_sql() -> dict[str, str]:
 
     out["x_transcripts_extract"] = f"""
         SELECT conv_id, turn_idx, route, md, content_list,
-               blocks_classified, boilerplate_dropped, ocr_fallback
+               content_list_v2, blocks_classified, boilerplate_dropped,
+               ocr_fallback
         FROM read_parquet('{golden_path("golden_extract")}')"""
     out["x_transcripts_route_metrics"] = f"""
         SELECT route, CAST(COUNT(*) AS BIGINT) AS n_turns,

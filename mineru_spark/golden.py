@@ -78,7 +78,8 @@ def _write_atomic(table, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 _EXTRACT_COLS = ("conv_id", "turn_idx", "route", "md", "content_list",
-                 "blocks_classified", "boilerplate_dropped", "ocr_fallback")
+                 "content_list_v2", "blocks_classified",
+                 "boilerplate_dropped", "ocr_fallback")
 
 
 def _extract_conv_range(bounds: tuple[int, int]) -> list[tuple]:
@@ -102,8 +103,9 @@ def _extract_conv_range(bounds: tuple[int, int]) -> list[tuple]:
         for r in outs:
             m = r["metrics"]
             rows.append((conv_id, r["turn_idx"], r["route"], r["md"],
-                         r["content_list"], m["blocks_classified"],
-                         m["boilerplate_dropped"], m["ocr_fallback"]))
+                         r["content_list"], r["content_list_v2"],
+                         m["blocks_classified"], m["boilerplate_dropped"],
+                         m["ocr_fallback"]))
     return rows
 
 
@@ -131,9 +133,10 @@ def ensure_golden_extract(sf: float = ORACLE_SF) -> str:
         "route": pa.array(cols[2], pa.string()),
         "md": pa.array(cols[3], pa.string()),
         "content_list": pa.array(cols[4], pa.string()),
-        "blocks_classified": pa.array(cols[5], pa.int32()),
-        "boilerplate_dropped": pa.array(cols[6], pa.int32()),
-        "ocr_fallback": pa.array(cols[7], pa.int32()),
+        "content_list_v2": pa.array(cols[5], pa.string()),
+        "blocks_classified": pa.array(cols[6], pa.int32()),
+        "boilerplate_dropped": pa.array(cols[7], pa.int32()),
+        "ocr_fallback": pa.array(cols[8], pa.int32()),
     })
     _write_atomic(table, path)
     return path

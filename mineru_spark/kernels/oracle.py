@@ -25,8 +25,8 @@ from . import docx as docx_kernel
 from . import tables as tbl
 from .classify import classify_payload
 
-OUTPUT_FIELDS = ["route", "md", "md_nlp", "content_list", "middle",
-                 "spans", "metrics"]
+OUTPUT_FIELDS = ["route", "md", "md_nlp", "content_list",
+                 "content_list_v2", "middle", "spans", "metrics"]
 
 _ZERO_METRICS = {
     "blocks_classified": 0, "blocks_discarded": 0, "boilerplate_dropped": 0,
@@ -71,6 +71,79 @@ def _content_list_json(blocks: list[dict]) -> str:
                 item["text_level"] = b.get("level", 1)
         items.append(item)
     return json.dumps(items, ensure_ascii=False, sort_keys=True,
+                      separators=(",", ":"))
+
+
+def _content_list_v2_json(blocks: list[dict]) -> str:
+    """content_list_v2: the per-page nested, ContentTypeV2-typed encoding
+    (reference make_blocks_to_content_list_v2, mkcontent :745-965, page
+    nesting :993-1004).  Output is a JSON array of PAGES, each page an
+    array of typed block dicts.  Divergence (documented): our IR flattens
+    span runs at assembly, so *_content fields carry a single text run
+    (the reference emits one run per span type); the v2 block taxonomy,
+    list_items splitting, table simple/complex typing and nest level are
+    faithful."""
+    def runs(text: str) -> list[dict]:
+        t = emit.normalize_text(text)
+        return [{"content": t, "type": "text"}] if t else []
+
+    pages: dict[int, list[dict]] = {}
+    for b in blocks:
+        t = b["type"]
+        text = b.get("text", "")
+        if t == "title":
+            item = {"type": "title",
+                    "content": {"title_content": runs(text),
+                                "level": b.get("level", 1)}}
+        elif t == "equation":
+            item = {"type": "equation_interline",
+                    "content": {"math_content": text,
+                                "math_type": "latex"}}
+        elif t == "image":
+            item = {"type": "image",
+                    "content": {
+                        "image_caption": [r for c in b.get("caption", [])
+                                          for r in runs(c)],
+                        "image_footnote": [r for f in b.get("footnote", [])
+                                           for r in runs(f)]}}
+        elif t == "table":
+            nest = 2 if text.count("<table") > 1 else 1
+            complex_ = ("colspan" in text or "rowspan" in text or nest > 1)
+            item = {"type": "table",
+                    "content": {
+                        "table_caption": [r for c in b.get("caption", [])
+                                          for r in runs(c)],
+                        "table_footnote": [r for f in b.get("footnote", [])
+                                           for r in runs(f)],
+                        "html": text,
+                        "table_type": "complex_table" if complex_
+                        else "simple_table",
+                        "table_nest_level": nest}}
+        elif t == "code":
+            item = {"type": "code",
+                    "content": {"code_caption": [],
+                                "code_content": runs(text),
+                                "code_footnote": [],
+                                "code_language": b.get("lang", "") or "txt"}}
+        elif t in ("list", "index"):
+            items = [{"item_type": "text", "item_content": runs(it)}
+                     for it in text.split("\n") if it.strip()]
+            if t == "list":
+                item = {"type": "list",
+                        "content": {"list_type": "text_list",
+                                    "attribute": "unordered",
+                                    "list_items": items}}
+            else:
+                item = {"type": "index",
+                        "content": {"list_type": "text_list",
+                                    "list_items": items}}
+        else:
+            item = {"type": "paragraph",
+                    "content": {"paragraph_content": runs(text)}}
+        item["bbox"] = [int(v) for v in b["bbox"]]
+        pages.setdefault(b["page_idx"], []).append(item)
+    out = [pages[p] for p in sorted(pages)]
+    return json.dumps(out, ensure_ascii=False, sort_keys=True,
                       separators=(",", ":"))
 
 
@@ -136,8 +209,8 @@ def extract_turn(text: str | None, tool: str | None = None) -> dict:
     except Exception:
         m = dict(_ZERO_METRICS)
         return {"route": "error", "md": "", "md_nlp": "",
-                "content_list": "[]", "middle": "{}",
-                "spans": [], "metrics": m}
+                "content_list": "[]", "content_list_v2": "[]",
+                "middle": "{}", "spans": [], "metrics": m}
 
 
 def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
@@ -156,6 +229,7 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
                 "md": charstream.blocks_to_md(blocks),
                 "md_nlp": _md_nlp(blocks),
                 "content_list": _content_list_json(blocks),
+                "content_list_v2": _content_list_v2_json(blocks),
                 "middle": _middle_json(blocks, route),
                 "spans": spans, "metrics": metrics}
     elif route == "pptx":
@@ -195,6 +269,7 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
                               "content": emit.normalize_text(b["text"])})
     return {"route": route, "md": md, "md_nlp": _md_nlp(blocks),
             "content_list": _content_list_json(blocks),
+            "content_list_v2": _content_list_v2_json(blocks),
             "middle": _middle_json(blocks, route),
             "spans": spans, "metrics": metrics}
 
@@ -237,12 +312,14 @@ def finalize_conv(turn_outs: list[dict]) -> list[dict]:
                 anchor["md"] = html
                 anchor["md_nlp"] = html
                 anchor["content_list"] = _content_list_json(mb)
+                anchor["content_list_v2"] = _content_list_v2_json(mb)
                 anchor["middle"] = _middle_json(mb, "office")
                 anchor["metrics"]["tables_merged"] += 1
                 anchor["_last_idx"] = t["turn_idx"]
                 t["md"] = ""
                 t["md_nlp"] = ""
                 t["content_list"] = "[]"
+                t["content_list_v2"] = "[]"
                 t["middle"] = "{}"
                 t["metrics"]["blocks_classified"] = 0
                 continue

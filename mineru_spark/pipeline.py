@@ -62,6 +62,7 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("md", T.StringType(), True),
     T.StructField("md_nlp", T.StringType(), True),
     T.StructField("content_list", T.StringType(), True),
+    T.StructField("content_list_v2", T.StringType(), True),
     T.StructField("middle", T.StringType(), True),
     T.StructField("spans", SPAN_TYPE, True),
     T.StructField("blocks_classified", T.IntegerType(), True),
@@ -171,8 +172,8 @@ def classify_routes(df: DataFrame) -> DataFrame:
 def _extract_batch(batches):
     for pdf in batches:
         out = {k: [] for k in ("conv_id", "turn_idx", "ts", "route", "md",
-                               "md_nlp", "content_list", "middle", "spans",
-                               *_METRIC_COLS)}
+                               "md_nlp", "content_list", "content_list_v2",
+                               "middle", "spans", *_METRIC_COLS)}
         for conv_id, turn_idx, ts, text, tool in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["ts"],
                 pdf["text"], pdf["tool"]):
@@ -184,6 +185,7 @@ def _extract_batch(batches):
             out["md"].append(r["md"])
             out["md_nlp"].append(r["md_nlp"])
             out["content_list"].append(r["content_list"])
+            out["content_list_v2"].append(r["content_list_v2"])
             out["middle"].append(r["middle"])
             out["spans"].append([
                 {"page_idx": s["page_idx"],
@@ -237,7 +239,7 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
     outs = [{"turn_idx": int(r.turn_idx), "route": r.route, "md": r.md,
              "md_nlp": r.md_nlp, "content_list": r.content_list,
-             "middle": r.middle,
+             "content_list_v2": r.content_list_v2, "middle": r.middle,
              "metrics": {k: int(getattr(r, k)) for k in _METRIC_KEYS}}
             for r in pdf.itertuples()]
     finalize_conv(outs)
@@ -245,6 +247,7 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf.loc[i, "md"] = o["md"]
         pdf.loc[i, "md_nlp"] = o["md_nlp"]
         pdf.loc[i, "content_list"] = o["content_list"]
+        pdf.loc[i, "content_list_v2"] = o["content_list_v2"]
         pdf.loc[i, "middle"] = o["middle"]
         for k in _METRIC_KEYS:
             pdf.loc[i, k] = o["metrics"][k]

@@ -33,6 +33,7 @@ def oracle_frame():
                          "route": out["route"], "md": out["md"],
                          "md_nlp": out["md_nlp"],
                          "content_list": out["content_list"],
+                         "content_list_v2": out["content_list_v2"],
                          "middle": out["middle"],
                          "n_spans": len(out["spans"]),
                          **{k: v for k, v in out["metrics"].items()}})
@@ -73,7 +74,7 @@ def test_content_list_byte_equality(oracle_frame, spark_frame):
 
 
 def test_md_nlp_and_middle_byte_equality(oracle_frame, spark_frame):
-    for col in ("md_nlp", "middle"):
+    for col in ("md_nlp", "middle", "content_list_v2"):
         mism = oracle_frame[col].values != spark_frame[col].values
         assert not mism.any(), col
 
