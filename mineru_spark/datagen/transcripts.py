@@ -299,6 +299,42 @@ def _gen_pdf_block_chars(rng: random.Random, bbox: list[float], n_sentences: int
     return chars, ci
 
 
+def _row_spans(blk_chars: list) -> list:
+    """Model-emitted span boxes for a block: cluster the block's chars into
+    rows with the same consecutive y-overlap rule the kernel's line
+    segmentation uses (>0.6 of the smaller height), one bbox per row —
+    the layout model's text spans (exercises the E7 char→span fill,
+    reference span_pre_proc.py:311-364)."""
+    spans: list = []
+    cur = None
+    prev = None
+    prev_glyph = None
+    for c in blk_chars:
+        b = c["bbox"]
+        # a jitter/shadow duplicate of the previous char joins its row but
+        # must not become the comparison anchor (its ≤2.5pt offset would
+        # break the row at the next smaller char, e.g. a superscript)
+        is_dup = (prev is not None and c["char"] == prev_glyph
+                  and abs(b[0] - prev[0]) <= 2.5 and abs(b[1] - prev[1]) <= 2.5)
+        if prev is not None and not is_dup:
+            ov = min(prev[3], b[3]) - max(prev[1], b[1])
+            new_row = ov <= 0.6 * min(prev[3] - prev[1], b[3] - b[1])
+        else:
+            new_row = prev is None
+        if new_row:
+            cur = [b[0], b[1], b[2], b[3]]
+            spans.append(cur)
+        else:
+            cur[0] = min(cur[0], b[0])
+            cur[1] = min(cur[1], b[1])
+            cur[2] = max(cur[2], b[2])
+            cur[3] = max(cur[3], b[3])
+        if not is_dup:
+            prev = b
+            prev_glyph = c["char"]
+    return [[round(v, 2) for v in s] for s in spans]
+
+
 def _gen_pdf(rng: random.Random) -> str:
     # rare giant document (the long-document tail the processing-window /
     # Arrow-batch memory bounds exist for)
@@ -309,6 +345,9 @@ def _gen_pdf(rng: random.Random) -> str:
     # reading order source: model-emitted index (B7) or geometric XY-cut
     # when the layout carries no order (B8, xycut_pp_sorter.py:85-414)
     no_index = rng.random() < 0.3
+    # ~40% of docs carry model-emitted span boxes on their layout blocks
+    # (the E7 char→span fill path); the rest use block-level assignment
+    spans_mode = rng.random() < 0.4
     pages = []
     for p in range(n_pages):
         layout, chars = [], []
@@ -331,6 +370,8 @@ def _gen_pdf(rng: random.Random) -> str:
             layout.append({"bbox": [round(v, 2) for v in bbox],
                            "label": label,
                            "index": -1 if no_index else li})
+            if spans_mode and blk_chars:
+                layout[-1]["spans"] = _row_spans(blk_chars)
             chars.extend(blk_chars)
             li += 1
 
@@ -371,6 +412,8 @@ def _gen_pdf(rng: random.Random) -> str:
             layout.append({"bbox": [50.0, round(y, 2), round(x, 2),
                                     round(y + size, 2)],
                            "label": label, "index": -1 if no_index else li})
+            if spans_mode and blk_chars:
+                layout[-1]["spans"] = _row_spans(blk_chars)
             chars.extend(blk_chars)
             li += 1
 
@@ -401,6 +444,8 @@ def _gen_pdf(rng: random.Random) -> str:
             layout.append({"bbox": [50.0, round(y, 2), round(x_max, 2),
                                     round(yy, 2)],
                            "label": label, "index": -1 if no_index else li})
+            if spans_mode and blk_chars:
+                layout[-1]["spans"] = _row_spans(blk_chars)
             chars.extend(blk_chars)
             li += 1
             return yy
@@ -507,6 +552,11 @@ def _gen_pdf(rng: random.Random) -> str:
             layout.append({"bbox": [vx - 2, round(y - 2, 2), vx + 12.0,
                                     round(vy + 2, 2)],
                            "label": "text", "index": -1 if no_index else li})
+            if spans_mode:
+                # one tall span: exercises the vertical-span fill rule
+                # (h > 2.3× median and > 2.3× width, span_pre_proc.py:94)
+                layout[-1]["spans"] = [[vx, round(y, 2), vx + 10.0,
+                                        round(vy, 2)]]
             li += 1
             y = vy + 12.0
         elif r_rich < 0.97:

@@ -130,6 +130,142 @@ def _page_signals(codes: "np.ndarray") -> dict:
             "mojibake": moji, "punct_run": punct_run}
 
 
+# E7 char→span fill (reference span_pre_proc.py:311-364, :371-378, :453-486)
+SPAN_HEIGHT_RATIO = 0.33      # |char ctr-y − span ctr-y| < ⅓ span height
+SPAN_EMPTY_FACTOR = 0.5       # len(content)·h < w·0.5 → empty span (OCR)
+VERTICAL_SPAN_FACTOR = 2.3    # h > 2.3·median and h > 2.3·w → vertical span
+SPAN_STOP_FLAG = ('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
+                  ':', '：', ';', '；', ']', '】', '}', '>', '》', '、',
+                  ',', '，', '-', '—', '–')
+SPAN_START_FLAG = ('(', '（', '"', '“', '【', '{', '《', '<', '「', '『',
+                   '[')
+_STOP_CODES = np.array(sorted({ord(c) for c in SPAN_STOP_FLAG}),
+                       dtype=np.int64)
+_START_CODES = np.array(sorted({ord(c) for c in SPAN_START_FLAG}),
+                        dtype=np.int64)
+
+
+def fill_chars_into_spans(pc: PageCols, sel: "np.ndarray",
+                          span_boxes: list, median_h: float
+                          ) -> tuple[list, int, "np.ndarray"]:
+    """E7: fill chars into model-emitted span boxes (reference
+    fill_char_in_spans + calculate_char_in_span, span_pre_proc.py:311-364,
+    :453-486), vectorized per span instead of the reference's y-cell grid
+    (the grid is a lookup optimization, not semantics — same answer).
+
+    Acceptance per reference: char center inside the span box AND
+    |char ctr-y − span ctr-y| < ⅓·span height; end-punctuation chars whose
+    center-x misses may still enter near the RIGHT edge (within span-height
+    of it), open-punctuation near the LEFT edge.  Spans are visited in y0
+    order, first accepting span wins.  Vertical spans (height > 2.3× page
+    median AND > 2.3× width) take every char whose center falls inside
+    (the reference fills them from pdfium lines, :101-114).
+
+    Returns (list of (span_box, char index array) in y0 order, empty-span
+    count via the len·h < w·0.5 test, assigned mask over sel)."""
+    n = len(sel)
+    cx = (pc.x0[sel] + pc.x1[sel]) / 2.0
+    cy = (pc.y0[sel] + pc.y1[sel]) / 2.0
+    chx0, chx1 = pc.x0[sel], pc.x1[sel]
+    codes = pc.codes[sel]
+    is_stop = np.isin(codes, _STOP_CODES)
+    is_start = np.isin(codes, _START_CODES)
+    assigned = np.zeros(n, dtype=bool)
+    out: list[tuple[list, np.ndarray]] = []
+    n_empty = 0
+    boxes = sorted((list(map(float, b)) for b in span_boxes),
+                   key=lambda b: b[1])
+    for b in boxes:
+        sx0, sy0, sx1, sy1 = b
+        sh = sy1 - sy0
+        sw = sx1 - sx0
+        scy = (sy0 + sy1) / 2.0
+        free = ~assigned
+        if sh > VERTICAL_SPAN_FACTOR * median_h \
+                and sh > VERTICAL_SPAN_FACTOR * max(sw, 1e-6):
+            m = free & (cx > sx0) & (cx < sx1) & (cy > sy0) & (cy < sy1)
+        else:
+            ytest = free & (cy > sy0) & (cy < sy1) \
+                & (np.abs(cy - scy) < sh * SPAN_HEIGHT_RATIO)
+            base = ytest & (cx > sx0) & (cx < sx1)
+            stop_alt = ytest & is_stop & (chx0 > sx1 - sh) & (chx0 < sx1) \
+                & (cx > sx0)
+            start_alt = ytest & is_start & (chx1 > sx0) & (chx1 < sx0 + sh) \
+                & (cx < sx1)
+            m = base | stop_alt | start_alt
+        assigned |= m
+        idxs = sel[np.flatnonzero(m)]
+        out.append((b, idxs))
+        # empty-span test runs after content assembly in the reference;
+        # the char count is a faithful stand-in for len(content) here
+        if len(idxs) * sh < sw * SPAN_EMPTY_FACTOR:
+            n_empty += 1
+    return out, n_empty, assigned
+
+
+def _assemble_block_from_spans(pc: PageCols, sel: "np.ndarray",
+                               span_boxes: list, median_h: float,
+                               page_idx: int
+                               ) -> tuple[list[str], "np.ndarray",
+                                          list[dict], int]:
+    """Span-bearing block (E7 path): fill the block's chars into the
+    model-emitted span boxes, assemble each span's content with the shared
+    char kernels, then merge spans into lines by the 0.6 y-interval overlap
+    rule (reference line build, ocr_utils.py:67-79).  Unfilled chars are
+    dropped, exactly like the reference (they exist in no span).
+
+    Returns (line texts, line bbox array, span records, empty-span count).
+    """
+    filled, n_empty, _ = fill_chars_into_spans(pc, sel, span_boxes, median_h)
+    pieces: list[tuple[list, str, list]] = []  # (bbox, text, records)
+    for b, idxs in filled:
+        if len(idxs) == 0:
+            continue
+        sh = b[3] - b[1]
+        sw = max(1e-6, b[2] - b[0])
+        if sh > VERTICAL_SPAN_FACTOR * median_h \
+                and sh > VERTICAL_SPAN_FACTOR * sw:
+            text, recs = _assemble_vertical(pc, idxs, page_idx)
+        else:
+            lines, _, recs = _assemble_block(pc, idxs, page_idx)
+            text = " ".join(ln for ln in lines if ln)
+        if text:
+            pieces.append((b, text, recs))
+    # spans → lines: consecutive (y-sorted) spans sharing > 0.6 overlap of
+    # the smaller height form one line, ordered left→right within it
+    lines_text: list[str] = []
+    lbb_rows: list[list[float]] = []
+    spans_out: list[dict] = []
+    cur: list[tuple[list, str, list]] = []
+    for piece in pieces:
+        if cur:
+            pb, b = cur[-1][0], piece[0]
+            ov = min(pb[3], b[3]) - max(pb[1], b[1])
+            if ov <= LINE_OVERLAP * min(pb[3] - pb[1], b[3] - b[1]):
+                cur.sort(key=lambda p: p[0][0])
+                lines_text.append(" ".join(p[1] for p in cur))
+                lbb_rows.append([min(p[0][0] for p in cur),
+                                 min(p[0][1] for p in cur),
+                                 max(p[0][2] for p in cur),
+                                 max(p[0][3] for p in cur)])
+                for p in cur:
+                    spans_out.extend(p[2])
+                cur = []
+        cur.append(piece)
+    if cur:
+        cur.sort(key=lambda p: p[0][0])
+        lines_text.append(" ".join(p[1] for p in cur))
+        lbb_rows.append([min(p[0][0] for p in cur),
+                         min(p[0][1] for p in cur),
+                         max(p[0][2] for p in cur),
+                         max(p[0][3] for p in cur)])
+        for p in cur:
+            spans_out.extend(p[2])
+    lbb = np.array(lbb_rows, dtype=np.float64).reshape(len(lbb_rows), 4) \
+        if lbb_rows else np.empty((0, 4))
+    return lines_text, lbb, spans_out, n_empty
+
+
 def _font_signals(pc: PageCols) -> tuple[int, bool, bool]:
     """Per-page font-table signals (C4/C5/C6 analogs over the payload's
     font-resource metadata, reference pdf_classify.py:459-732):
@@ -562,6 +698,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     c5_trig = False
     c6_trig = False
     high_cov_pages = 0
+    empty_spans = 0
 
     pages = payload.get("pages", [])
     if not isinstance(pages, list):
@@ -625,6 +762,12 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         layout = [b for b in layout
                   if isinstance(b, dict) and isinstance(b.get("bbox"), list)
                   and len(b["bbox"]) == 4]
+        # E7: page-level median span height (span_pre_proc.py:71-82) for
+        # the char→span fill grid/band tests
+        sheights = [s[3] - s[1] for b in layout
+                    for s in (b.get("spans") or [])
+                    if isinstance(s, (list, tuple)) and len(s) == 4]
+        page_median_h = float(np.median(sheights)) if sheights else 0.0
         if in_sample and pw > 0 and ph > 0:
             # C11: summed image-object area vs page area (pdf_classify.py
             # :1055-1090 — areas summed, ratio clipped to 1.0 per page)
@@ -683,7 +826,15 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 # vertical detection (B5): tall-narrow block whose line
                 # segmentation degenerates to single-char lines
                 bw, bh = max(1e-6, bx1 - bx0), by1 - by0
-                lines, lbb, bspans = _assemble_block(pc, sel, page_idx)
+                blk_spans = blk.get("spans")
+                if isinstance(blk_spans, list) and blk_spans \
+                        and page_median_h > 0:
+                    # E7 span path: model-emitted span boxes on the block
+                    lines, lbb, bspans, ne = _assemble_block_from_spans(
+                        pc, sel, blk_spans, page_median_h, page_idx)
+                    empty_spans += ne
+                else:
+                    lines, lbb, bspans = _assemble_block(pc, sel, page_idx)
                 if (bh / bw >= VERTICAL_ASPECT and len(lines) >= 3
                         and sum(1 for ln in lines if len(ln) == 1)
                         >= VERTICAL_SINGLE * len(lines)):
@@ -795,6 +946,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         "ocr_fallback": ocr,
         "para_merged": para_merged,
         "tables_merged": 0,
+        "empty_spans": empty_spans,
     }
     return blocks_out, spans_out, metrics
 

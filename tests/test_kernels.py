@@ -498,6 +498,67 @@ def test_classification_cascade_c2_c8():
     assert m["ocr_fallback"] == 1
 
 
+def test_e7_span_fill_straddling_stop_char():
+    """E7 (span_pre_proc.py:453-486): a '.' whose center-x lies OUTSIDE
+    span 1 still enters it through the stop-flag right-edge rule — even
+    though center-in-bbox assignment would give it to the adjacent span."""
+    import numpy as np
+    from mineru_spark.kernels.charstream import (PageCols,
+                                                 fill_chars_into_spans)
+    chars = [_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("word")]
+    # '.' at x 69.5-74.5 → center 72 > span1 right edge (70.5); its x0 is
+    # within span-height (10) of that edge → stop-flag acceptance
+    chars.append(_char(".", 69.5, 100, idx=4))
+    chars.append(_char("n", 76, 100, idx=5))
+    pc = PageCols(chars)
+    sel = np.arange(pc.n)
+    span1 = [50.0, 100.0, 70.5, 110.0]
+    span2 = [71.0, 100.0, 95.0, 110.0]
+    filled, n_empty, assigned = fill_chars_into_spans(
+        pc, sel, [span1, span2], 10.0)
+    by_box = {tuple(b): [pc.glyphs[i] for i in idxs] for b, idxs in filled}
+    assert by_box[tuple(span1)] == ["w", "o", "r", "d", "."]
+    assert by_box[tuple(span2)] == ["n"]
+    assert assigned.all()
+
+
+def test_e7_empty_span_and_unassigned_drop():
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+    chars = [_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("hello")]
+    # a stray char far below every span: dropped (exists in no span)
+    chars.append(_char("z", 50, 400, idx=99))
+    layout = [{"bbox": [45, 95, 300, 130], "label": "text", "index": 0,
+               "spans": [[50.0, 100.0, 80.0, 110.0],          # holds hello
+                         [50.0, 150.0, 200.0, 160.0]]}]       # empty → OCR
+    out = extract_turn(json.dumps(_page(chars, layout)), "pdf_reader")
+    assert out["md"] == "hello"            # 'z' dropped, empty span empty
+    assert out["metrics"]["empty_spans"] == 1
+
+
+def test_e7_vertical_span_fill():
+    """A span taller than 2.3× median and 2.3× its width fills via the
+    vertical assembler (span_pre_proc.py:94, right→left columns)."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+    chars = [_char(c, 50 + 5 * (k % 2), 100 + 12 * (k // 2), idx=k)
+             for k, c in enumerate("abcdef")]
+    vchars = [_char(ch, 500, 100 + 12 * k, idx=50 + k)
+              for k, ch in enumerate("语言模型")]
+    layout = [
+        {"bbox": [45, 95, 300, 140], "label": "text", "index": 0,
+         "spans": [[50.0, 100.0, 60.0, 110.0],
+                   [50.0, 112.0, 60.0, 122.0],
+                   [50.0, 124.0, 60.0, 134.0]]},
+        {"bbox": [495, 95, 515, 160], "label": "text", "index": 1,
+         "spans": [[498.0, 98.0, 512.0, 150.0]]},
+    ]
+    out = extract_turn(json.dumps(_page(chars + vchars, layout)),
+                       "pdf_reader")
+    assert "语言模型" in out["md"]
+    assert "ab" in out["md"]
+
+
 def _body_block(n_rows=6, ncols=20):
     """A healthy text page: n_rows x ncols plain chars + its layout."""
     chars = []
