@@ -452,17 +452,36 @@ def _gen_pdf(rng: random.Random) -> str:
 
         two_col = rng.random() < 0.4
         if two_col:
-            max_yy = y
-            for cx0, cx1 in ((50.0, 296.0), (316.0, 562.0)):
-                yy = y
-                for _ in range(rng.randint(1, 2)):
-                    h = rng.randint(3, 6) * LINE_H
-                    add_block("paragraph_title" if rng.random() < 0.25 else "text",
-                              [cx0, yy, cx1, yy + h], rng.randint(1, 2),
-                              cjk=rng.random() < 0.05)
-                    yy += h + 14.0
-                max_yy = max(max_yy, yy)
-            y = max_yy + 10.0
+            if rng.random() < 0.25:
+                # full-width banner between two column rows — the XY-Cut++
+                # cross-layout case the pre-mask exists for
+                # (xycut_pp_sorter.py:149-183).  Fixed geometry: row gaps
+                # (10pt) < gutter (20pt), so the masked cut goes
+                # column-major; without the mask the banner fills the
+                # gutter projection and would force row-major.
+                rh = 4 * LINE_H
+                for cx0, cx1 in ((50.0, 296.0), (316.0, 562.0)):
+                    add_block("text", [cx0, y, cx1, y + rh],
+                              rng.randint(1, 2))
+                add_block("text", [50.0, y + rh + 10.0, 562.0,
+                                   y + rh + 34.0], 1)
+                for cx0, cx1 in ((50.0, 296.0), (316.0, 562.0)):
+                    add_block("text", [cx0, y + rh + 44.0, cx1,
+                                       y + 2 * rh + 44.0], rng.randint(1, 2))
+                y += 2 * rh + 54.0
+            else:
+                max_yy = y
+                for cx0, cx1 in ((50.0, 296.0), (316.0, 562.0)):
+                    yy = y
+                    for _ in range(rng.randint(1, 2)):
+                        h = rng.randint(3, 6) * LINE_H
+                        add_block("paragraph_title" if rng.random() < 0.25
+                                  else "text",
+                                  [cx0, yy, cx1, yy + h], rng.randint(1, 2),
+                                  cjk=rng.random() < 0.05)
+                        yy += h + 14.0
+                    max_yy = max(max_yy, yy)
+                y = max_yy + 10.0
         else:
             for _ in range(rng.randint(2, 4)):
                 h = rng.randint(3, 6) * LINE_H

@@ -266,6 +266,21 @@ def _assemble_block_from_spans(pc: PageCols, sel: "np.ndarray",
     return lines_text, lbb, spans_out, n_empty
 
 
+def _bbox_edge_distance(a, b) -> float:
+    """Rectangle gap distance (reference boxbase.bbox_distance:40-75):
+    euclidean distance between the closest edges, 0 when overlapping."""
+    dx = max(b[0] - a[2], a[0] - b[2], 0.0)
+    dy = max(b[1] - a[3], a[1] - b[3], 0.0)
+    return float((dx * dx + dy * dy) ** 0.5)
+
+
+def _bbox_center_distance(a, b) -> float:
+    """Center-to-center distance (boxbase.bbox_center_distance:78)."""
+    ax, ay = (a[0] + a[2]) / 2.0, (a[1] + a[3]) / 2.0
+    bx, by = (b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0
+    return float(((ax - bx) ** 2 + (ay - by) ** 2) ** 0.5)
+
+
 def _font_signals(pc: PageCols) -> tuple[int, bool, bool]:
     """Per-page font-table signals (C4/C5/C6 analogs over the payload's
     font-resource metadata, reference pdf_classify.py:459-732):
@@ -803,7 +818,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                   round(bx1 / pw * 1000), round(by1 / ph * 1000)]
             rec = {"type": btype, "label": label, "pos": pos, "text": "",
                    "page_idx": page_idx, "bbox": nb, "level": level,
-                   "caption": [], "footnote": []}
+                   "caption": [], "footnote": [],
+                   "_raw": (bx0, by0, bx1, by1)}
 
             if label == "interline_equation":
                 # MFR-analog: latex arrives on the layout record (G2);
@@ -881,8 +897,12 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             if rec["text"] or label == "image":
                 raw.append(rec)
 
-        # B10: attach caption/footnote blocks to the nearest visual parent
-        # of the matching kind (index distance, tie → earlier block)
+        # B10: attach caption/footnote blocks to the best visual parent of
+        # the matching kind (reference find_best_visual_parent,
+        # visual_magic_model_utils.py:535-621): min reading-order distance;
+        # on ties, geometric edge distance when it discriminates (> 2pt
+        # spread), else table-caption→later table / footnote→earlier
+        # parent, else min center distance
         page_blocks: list[dict] = []
         visuals = {i: r for i, r in enumerate(raw)
                    if r["label"] in ("table", "image")}
@@ -890,21 +910,42 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             slot = CAPTION_LABELS.get(r["label"])
             if slot:
                 kind, field = slot
-                best = None
-                for j, v in visuals.items():
-                    if v["label"] != kind:
-                        continue
-                    d = abs(v["pos"] - r["pos"])
-                    if best is None or d < best[0]:
-                        best = (d, j)
-                if best is not None:
-                    visuals[best[1]][field].append(r["text"])
+                cands = [j for j, v in visuals.items() if v["label"] == kind]
+                if cands:
+                    dmin = min(abs(visuals[j]["pos"] - r["pos"])
+                               for j in cands)
+                    tied = [j for j in cands
+                            if abs(visuals[j]["pos"] - r["pos"]) == dmin]
+                    if len(tied) == 1:
+                        pick = tied[0]
+                    else:
+                        ed = {j: _bbox_edge_distance(r["_raw"],
+                                                     visuals[j]["_raw"])
+                              for j in tied}
+                        if max(ed.values()) - min(ed.values()) > 2:
+                            pick = min(tied,
+                                       key=lambda j: (ed[j],
+                                                      visuals[j]["pos"]))
+                        elif field == "caption" and kind == "table":
+                            # a caption between two near-equidistant tables
+                            # belongs to the LATER one
+                            pick = max(tied, key=lambda j: visuals[j]["pos"])
+                        elif field == "footnote":
+                            pick = min(tied, key=lambda j: visuals[j]["pos"])
+                        else:
+                            pick = min(
+                                tied,
+                                key=lambda j: (_bbox_center_distance(
+                                    r["_raw"], visuals[j]["_raw"]),
+                                    visuals[j]["pos"]))
+                    visuals[pick][field].append(r["text"])
                     continue
                 r["type"] = "text"  # orphan caption degrades to text
             page_blocks.append(r)
         for r in page_blocks:
             r.pop("label", None)
             r.pop("pos", None)
+            r.pop("_raw", None)
         blocks_out.extend(page_blocks)
 
     blocks_out, para_merged = _merge_split_paras(blocks_out)

@@ -253,6 +253,41 @@ def test_xycut_two_columns():
     assert xy_cut_order(boxes) == [3, 2, 4, 1, 5, 0]
 
 
+def test_xycut_cross_layout_banner():
+    """XY-Cut++ pre-mask (xycut_pp_sorter.py:149-183, :372-414): a
+    full-width banner over two columns is masked out before cutting, so
+    the columns still order column-major; the banner zipper-merges back by
+    its top edge."""
+    from mineru_spark.kernels.xycut import xy_cut_order
+    boxes = [
+        [50, 100, 240, 180],    # 0 col1 top
+        [50, 220, 240, 300],    # 1 col1 bottom
+        [340, 100, 562, 180],   # 2 col2 top
+        [340, 220, 562, 300],   # 3 col2 bottom
+        [50, 185, 562, 215],    # 4 spanning banner
+    ]
+    # masked: the 100pt gutter beats the 40pt row gap → column-major, with
+    # the banner re-entering by its top edge; unmasked, the banner fills
+    # the gutter projection and forces row-major interleaving
+    assert xy_cut_order(boxes) == [0, 4, 1, 2, 3]
+    # without the banner: pure column-major
+    assert xy_cut_order(boxes[:4]) == [0, 1, 2, 3]
+
+
+def test_xycut_narrow_element_filter():
+    """A skinny margin rule between two columns must not suppress the
+    column cut (xycut_pp_sorter.py:269-301)."""
+    from mineru_spark.kernels.xycut import xy_cut_order
+    boxes = [
+        [50, 100, 290, 300],    # 0 left column
+        [320, 100, 560, 300],   # 1 right column
+        [300, 100, 310, 300],   # 2 narrow divider glueing the projections
+    ]
+    order = xy_cut_order(boxes)
+    # left column first, right column after (divider may land either side)
+    assert order.index(0) < order.index(1)
+
+
 def test_charstream_xycut_when_no_index():
     mk = lambda s, x, y, i0: [_char(c, x + 5 * k, y, idx=i0 + k)
                               for k, c in enumerate(s)]
@@ -412,6 +447,50 @@ def test_visual_caption_matching():
     md = blocks_to_md(blocks)
     assert md == ("Table 1: demo.\n\n"
                   "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")
+
+
+def test_caption_tiebreak_geometry_and_later_table():
+    """B10 tiebreaks (find_best_visual_parent,
+    visual_magic_model_utils.py:535-621): equal index distance resolves by
+    edge distance when it discriminates; a table caption dead-centered
+    between two tables goes to the LATER one."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def cap_chars(s, y, i0):
+        return [_char(c, 50 + 5 * k, y, idx=i0 + k)
+                for k, c in enumerate(s)]
+
+    # geometry discriminates: caption is index-equidistant but sits right
+    # below table A (edge gap ~4pt) and far from table B (>100pt)
+    layout = [
+        {"bbox": [50, 100, 300, 160], "label": "table", "index": 0,
+         "html": "<table><tr><td>a</td></tr></table>"},
+        {"bbox": [50, 164, 300, 176], "label": "table_caption", "index": 1},
+        {"bbox": [50, 300, 300, 360], "label": "table", "index": 2,
+         "html": "<table><tr><td>b</td></tr></table>"},
+    ]
+    chars = cap_chars("Table near A.", 165, 0)
+    out = extract_turn(json.dumps(_page(chars, layout)), "pdf_reader")
+    cl = json.loads(out["content_list"])
+    tables = [b for b in cl if b["type"] == "table"]
+    assert tables[0]["table_caption"] == ["Table near A."]
+    assert tables[1]["table_caption"] == []
+
+    # geometry ties (< 2pt spread): caption between two tables → LATER
+    layout2 = [
+        {"bbox": [50, 100, 300, 160], "label": "table", "index": 0,
+         "html": "<table><tr><td>a</td></tr></table>"},
+        {"bbox": [50, 170, 300, 182], "label": "table_caption", "index": 1},
+        {"bbox": [50, 192, 300, 252], "label": "table", "index": 2,
+         "html": "<table><tr><td>b</td></tr></table>"},
+    ]
+    chars2 = cap_chars("Between tables.", 171, 0)
+    out2 = extract_turn(json.dumps(_page(chars2, layout2)), "pdf_reader")
+    cl2 = json.loads(out2["content_list"])
+    tables2 = [b for b in cl2 if b["type"] == "table"]
+    assert tables2[0]["table_caption"] == []
+    assert tables2[1]["table_caption"] == ["Between tables."]
 
 
 def test_orphan_caption_degrades_to_text():
