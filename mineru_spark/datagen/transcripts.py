@@ -716,6 +716,12 @@ def _gen_office(rng: random.Random,
                 cells.append(f'<td rowspan="2">{_sentence(rng, 1, 2)}</td>')
                 occupied.add((r + 1, c))
                 c += 1
+            elif rng.random() < 0.05:
+                # embedded inline formula (M6: <eq>…</eq> → $…$,
+                # reference mkcontent :236-248)
+                expr = rng.choice(("a^2+b^2", "x_i", r"\frac{p}{q}"))
+                cells.append(f"<td><eq>{expr}</eq></td>")
+                c += 1
             else:
                 cells.append(f"<td>{_sentence(rng, 1, 3)}</td>")
                 c += 1

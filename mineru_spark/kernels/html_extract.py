@@ -116,6 +116,20 @@ class Block:
     grid: object = None  # TableGrid for table blocks
 
 
+def _cell_text(node: _Node) -> str:
+    """Cell text with M6 inline-math normalization: an <eq> child renders
+    as `` $…$ `` (reference mkcontent :236-248)."""
+    parts = []
+    for ch in node.children:
+        if isinstance(ch, str):
+            parts.append(ch)
+        elif ch.tag == "eq":
+            parts.append(f" ${_inner_text(ch)}$ ")
+        else:
+            parts.append(_cell_text(ch))
+    return "".join(parts)
+
+
 def _grid_from_dom(tnode: _Node):
     """Build the table grid straight from the parsed DOM (one parse per
     payload — the table re-parse the round-1 design paid is gone).  Cell
@@ -134,7 +148,7 @@ def _grid_from_dom(tnode: _Node):
                 for cc in ch.children:
                     if not isinstance(cc, str) and cc.tag in ("td", "th"):
                         row.append(tbl.Cell(
-                            " ".join(_inner_text(cc).split()),
+                            " ".join(_cell_text(cc).split()),
                             tbl.span_of(cc.attrs.get("rowspan")),
                             tbl.span_of(cc.attrs.get("colspan")),
                             cc.tag == "th"))

@@ -92,9 +92,33 @@ class _TableParser(HTMLParser):
             self._buf.append(data)
 
 
+import re as _re
+from html import unescape as _unescape
+
+_EQ_RE = _re.compile(r"<eq>(.*?)</eq>", _re.DOTALL)
+_SRC_RE = _re.compile(r'src="(?!data:)([^"]+)"')
+
+
+def replace_eq_tags(html: str) -> str:
+    """M6: ``<eq>…</eq>`` inside table HTML → inline math `` $…$ ``
+    (reference _replace_eq_tags_in_table_html, mkcontent :236-248)."""
+    if not html or "<eq>" not in html:
+        return html
+    return _EQ_RE.sub(lambda m: f" ${_unescape(m.group(1))}$ ", html)
+
+
+def prefix_img_src(html: str, img_bucket_path: str) -> str:
+    """M6: prefix non-data image sources in table HTML (reference
+    _prefix_table_img_src, mkcontent :224-233)."""
+    if not html or not img_bucket_path:
+        return html
+    return _SRC_RE.sub(
+        lambda m: f'src="{img_bucket_path}/{m.group(1)}"', html)
+
+
 def parse_tables(html: str) -> list[TableGrid]:
     p = _TableParser()
-    p.feed(html)
+    p.feed(replace_eq_tags(html))
     p.close()
     out = []
     for rows in p.tables:

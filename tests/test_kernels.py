@@ -78,6 +78,25 @@ def test_table_rowspan_overflow_clipped():
     assert g.rows[0][0].rowspan == 1
 
 
+def test_table_eq_tag_normalized():
+    """M6: <eq>…</eq> in table HTML → $…$ on both the raw-parse path
+    (office route) and the DOM path (html route)."""
+    from mineru_spark.kernels.tables import parse_tables, render_table_html
+    html = "<table><tr><td><eq>a^2+b^2</eq></td><td>x</td></tr></table>"
+    out = render_table_html(parse_tables(html)[0])
+    assert "$a^2+b^2$" in out and "<eq>" not in out
+    blocks, _ = extract_html(f"<article>{html}</article>")
+    assert "$a^2+b^2$" in blocks[0]["text"]
+
+
+def test_table_img_src_prefix():
+    from mineru_spark.kernels.tables import prefix_img_src
+    h = '<td><img src="images/x.png"></td><td><img src="data:abc"></td>'
+    out = prefix_img_src(h, "s3://bucket")
+    assert 'src="s3://bucket/images/x.png"' in out
+    assert 'src="data:abc"' in out  # data URIs untouched
+
+
 def test_table_continuation_merge():
     a = tbl.parse_tables('<table><tr><th>h1</th><th>h2</th></tr>'
                          '<tr><td>1</td><td>2</td></tr></table>')[0]
