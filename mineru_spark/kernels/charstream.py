@@ -876,6 +876,10 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                         ln.strip() for ln in lines if ln.strip())
                 else:
                     rec["text"] = emit.merge_lines(lines)
+                    # typed span runs for content_list_v2 (text / sup /
+                    # sub / inline_equation, in reading order)
+                    rec["_runs"] = [(s["type"], s["content"])
+                                    for s in bspans]
                     if lines and len(lbb):
                         # merge-guard geometry for the cross-page/column
                         # paragraph merge (D1, para_split.py:265-306)
@@ -1035,6 +1039,8 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
                            "_mg": {**mp, "last_right_flush":
                                    mb["last_right_flush"],
                                    "n_lines": mp["n_lines"] + mb["n_lines"]}}
+                if p.get("_runs") and b.get("_runs"):
+                    out[-1]["_runs"] = p["_runs"] + b["_runs"]
                 if cross:
                     out[-1]["cross_page"] = True
                 merged += 1

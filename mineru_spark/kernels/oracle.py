@@ -78,22 +78,45 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
     """content_list_v2: the per-page nested, ContentTypeV2-typed encoding
     (reference make_blocks_to_content_list_v2, mkcontent :745-965, page
     nesting :993-1004).  Output is a JSON array of PAGES, each page an
-    array of typed block dicts.  Divergence (documented): our IR flattens
-    span runs at assembly, so *_content fields carry a single text run
-    (the reference emits one run per span type); the v2 block taxonomy,
-    list_items splitting, table simple/complex typing and nest level are
-    faithful."""
+    array of typed block dicts.  Paragraph/title blocks from the char
+    kernels carry REAL typed span runs (text / sup / sub /
+    equation_inline, merged like the reference's same-type run coalescing
+    with hyphen/CJK-aware joins, mkcontent :550-607; sup/sub are our own
+    run types — the reference embeds them as HTML); blocks from the
+    office/html converters fall back to a single text run.  The v2 block
+    taxonomy, list_items splitting, table simple/complex typing and nest
+    level are faithful."""
     def runs(text: str) -> list[dict]:
         t = emit.normalize_text(text)
         return [{"content": t, "type": "text"}] if t else []
+
+    _V2_RUN_TYPE = {"text": "text", "sup": "sup", "sub": "sub",
+                    "inline_equation": "equation_inline"}
+
+    def runs_from_records(recs: list) -> list[dict]:
+        out: list[dict] = []
+        for typ, content in recs:
+            vt = _V2_RUN_TYPE.get(typ, "text")
+            content = emit.normalize_text(content)
+            if not content:
+                continue
+            if out and out[-1]["type"] == vt == "text":
+                # same-type coalescing with the shared hyphen/CJK join rule
+                out[-1]["content"] = emit.merge_lines(
+                    [out[-1]["content"], content])
+            else:
+                out.append({"content": content, "type": vt})
+        return out
 
     pages: dict[int, list[dict]] = {}
     for b in blocks:
         t = b["type"]
         text = b.get("text", "")
+        blk_runs = (runs_from_records(b["_runs"]) if b.get("_runs")
+                    else None) or None
         if t == "title":
             item = {"type": "title",
-                    "content": {"title_content": runs(text),
+                    "content": {"title_content": blk_runs or runs(text),
                                 "level": b.get("level", 1)}}
         elif t == "equation":
             item = {"type": "equation_interline",
@@ -139,7 +162,7 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                                     "list_items": items}}
         else:
             item = {"type": "paragraph",
-                    "content": {"paragraph_content": runs(text)}}
+                    "content": {"paragraph_content": blk_runs or runs(text)}}
         item["bbox"] = [int(v) for v in b["bbox"]]
         pages.setdefault(b["page_idx"], []).append(item)
     out = [pages[p] for p in sorted(pages)]
