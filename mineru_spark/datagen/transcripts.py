@@ -624,8 +624,23 @@ def _gen_pdf(rng: random.Random) -> str:
 # ---------------------------------------------------------------------------
 
 def _gen_docx(rng: random.Random) -> str:
-    paras = [{"style": "Heading1",
-              "runs": [{"text": _sentence(rng, 3, 6).title()}]}]
+    paras = []
+    # ~25%: a TOC at the top — entry text + a HIDDEN page-number field run
+    # (the reference drops webHidden runs, docx_converter.py:375-388, and
+    # renders TOC paragraphs as an index block, :1419-1432)
+    if rng.random() < 0.25:
+        for _k in range(rng.randint(3, 5)):
+            paras.append({"style": "TOC",
+                          "runs": [{"text": _sentence(rng, 2, 4).title()},
+                                   {"text": str(rng.randint(1, 40)),
+                                    "hidden": True}]})
+    paras.append({"style": "Heading1",
+                  "runs": [{"text": _sentence(rng, 3, 6).title()}]})
+    # one numbering chain id per doc: a later group with the same numId
+    # CONTINUES the count across interruptions (reference counter cache,
+    # docx_converter.py:96-114)
+    num_id = rng.randint(1, 9)
+    ordered_chain = rng.random() < 0.5
     for _ in range(rng.randint(2, 5)):
         kind = rng.random()
         if kind < 0.15:
@@ -633,14 +648,26 @@ def _gen_docx(rng: random.Random) -> str:
                           "runs": [{"text": _sentence(rng, 2, 4).title()}]})
         elif kind < 0.35:
             for _k in range(rng.randint(2, 4)):
-                paras.append({"style": "ListParagraph",
+                num = {"id": num_id, "ilvl": 0, "ordered": ordered_chain}
+                paras.append({"style": "ListParagraph", "num": num,
                               "runs": [{"text": _sentence(rng, 2, 5)}]})
+                # occasional nested sub-item (ilvl 1)
+                if rng.random() < 0.25:
+                    paras.append({"style": "ListParagraph",
+                                  "num": {"id": num_id, "ilvl": 1,
+                                          "ordered": ordered_chain},
+                                  "runs": [{"text": _sentence(rng, 2, 4)}]})
         else:
             runs = []
             for _k in range(rng.randint(1, 4)):
                 runs.append({"text": _sentence(rng, 3, 8, special=True) + ".",
                              "bold": rng.random() < 0.2,
                              "italic": rng.random() < 0.15})
+            # OMML inline math run (oMath2Latex analog: latex on the run)
+            if rng.random() < 0.15:
+                runs.append({"math": rng.choice(
+                    (r"E=mc^2", r"\sum_{i} x_i", r"a_n"))})
+                runs.append({"text": _sentence(rng, 2, 4) + "."})
             paras.append({"style": "Normal", "runs": runs})
     return json.dumps({"kind": "docx_runs", "paras": paras},
                       ensure_ascii=False)

@@ -1,23 +1,35 @@
 """DOCX-style run fragment extraction (SURVEY.md §2.8 O1).
 
 The reference's DOCX converter walks the document XML linearly, resolves
-the style chain, renders styled runs, and handles numbered lists
-(reference mineru/model/docx/docx_converter.py: `_walk_linear` :818,
-`_add_list_item` :2485).  Our payload analog is the post-XML shape — a
-linear list of styled paragraphs with inline runs:
+the style chain, renders styled runs, handles numbered lists via the
+numbering part, converts OMML math, and turns TOC structures into index
+blocks (reference mineru/model/docx/docx_converter.py: `_walk_linear`
+:818, `_add_list_item` :2485, numbering chain `_get_numId_and_ilvl`
+:2239 + per-(numId, ilvl) counters :96-114, OMML → latex via oMath2Latex
+:1237/:2098, TOC handling :928/:1419-1432, hidden webHidden page-number
+runs :375-388).  Our payload analog is the post-XML shape — a linear list
+of styled paragraphs with inline runs:
 
     {"kind": "docx_runs", "paras": [
-        {"style": "Heading1"|"Heading2"|"Normal"|"ListParagraph"|"Code",
-         "numbered": false,
-         "runs": [{"text": "...", "bold": false, "italic": false}]}]}
+        {"style": "Heading1"|"Heading2"|"Normal"|"ListParagraph"|"Code"
+                  |"TOC",
+         "num": {"id": int, "ilvl": int, "ordered": bool},   # optional
+         "runs": [{"text": "...", "bold": false, "italic": false,
+                   "hidden": false} | {"math": "latex"}]}]}
 
 Semantics re-expressed:
 - style chain → block type (headings → title levels, ListParagraph →
-  list items merged into one list block, Code → fenced block);
+  list items, Code → fenced block, TOC → index block);
 - inline bold/italic runs → `**`/`*` markdown with the escape rules of
   the shared emission kernel applied to the run text first;
-- consecutive ListParagraph paragraphs coalesce into ONE list block
-  (the reference's numbering-context behavior).
+- OMML math runs → inline `$…$` (oMath2Latex analog: latex arrives on
+  the run, like the charstream's Math-font spans);
+- hidden runs (webHidden TOC page-number fields) are dropped;
+- NUMBERING CHAINS: ordered items keep a per-(numId, ilvl) counter that
+  SURVIVES interruptions — a later group with the same numId continues
+  3., 4., … exactly like Word (reference counter cache :101);
+- ilvl nesting indents items two spaces per level;
+- consecutive TOC paragraphs coalesce into one index block.
 """
 
 from __future__ import annotations
@@ -31,6 +43,13 @@ def _render_runs(runs: list) -> str:
     parts = []
     for r in runs:
         if not isinstance(r, dict):
+            continue
+        if r.get("hidden"):
+            continue  # webHidden: TOC page-number field runs
+        if "math" in r:
+            m = str(r.get("math", "")).strip()
+            if m:
+                parts.append(f"${m}$")
             continue
         t = emit.escape_markdown(emit.normalize_text(str(r.get("text", ""))))
         if not t:
@@ -49,14 +68,31 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     if not isinstance(paras, list):
         paras = []
     pending_items: list[str] = []
+    pending_ordered = False
+    pending_numid = None
+    pending_toc: list[str] = []
+    # per-(numId, ilvl) counters survive list interruptions (Word
+    # continues numbering within a numId; reference cache :101)
+    counters: dict[tuple, int] = {}
 
     def flush_list():
-        nonlocal pending_items
+        nonlocal pending_items, pending_numid
         if pending_items:
             blocks.append({"type": "list", "text": "\n".join(pending_items),
                            "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
-                           "pre_rendered": True})
+                           "pre_rendered": True, "items_marked": True,
+                           "attribute": "ordered" if pending_ordered
+                           else "unordered"})
             pending_items = []
+            pending_numid = None
+
+    def flush_toc():
+        nonlocal pending_toc
+        if pending_toc:
+            blocks.append({"type": "index", "text": "\n".join(pending_toc),
+                           "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
+                           "pre_rendered": True})
+            pending_toc = []
 
     for p in paras:
         if not isinstance(p, dict):
@@ -65,8 +101,27 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         text = _render_runs(p.get("runs") or [])
         if not text:
             continue
+        if style == "TOC":
+            flush_list()
+            pending_toc.append(text)
+            continue
+        flush_toc()
         if style == "ListParagraph":
-            pending_items.append(text)
+            num = p.get("num") if isinstance(p.get("num"), dict) else {}
+            numid = num.get("id")
+            ilvl = int(num.get("ilvl", 0) or 0)
+            ordered = bool(num.get("ordered"))
+            if pending_items and numid != pending_numid:
+                flush_list()
+            pending_numid = numid
+            pending_ordered = ordered
+            indent = "  " * ilvl
+            if ordered and numid is not None:
+                counters[(numid, ilvl)] = counters.get((numid, ilvl), 0) + 1
+                pending_items.append(
+                    f"{indent}{counters[(numid, ilvl)]}. {text}")
+            else:
+                pending_items.append(f"{indent}- {text}")
             continue
         flush_list()
         if style in _STYLE_HEADING:
@@ -82,4 +137,5 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                            "bbox": [0, 0, 0, 0], "level": 1,
                            "pre_rendered": True})
     flush_list()
+    flush_toc()
     return blocks, {"blocks_classified": len(blocks)}

@@ -165,6 +165,10 @@ def render_block(b: dict) -> str:
         if t == "title":
             return "#" * max(1, b.get("level", 1)) + " " + text
         if t == "list":
+            if b.get("items_marked"):
+                # items already carry their markers (docx numbering chains:
+                # "1. " continuation counters / "- " bullets / indents)
+                return "\n".join(it for it in text.split("\n") if it.strip())
             return "\n".join("- " + it for it in text.split("\n") if it)
         return text
     return render_md_block(t, text, b.get("level", 1))

@@ -154,7 +154,8 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
             if t == "list":
                 item = {"type": "list",
                         "content": {"list_type": "text_list",
-                                    "attribute": "unordered",
+                                    "attribute": b.get("attribute",
+                                                       "unordered"),
                                     "list_items": items}}
             else:
                 item = {"type": "index",

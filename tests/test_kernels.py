@@ -779,6 +779,36 @@ def test_docx_route_styled_runs():
                          "after list")
 
 
+def test_docx_numbering_chain_toc_omml():
+    """O1 fidelity: per-(numId, ilvl) counters continue across
+    interruptions (docx_converter.py:96-114), hidden TOC page-number runs
+    are dropped (:375-388), TOC paragraphs become an index block
+    (:1419-1432), OMML runs render as inline math (:1237)."""
+    from mineru_spark.kernels.docx import extract_docx
+    p = {"paras": [
+        {"style": "TOC", "runs": [{"text": "Intro"},
+                                  {"text": "3", "hidden": True}]},
+        {"style": "ListParagraph", "num": {"id": 5, "ilvl": 0,
+                                           "ordered": True},
+         "runs": [{"text": "one"}]},
+        {"style": "ListParagraph", "num": {"id": 5, "ilvl": 1,
+                                           "ordered": True},
+         "runs": [{"text": "sub"}]},
+        {"style": "Normal", "runs": [{"text": "break."},
+                                     {"math": "E=mc^2"}]},
+        {"style": "ListParagraph", "num": {"id": 5, "ilvl": 0,
+                                           "ordered": True},
+         "runs": [{"text": "two continues"}]},
+    ]}
+    blocks, _ = extract_docx(p)
+    assert [b["type"] for b in blocks] == ["index", "list", "text", "list"]
+    assert blocks[0]["text"] == "Intro"          # hidden page number gone
+    assert blocks[1]["text"] == "1. one\n  1. sub"
+    assert "$E=mc^2$" in blocks[2]["text"]
+    assert blocks[3]["text"] == "2. two continues"  # chain continued
+    assert blocks[1]["attribute"] == "ordered"
+
+
 def test_inline_math_span():
     chars = ([_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("cost")]
              + [{**_char(c, 80 + 5 * k, 100, idx=10 + k),
