@@ -266,6 +266,26 @@ def _assemble_block_from_spans(pc: PageCols, sel: "np.ndarray",
     return lines_text, lbb, spans_out, n_empty
 
 
+VERTICAL_SPAN_HW_RATIO = 2.0      # span h/w > 2 → vertical span (B5)
+VERTICAL_SPAN_SHARE = 0.8         # >80% such spans → vertical block
+
+
+def _is_vertical_by_spans(span_boxes: list) -> bool:
+    """B5 by span statistics (reference is_vertical_text_block_by_spans,
+    span_block_fix.py:9-30): >80% of valid spans taller than 2× width."""
+    valid = vert = 0
+    for b in span_boxes:
+        if not isinstance(b, (list, tuple)) or len(b) < 4:
+            continue
+        w, h = b[2] - b[0], b[3] - b[1]
+        if w <= 0 or h <= 0:
+            continue
+        valid += 1
+        if h / w > VERTICAL_SPAN_HW_RATIO:
+            vert += 1
+    return valid > 0 and vert / valid > VERTICAL_SPAN_SHARE
+
+
 def _bbox_edge_distance(a, b) -> float:
     """Rectangle gap distance (reference boxbase.bbox_distance:40-75):
     euclidean distance between the closest edges, 0 when overlapping."""
@@ -845,6 +865,15 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 blk_spans = blk.get("spans")
                 if isinstance(blk_spans, list) and blk_spans \
                         and page_median_h > 0:
+                    if _is_vertical_by_spans(blk_spans):
+                        # B5 span-statistics rule (span_block_fix.py:9-30):
+                        # >80% of spans taller than 2× their width
+                        text, bspans = _assemble_vertical(pc, sel, page_idx)
+                        rec["text"] = text
+                        spans_out.extend(bspans)
+                        if rec["text"]:
+                            raw.append(rec)
+                        continue
                     # E7 span path: model-emitted span boxes on the block
                     lines, lbb, bspans, ne = _assemble_block_from_spans(
                         pc, sel, blk_spans, page_median_h, page_idx)
