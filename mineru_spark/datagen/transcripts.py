@@ -684,11 +684,31 @@ def _gen_pptx(rng: random.Random) -> str:
                    "text": _sentence(rng, 3, 6).title()}]
         # two content placeholders side by side (xy-cut orders them)
         for cx0, cx1 in ((80.0, 460.0), (500.0, 880.0)):
-            if rng.random() < 0.5:
+            r = rng.random()
+            if r < 0.4:
                 items = "\n".join(f"• {_sentence(rng, 2, 5)}"
                                    for _ in range(rng.randint(2, 4)))
                 shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
                                "kind": "bullets", "text": items})
+            elif r < 0.55:
+                # embedded table shape (reference _handle_tables :597)
+                html, _nc = _gen_office(rng)
+                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                               "kind": "table", "html": html})
+            elif r < 0.7:
+                # GROUP shape: children in group-local coordinates; the
+                # extractor composes offset/scale (pptx_converter.py:49-79)
+                shapes.append({
+                    "kind": "group",
+                    "offset": [cx0, 120.0], "scale": [1.0, 1.0],
+                    "shapes": [
+                        {"bbox": [0.0, 0.0, cx1 - cx0, 130.0],
+                         "kind": "body",
+                         "text": _sentence(rng, 4, 8) + "."},
+                        {"bbox": [0.0, 150.0, cx1 - cx0, 280.0],
+                         "kind": "body",
+                         "text": _sentence(rng, 4, 8) + "."},
+                    ]})
             else:
                 lines = "\n".join(_sentence(rng, 4, 8) + "."
                                    for _ in range(rng.randint(1, 3)))
@@ -696,8 +716,13 @@ def _gen_pptx(rng: random.Random) -> str:
                                "kind": "body", "text": lines})
         # shapes arrive shuffled (no reading order in the payload)
         rng.shuffle(shapes)
-        slides.append({"slide_idx": sidx, "size": [960.0, 540.0],
-                       "shapes": shapes})
+        slide = {"slide_idx": sidx, "size": [960.0, 540.0],
+                 "shapes": shapes}
+        if rng.random() < 0.3:
+            # speaker notes (page_footnote blocks after the slide content)
+            slide["notes"] = [_sentence(rng, 4, 9) + "."
+                              for _ in range(rng.randint(1, 2))]
+        slides.append(slide)
     return json.dumps({"kind": "pptx_shapes", "slides": slides},
                       ensure_ascii=False)
 

@@ -146,6 +146,11 @@ def render_block(b: dict) -> str:
     language guess)."""
     t = b["type"]
     text = b.get("text", "")
+    if t == "page_footnote":
+        # discarded-type block (pptx speaker notes analog): kept in
+        # content_list, dropped from markdown (reference drops discarded
+        # types from md, keeps them typed in content_list)
+        return ""
     if t == "equation":
         return f"$$\n{text}\n$$" if text else ""
     if t == "code":

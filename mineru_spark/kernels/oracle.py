@@ -161,6 +161,10 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                 item = {"type": "index",
                         "content": {"list_type": "text_list",
                                     "list_items": items}}
+        elif t == "page_footnote":
+            # v2 discarded-type encoding (mkcontent :749-773)
+            item = {"type": "page_footnote",
+                    "content": {"page_footnote_content": runs(text)}}
         else:
             item = {"type": "paragraph",
                     "content": {"paragraph_content": blk_runs or runs(text)}}

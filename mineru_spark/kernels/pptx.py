@@ -1,29 +1,65 @@
 """PPTX-shape fragment extraction (SURVEY.md §2.8 O2).
 
-The reference's PPTX converter flattens slide shapes and orders them with
-XY-Cut++ (reference mineru/model/pptx/pptx_converter.py:197 using
-xycut_pp_sorter).  Our payload analog is a JSON list of positioned shape
+The reference's PPTX converter flattens slide shapes (recursively
+composing GROUP transforms, pptx_converter.py:256-282 + _SlideTransform
+:49-79), orders them with XY-Cut++ (:197), converts embedded tables to
+HTML (:300-305, _handle_tables :597), and appends speaker notes as
+page_footnote blocks after the slide content (_handle_slide_notes
+:548-582).  Our payload analog is a JSON list of positioned shape
 fragments:
 
     {"kind": "pptx_shapes", "slides": [
         {"slide_idx": 0, "size": [960, 540],
-         "shapes": [{"bbox": [x0,y0,x1,y1], "kind": "title"|"body"|"bullets",
-                     "text": "..."}]}]}
+         "notes": ["speaker note", ...],                      # optional
+         "shapes": [
+            {"bbox": [x0,y0,x1,y1], "kind": "title"|"body"|"bullets",
+             "text": "..."},
+            {"bbox": [...], "kind": "table", "html": "<table>…"},
+            {"kind": "group", "offset": [dx,dy], "scale": [sx,sy],
+             "shapes": [...]}]}]}
 
 Shapes carry no reading order — the geometric XY-cut kernel (shared with
 the PDF route, kernels/xycut.py) is the ordering operator.  Bullets render
 as list items; titles as level-2 headings (slide titles are sections of
-the deck document).
+the deck document); notes become page_footnote blocks (dropped from md,
+kept in content_list — the reference's BlockType.PAGE_FOOTNOTE contract).
 """
 
 from __future__ import annotations
 
 from . import emit
+from . import tables as tbl
 from .xycut import xy_cut_order
+
+
+def _flatten_shapes(shapes: list, sx: float = 1.0, sy: float = 1.0,
+                    dx: float = 0.0, dy: float = 0.0) -> list[dict]:
+    """Flatten nested group shapes, composing the affine slide transform
+    exactly like the reference (_SlideTransform.compose :73-79): child
+    coordinates are group-local; scale multiplies, offsets accumulate."""
+    out: list[dict] = []
+    for sp in shapes:
+        if not isinstance(sp, dict):
+            continue
+        if sp.get("kind") == "group":
+            gdx, gdy = (sp.get("offset") or [0.0, 0.0])[:2]
+            gsx, gsy = (sp.get("scale") or [1.0, 1.0])[:2]
+            out.extend(_flatten_shapes(
+                sp.get("shapes") or [],
+                sx * gsx, sy * gsy,
+                sx * gdx + dx, sy * gdy + dy))
+            continue
+        b = sp.get("bbox")
+        if not (isinstance(b, list) and len(b) == 4):
+            continue
+        out.append({**sp, "bbox": [sx * b[0] + dx, sy * b[1] + dy,
+                                   sx * b[2] + dx, sy * b[3] + dy]})
+    return out
 
 
 def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
     blocks: list[dict] = []
+    tables_parsed = 0
     slides = payload.get("slides", [])
     if not isinstance(slides, list):
         slides = []
@@ -32,19 +68,25 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
             continue
         sidx = int(slide.get("slide_idx", 0))
         sw, sh = (slide.get("size") or [960.0, 540.0])[:2]
-        shapes = [sp for sp in (slide.get("shapes") or [])
-                  if isinstance(sp, dict) and isinstance(sp.get("bbox"), list)
-                  and len(sp["bbox"]) == 4]
+        shapes = _flatten_shapes(slide.get("shapes") or [])
         order = xy_cut_order([sp["bbox"] for sp in shapes])
         for i in order:
             sp = shapes[i]
             kind = sp.get("kind", "body")
-            text = str(sp.get("text", "")).strip()
-            if not text:
-                continue
             b = sp["bbox"]
             nb = [round(b[0] / sw * 1000), round(b[1] / sh * 1000),
                   round(b[2] / sw * 1000), round(b[3] / sh * 1000)]
+            if kind == "table":
+                grids = tbl.parse_tables(str(sp.get("html", "")))
+                if grids:
+                    tables_parsed += 1
+                    blocks.append({"type": "table",
+                                   "text": tbl.render_table_html(grids[0]),
+                                   "page_idx": sidx, "bbox": nb, "level": 1})
+                continue
+            text = str(sp.get("text", "")).strip()
+            if not text:
+                continue
             if kind == "title":
                 btype, level = "title", 2
             elif kind == "bullets":
@@ -56,5 +98,16 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                 text = emit.merge_lines(text.split("\n"))
             blocks.append({"type": btype, "text": text, "page_idx": sidx,
                            "bbox": nb, "level": level})
-    metrics_extra = {"blocks_classified": len(blocks)}
+        # speaker notes AFTER the slide's shapes (reference :206, :548-582)
+        notes = slide.get("notes")
+        if isinstance(notes, str):
+            notes = [notes]
+        for note in notes or []:
+            note = " ".join(str(note).split())
+            if note:
+                blocks.append({"type": "page_footnote", "text": note,
+                               "page_idx": sidx, "bbox": [0, 0, 0, 0],
+                               "level": 1})
+    metrics_extra = {"blocks_classified": len(blocks),
+                     "tables_parsed": tables_parsed}
     return blocks, metrics_extra

@@ -760,6 +760,33 @@ def test_pptx_route():
     assert out["md"] == "## Deck\n\n- one\n- two\n\nright col."
 
 
+def test_pptx_group_table_notes():
+    """O2 fidelity: group shapes flatten with composed transforms, table
+    shapes render via the grid algebra, speaker notes become
+    page_footnote blocks (kept in content_list, dropped from md)."""
+    import json
+    payload = {"kind": "pptx_shapes", "slides": [{
+        "slide_idx": 0, "size": [960, 540],
+        "notes": ["remember  the demo."],
+        "shapes": [
+            {"bbox": [80, 30, 880, 80], "kind": "title", "text": "Deck"},
+            {"kind": "group", "offset": [80.0, 120.0], "scale": [1.0, 1.0],
+             "shapes": [{"bbox": [0, 0, 380, 120], "kind": "body",
+                         "text": "grouped text."}]},
+            {"bbox": [500, 120, 880, 400], "kind": "table",
+             "html": "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"},
+        ]}]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["route"] == "pptx"
+    assert out["md"] == ("## Deck\n\ngrouped text.\n\n"
+                         "<table><tr><th>h</th></tr><tr><td>v</td></tr>"
+                         "</table>")
+    cl = json.loads(out["content_list"])
+    assert cl[-1] == {"type": "page_footnote", "page_idx": 0,
+                      "bbox": [0, 0, 0, 0], "text": "remember the demo."}
+    assert "remember the demo." not in out["md"]
+
+
 def test_docx_route_styled_runs():
     import json
     payload = {"kind": "docx_runs", "paras": [
