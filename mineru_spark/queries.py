@@ -305,6 +305,85 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+# language-ID profiles: marker stopwords per language (n-gram/stopword
+# heuristic — the training-data op; scripts checked first)
+_LANG_PROFILES = (
+    ("en", ("the", "and", "of", "to", "in")),
+    ("de", ("der", "die", "und", "das", "ist")),
+    ("fr", ("le", "la", "les", "et", "est")),
+    ("es", ("el", "los", "las", "y", "es")),
+)
+
+
+def q_doc_langid(spark, sf_dir):
+    """Language identification (training-data op): script-class character
+    ratios decide CJK/Cyrillic outright; Latin text votes by
+    language-marker stopword hits with a fixed priority tie-break.
+    Deterministic and SQL-expressible, so DuckDB verifies the full
+    decision function.  (The documents table's `lang` METADATA is not
+    derivable from its synthetic English-vocab text — the operator
+    honestly predicts from the text itself.)"""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), " +")
+    total = F.greatest(F.length(F.regexp_replace("text", " ", "")),
+                       F.lit(1)).cast("double")
+    cjk = F.length(F.regexp_replace(
+        "text", "[^一-鿿]", "")).cast("double") / total
+    cyr = F.length(F.regexp_replace(
+        "text", "[^Ѐ-ӿ]", "")).cast("double") / total
+    def _hits(ws):
+        # single-arg lambda (a default arg would make Spark treat it as an
+        # (element, index) higher-order function)
+        return F.size(F.filter(words, lambda w: w.isin(*ws)))
+
+    hits = {lang: _hits(ws) for lang, ws in _LANG_PROFILES}
+    best = F.when(cjk > 0.3, F.lit("zh")).when(cyr > 0.3, F.lit("ru"))
+    cond = None
+    for lang, _ in _LANG_PROFILES:
+        c = hits[lang]
+        others = [hits[o] for o, _ in _LANG_PROFILES if o != lang]
+        expr = (c > 0)
+        for o in others:
+            expr = expr & (c >= o)
+        cond = best.when(expr, F.lit(lang)) if cond is None \
+            else cond.when(expr, F.lit(lang))
+    pred = cond.otherwise(F.lit("und"))
+    return d.select("doc_id", pred.alias("pred_lang"),
+                    F.round(cjk, 6).alias("cjk_ratio"),
+                    *[hits[lang].cast("long").alias(f"hits_{lang}")
+                      for lang, _ in _LANG_PROFILES])
+
+
+def q_doc_quality_signals(spark, sf_dir):
+    """Gopher-style quality signals (training-data op): punctuation and
+    digit character ratios, max word length, and the duplicate word-bigram
+    fraction (repetition signal: 1 − distinct/total bigrams)."""
+    # materialize the word split once — inlining it into the bigram
+    # transform would re-split per element (the O(words²) trap)
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split(F.trim("text"), " +").alias("w"))
+    nchars = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(
+        "text", r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double") / nchars
+    digit = F.length(F.regexp_replace(
+        "text", "[^0-9]", "")).cast("double") / nchars
+    bigrams = F.expr(
+        "CASE WHEN size(w) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(w) - 2), "
+        "i -> concat_ws(' ', w[i], w[i+1])) END")
+    n_bi = F.greatest(F.size(bigrams), F.lit(1)).cast("double")
+    dup_bi = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") \
+        / n_bi
+    return base.select(
+        "doc_id",
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.array_max(F.transform("w", F.length)).cast("long")
+        .alias("max_word_len"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup by content hash: keeper = min doc_id per md5 group."""
     d = _t(spark, sf_dir, "documents")
@@ -974,3 +1053,66 @@ ORACLES["q_cube_orders"] = """
 """
 RELATIONAL_QUERIES["q_semi_anti_orders"] = q_semi_anti_orders
 RELATIONAL_QUERIES["q_cube_orders"] = q_cube_orders
+
+
+def _langid_oracle_sql() -> str:
+    hit = {lang: ("CAST(len(list_filter(regexp_split_to_array(trim(text),"
+                  f" ' +'), x -> x IN ('" + "','".join(ws) + "'))) AS BIGINT)")
+           for lang, ws in _LANG_PROFILES}
+    prio = [lang for lang, _ in _LANG_PROFILES]
+    branches = []
+    for lang in prio:
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}"
+                                     for o in prio if o != lang]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(GREATEST(length(replace(text, ' ', '')), 1) AS DOUBLE)
+                   AS total,
+                 CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+                   AS DOUBLE) AS n_cjk,
+                 CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+                   AS DOUBLE) AS n_cyr,
+                 {', '.join(f"{sql} AS h_{lang}"
+                            for lang, sql in hit.items())}
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN n_cjk / total > 0.3 THEN 'zh'
+                    WHEN n_cyr / total > 0.3 THEN 'ru'
+                    {' '.join(branches)}
+                    ELSE 'und' END AS pred_lang,
+               ROUND(n_cjk / total, 6) AS cjk_ratio,
+               {', '.join(f"h_{lang} AS hits_{lang}" for lang in prio)}
+        FROM base
+    """
+
+
+ORACLES["q_doc_langid"] = _langid_oracle_sql()
+ORACLES["q_doc_quality_signals"] = r"""
+    WITH base AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS w,
+             CAST(GREATEST(length(text), 1) AS DOUBLE) AS nchars
+      FROM documents
+    ), bi AS (
+      SELECT doc_id, text, w, nchars,
+             CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1]) END AS bg
+      FROM base
+    )
+    SELECT doc_id,
+           ROUND(CAST(length(regexp_replace(text,
+                 '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / nchars, 6)
+             AS punct_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / nchars, 6) AS digit_ratio,
+           CAST(list_aggregate(list_transform(w, x -> length(x)), 'max')
+                 AS BIGINT) AS max_word_len,
+           ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                 / GREATEST(len(bg), 1), 6) AS dup_bigram_ratio
+    FROM bi
+"""
+RELATIONAL_QUERIES["q_doc_langid"] = q_doc_langid
+RELATIONAL_QUERIES["q_doc_quality_signals"] = q_doc_quality_signals
