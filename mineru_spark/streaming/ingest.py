@@ -72,6 +72,37 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
             .start())
 
 
+def windowed_route_counts(spark: SparkSession, in_dir: str, out_dir: str,
+                          checkpoint_dir: str, window: str = "10 minutes",
+                          watermark: str = "30 minutes"):
+    """Watermarked windowed aggregation over the live stream: per
+    event-time window × parse route, count turns and payload bytes.
+
+    The watermark bounds state: a row later than `watermark` behind the
+    max seen ts is dropped instead of reopening its window — the
+    late-data contract for a 10^12-turn stream where windows must close.
+    Append output mode emits each window exactly once, when the watermark
+    passes its end (checkpointable, replayable).
+    """
+    from ..pipeline import classify_routes
+
+    src = classify_routes(read_transcript_stream(spark, in_dir))
+    agg = (src.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "parse_route")
+           .agg(F.count("*").alias("n_turns"),
+                F.sum(F.length("text")).alias("payload_bytes"))
+           .select(F.col("w.start").alias("w_start"),
+                   F.col("w.end").alias("w_end"),
+                   "parse_route", "n_turns", "payload_bytes"))
+    return (agg.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (task brief: applyInPandasWithState)
 # ---------------------------------------------------------------------------

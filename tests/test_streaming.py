@@ -84,3 +84,45 @@ def test_stateful_conv_progress(spark, tmp_path):
     touched = rest.select("conv_id").distinct().toPandas()["conv_id"]
     for c in touched:
         assert got2.loc[c].turns_seen == total.loc[c]["count"], c
+
+
+def test_windowed_route_counts_watermark(spark, tmp_path):
+    """Watermarked event-time windows: counts match the batch groupBy over
+    the same windows; a too-late row (beyond the watermark of a CLOSED
+    window) is dropped on a later trigger."""
+    from pyspark.sql import functions as F
+    from mineru_spark.pipeline import synthesize_transcripts, classify_routes
+    from mineru_spark.streaming.ingest import windowed_route_counts
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+    src = synthesize_transcripts(spark, 12)
+    src.coalesce(1).write.parquet(in_dir)
+
+    q = windowed_route_counts(spark, in_dir, out_dir, ckpt,
+                              window="10 minutes", watermark="30 minutes")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    exp = (classify_routes(src)
+           .groupBy(F.window("ts", "10 minutes").alias("w"), "parse_route")
+           .agg(F.count("*").alias("n_turns")))
+    # append mode emits only windows the watermark closed; every emitted
+    # window must match the batch answer exactly
+    j = got.join(exp.select(F.col("w.start").alias("w_start"),
+                            "parse_route",
+                            F.col("n_turns").alias("n_exp")),
+                 ["w_start", "parse_route"], "left")
+    bad = j.filter((F.col("n_exp").isNull())
+                   | (F.col("n_turns") != F.col("n_exp"))).count()
+    assert bad == 0 and got.count() > 0
+
+    # feed a row 10 years late: its window is long closed -> dropped
+    late = src.limit(1).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 3650 DAYS"))
+    late.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = windowed_route_counts(spark, in_dir, out_dir, ckpt,
+                               window="10 minutes", watermark="30 minutes")
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.filter(F.col("w_start") < "2020-01-01").count() == 0
