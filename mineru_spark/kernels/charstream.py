@@ -623,6 +623,15 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
 
     lines_text: list[str] = []
     spans_out: list[dict] = []
+    # fast-path text building: runs are contiguous slices, so run text is
+    # a substring of the block string with spaces spliced at the (rare)
+    # gap positions — iterations scale with WORDS, not chars.  Blocks
+    # containing \r\n glyphs take the per-char path (its skip rule
+    # interacts with space suppression).
+    block_str = "".join(glyphs)
+    # slicing needs index alignment (single-codepoint glyphs, no \r\n skip)
+    fast_text = len(block_str) == n and "\r" not in block_str \
+        and "\n" not in block_str
     # line boundaries (contiguous slices: line_id is nondecreasing)
     bounds = np.concatenate(
         ([0], np.nonzero(new_line)[0] + 1, [n]))
@@ -651,15 +660,35 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
         for rid in range(int(run_ids[-1]) + 1):
             rm = run_ids == rid
             ridx = li[rm]
-            buf = []
-            for k, gi in enumerate(ridx):
-                ch = glyphs[gi]
-                if ch in ("\r", "\n"):
-                    continue
-                if space_before[gi] and (k > 0 or parts):
-                    buf.append(" ")
-                buf.append(ch)
-            text = emit.expand_ligatures("".join(buf))
+            a, b = int(ridx[0]), int(ridx[-1]) + 1
+            if fast_text and b - a == len(ridx):
+                # contiguous slice + splice spaces at gap positions.
+                # space_before[a] is False at a line start; at a mid-line
+                # run start the previous run always left `parts` non-empty
+                # here (no \r\n in the fast path), so the per-char loop's
+                # (k > 0 or parts) guard is equivalent.
+                sub = block_str[a:b]
+                ps = np.flatnonzero(space_before[a:b])
+                if len(ps):
+                    segs = []
+                    prev = 0
+                    for p in ps:
+                        segs.append(sub[prev:int(p)])
+                        segs.append(" ")
+                        prev = int(p)
+                    segs.append(sub[prev:])
+                    sub = "".join(segs)
+                text = emit.expand_ligatures(sub)
+            else:
+                buf = []
+                for k, gi in enumerate(ridx):
+                    ch = glyphs[gi]
+                    if ch in ("\r", "\n"):
+                        continue
+                    if space_before[gi] and (k > 0 or parts):
+                        buf.append(" ")
+                    buf.append(ch)
+                text = emit.expand_ligatures("".join(buf))
             r = int(role[np.nonzero(rm)[0][0]])
             stripped = text.strip()
             if not stripped:
@@ -756,12 +785,18 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         recs = page.get("chars", [])
         if not isinstance(recs, list):
             recs = []
-        recs = [r for r in recs
-                if isinstance(r, dict) and isinstance(r.get("bbox"), list)
-                and len(r["bbox"]) == 4 and isinstance(r.get("font"), dict)]
-
-        # E8: only axis-aligned rotations participate
-        axis = [r for r in recs if float(r.get("rotation", 0.0)) % 90.0 == 0.0]
+        # one validation + E8 rotation pass (malformed records and rotated
+        # watermark chars both count as dropped); exception-guarded rather
+        # than isinstance-laden — broken records are the rare path
+        axis = []
+        for r in recs:
+            try:
+                if isinstance(r["bbox"], list) and len(r["bbox"]) == 4 \
+                        and isinstance(r["font"], dict) \
+                        and float(r.get("rotation", 0.0)) % 90.0 == 0.0:
+                    axis.append(r)
+            except (TypeError, KeyError):
+                pass
         chars_deduped += len(recs) - len(axis)
 
         pc = PageCols(axis)

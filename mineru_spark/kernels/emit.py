@@ -53,16 +53,18 @@ def fullwidth_to_halfwidth(text: str) -> str:
     return text.translate(_FW_TABLE)
 
 
+_CJK_RE = re.compile("[" + "".join(f"{chr(lo)}-{chr(hi)}"
+                                   for lo, hi in _CJK_RANGES) + "]")
+
+
 def is_cjk_char(ch: str) -> bool:
-    o = ord(ch)
-    return any(lo <= o <= hi for lo, hi in _CJK_RANGES)
+    return _CJK_RE.match(ch) is not None
 
 
 def cjk_ratio(text: str) -> float:
     if not text:
         return 0.0
-    n = sum(1 for ch in text if is_cjk_char(ch))
-    return n / len(text)
+    return len(_CJK_RE.findall(text)) / len(text)
 
 
 def is_cjk_text(text: str) -> bool:
@@ -91,11 +93,19 @@ def merge_lines(lines: list[str]) -> str:
     return out
 
 
+_HAS_SPECIAL = re.compile(r"[*_~$`\\]")
+
+
 def escape_markdown(text: str) -> str:
     """Conservative markdown escape (reference markdown_utils.py:12-48):
     backslash-escape ``* _ ~ $ ``` `` when not already escaped, and escape a
     leading block marker (# + -) followed by a space."""
     if not text:
+        return text
+    if _HAS_SPECIAL.search(text) is None:
+        # fast path: nothing to escape except a possible leading marker
+        if len(text) >= 2 and text[0] in "#+-" and text[1] == " ":
+            return "\\" + text
         return text
     out = []
     bs_run = 0
