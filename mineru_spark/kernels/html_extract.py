@@ -21,7 +21,7 @@ Rules (deterministic, fixed in both oracle and engine):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from .htmltok import VOID, tokenize
 
 from . import emit
 from . import tables as tbl
@@ -44,37 +44,31 @@ class _Node:
     attrs: dict = field(default_factory=dict)     # td/th spans, a href, …
 
 
-class _DomParser(HTMLParser):
-    """Minimal tolerant DOM builder (void elements, implied closes)."""
-
-    _VOID = {"br", "hr", "img", "meta", "link", "input", "area", "base",
-             "col", "embed", "source", "track", "wbr"}
-
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.root = _Node("#root")
-        self.cur = self.root
-
-    def handle_starttag(self, tag, attrs):
-        node = _Node(tag)
-        if attrs:
-            node.attrs = dict(attrs)
-        node.parent = self.cur
-        self.cur.children.append(node)
-        if tag not in self._VOID:
-            self.cur = node
-
-    def handle_endtag(self, tag):
-        # walk up to the nearest matching open tag (tolerates misnesting)
-        n = self.cur
-        while n is not self.root and n.tag != tag:
-            n = n.parent
-        if n is not self.root:
-            self.cur = n.parent
-
-    def handle_data(self, data):
-        if data:
-            self.cur.children.append(data)
+def _build_dom(payload: str) -> _Node:
+    """Minimal tolerant DOM builder (void elements, implied closes) over
+    the shared regex tokenizer (kernels/htmltok.py)."""
+    root = _Node("#root")
+    cur = root
+    for ev in tokenize(payload):
+        kind = ev[0]
+        if kind == "data":
+            cur.children.append(ev[1])
+        elif kind == "start":
+            node = _Node(ev[1])
+            if ev[2]:
+                node.attrs = ev[2]
+            node.parent = cur
+            cur.children.append(node)
+            if ev[1] not in VOID:
+                cur = node
+        else:  # end: walk up to the nearest matching open tag
+            tag = ev[1]
+            n = cur
+            while n is not root and n.tag != tag:
+                n = n.parent
+            if n is not root:
+                cur = n.parent
+    return root
 
 
 def _text_stats(node: _Node, in_link: bool = False) -> tuple[int, int]:
@@ -264,13 +258,11 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
     normalized degenerate box (HTML has no geometry) mirroring the output
     grid of the reference (mkcontent :478-489).
     """
-    parser = _DomParser()
-    parser.feed(payload)
-    parser.close()
+    root = _build_dom(payload)
 
     out: list[Block] = []
     dropped = [0]
-    _collect_blocks(parser.root, out, dropped, payload)
+    _collect_blocks(root, out, dropped, payload)
 
     blocks: list[dict] = []
     tables_parsed = 0

@@ -3,7 +3,8 @@
 From-scratch rowspan/colspan grid normalization re-expressing the
 reference's table machinery (reference mineru/utils/table_merge.py:568-809
 structural merge / colspan adjust; mineru/model/xlsx/xlsx_converter.py:39-166
-merged-cell semantics) without BeautifulSoup — stdlib HTMLParser only.
+merged-cell semantics) without BeautifulSoup — the shared regex
+tokenizer (kernels/htmltok.py) only.
 
 A table is parsed into a dense occupancy grid; merged cells are anchored at
 their top-left cell and re-emitted with explicit rowspan/colspan in a
@@ -13,7 +14,6 @@ canonical HTML form, which is the engine's golden table encoding.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
 from html import escape as html_escape
 
 
@@ -31,9 +31,13 @@ class TableGrid:
     ncols: int = 0
 
 
-class _TableParser(HTMLParser):
+class _TableParser:
+    """Streaming table scanner over the shared regex tokenizer
+    (kernels/htmltok.py); same event semantics as the previous
+    stdlib-HTMLParser version (depth-1 structure, nested-table text flows
+    into the enclosing cell)."""
+
     def __init__(self):
-        super().__init__(convert_charrefs=True)
         self.tables: list[list[list[Cell]]] = []
         self._rows: list[list[Cell]] | None = None
         self._row: list[Cell] | None = None
@@ -41,7 +45,20 @@ class _TableParser(HTMLParser):
         self._buf: list[str] = []
         self._depth = 0
 
-    def handle_starttag(self, tag, attrs):
+    def feed(self, html: str) -> None:
+        from .htmltok import tokenize
+
+        for ev in tokenize(html):
+            kind = ev[0]
+            if kind == "data":
+                if self._cell is not None:
+                    self._buf.append(ev[1])
+            elif kind == "start":
+                self._starttag(ev[1], ev[2])
+            else:
+                self._endtag(ev[1])
+
+    def _starttag(self, tag, a):
         if tag == "table":
             self._depth += 1
             if self._depth == 1:
@@ -52,18 +69,12 @@ class _TableParser(HTMLParser):
         if tag == "tr":
             self._row = []
         elif tag in ("td", "th"):
-            a = dict(attrs)
-            def _span(v):
-                try:
-                    return max(1, int(v))
-                except (TypeError, ValueError):
-                    return 1
-            self._cell = Cell(rowspan=_span(a.get("rowspan")),
-                              colspan=_span(a.get("colspan")),
+            self._cell = Cell(rowspan=span_of(a.get("rowspan")),
+                              colspan=span_of(a.get("colspan")),
                               header=(tag == "th"))
             self._buf = []
 
-    def handle_endtag(self, tag):
+    def _endtag(self, tag):
         if tag == "table":
             if self._depth == 1 and self._rows is not None:
                 if self._row:
@@ -86,10 +97,6 @@ class _TableParser(HTMLParser):
                 self._rows = []
             self._rows.append(self._row)
             self._row = None
-
-    def handle_data(self, data):
-        if self._cell is not None:
-            self._buf.append(data)
 
 
 import re as _re
@@ -119,7 +126,6 @@ def prefix_img_src(html: str, img_bucket_path: str) -> str:
 def parse_tables(html: str) -> list[TableGrid]:
     p = _TableParser()
     p.feed(replace_eq_tags(html))
-    p.close()
     out = []
     for rows in p.tables:
         grid = _normalize(rows)
