@@ -79,3 +79,38 @@ def test_xycut_is_permutation(boxes):
     bxs = [[x, y, x + w, y + h] for x, y, w, h in boxes]
     order = xy_cut_order(bxs)
     assert sorted(order) == list(range(len(bxs)))
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=500))
+@settings(max_examples=150, deadline=None)
+def test_tokenizer_never_raises_and_roundtrips_text(s):
+    """The regex tokenizer consumes arbitrary input without raising, and
+    plain text (no markup chars) passes through as data."""
+    from mineru_spark.kernels.htmltok import tokenize
+    evs = list(tokenize(s))
+    assert all(e[0] in ("start", "end", "data") for e in evs)
+    if "<" not in s and "&" not in s and s:
+        assert "".join(e[1] for e in evs if e[0] == "data") == s
+
+
+def test_tokenizer_adversarial_payloads():
+    from mineru_spark.kernels.oracle import extract_turn
+    bads = ["<", "<a", "<table><tr><td",
+            "<script>if(a<b){x}</script>ok",
+            "<p>x & y &amp; &#65; &bogus; z</p>", "<td colspan='zz'>x",
+            "<!-- unterminated", "<![CDATA[ unterminated",
+            "<p a=\"unclosed>t", "\x00<p>\x01</p>",
+            "<p>" + "<b>" * 2000 + "deep" + "</b>" * 2000,
+            "<style>p{content:'</div>'}</style><p>after</p>"]
+    for b in bads:
+        out = extract_turn(b, "browser")
+        assert isinstance(out["md"], str)
+
+
+def test_tokenizer_entities_and_rawtext():
+    from mineru_spark.kernels.html_extract import extract_html
+    blocks, _ = extract_html(
+        "<article><p>x &amp; y &#65;</p>"
+        "<script>var a = 1 < 2;</script></article>")
+    assert blocks[0]["text"] == "x & y A"
+    assert len(blocks) == 1  # script content never leaks into blocks
