@@ -358,6 +358,26 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             "skipped_resume": already, "run_id": run_id}
 
 
+def list_runs(spark: SparkSession, out_dir: str) -> list[dict]:
+    """Snapshot inventory (the Iceberg snapshot-list analog): one row per
+    run_id from the per-run metrics table, with its turn totals."""
+    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    rows = (metrics.groupBy("run_id")
+            .agg(F.sum("turns").alias("turns"),
+                 F.sum("blocks_classified").alias("blocks"),
+                 F.count("*").alias("n_partitions"))
+            .collect())
+    return [r.asDict() for r in rows]
+
+
+def read_run(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
+    """Read ONE run's output (the Iceberg snapshot-read / time-travel
+    analog): run_id is constant per written file, so parquet row-group
+    stats prune every other run's files from the scan."""
+    return (spark.read.parquet(os.path.join(out_dir, "extracted"))
+            .filter(F.col("run_id") == run_id))
+
+
 def _path_has_data(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.parquet(path).limit(1).collect()

@@ -154,3 +154,22 @@ def test_skew_partition_balance(spark):
               .groupBy("pid").count().toPandas())
     mean = counts["count"].mean()
     assert counts["count"].max() <= 2.0 * mean, counts["count"].describe()
+
+
+def test_run_snapshots_list_and_read(spark, tmp_path):
+    """run_id is the snapshot handle: list_runs inventories every append,
+    read_run time-travels to exactly one run's rows."""
+    from mineru_spark.pipeline import (synthesize_transcripts, run_job,
+                                       list_runs, read_run)
+
+    out = str(tmp_path / "snap")
+    a = synthesize_transcripts(spark, 10)
+    b = synthesize_transcripts(spark, 16).join(
+        a.select("conv_id").distinct(), "conv_id", "left_anti")
+    r1 = run_job(spark, a, out, resume=True)
+    r2 = run_job(spark, b, out, resume=True)
+    runs = {r["run_id"]: r for r in list_runs(spark, out)}
+    assert runs[r1["run_id"]]["turns"] == r1["turns"]
+    assert runs[r2["run_id"]]["turns"] == r2["turns"]
+    assert read_run(spark, out, r1["run_id"]).count() == r1["turns"]
+    assert read_run(spark, out, r2["run_id"]).count() == r2["turns"]
