@@ -839,6 +839,18 @@ def _inject_latin_cjk(payload: str) -> str:
     return json.dumps(d, ensure_ascii=False)
 
 
+def _inject_pua_run(payload: str) -> str:
+    """Rewrite 4 consecutive chars of page 0 into private-use glyphs (E10:
+    a PUA run ≥2 flags its span for post-OCR, span_pre_proc.py:388-430;
+    too few chars to trip the doc-level C7 ratio)."""
+    d = json.loads(payload)
+    chars = d["pages"][0]["chars"]
+    start = min(20, max(0, len(chars) - 4))
+    for k, rec in enumerate(chars[start:start + 4]):
+        rec["char"] = chr(0xE000 + k)
+    return json.dumps(d, ensure_ascii=False)
+
+
 def _inject_image_cover(payload: str) -> str:
     """Append a near-full-page image object to EVERY page (C11 analog,
     pdf_classify.py:1055-1090: per-page image-area coverage ≥ 0.8 on ≥ 80%
@@ -922,6 +934,8 @@ def gen_turn(conv_i: int, turn_idx: int) -> dict:
             text = _inject_latin_cjk(text)      # C6 Latin CharSet → CJK
         elif rc < 0.085:
             text = _inject_image_cover(text)    # C11 image coverage
+        elif rc < 0.10:
+            text = _inject_pua_run(text)        # E10 per-span PUA run
     ts = _BASE_TS + timedelta(seconds=conv_i * 3600 + turn_idx * 37)
     return {"conv_id": conv_id, "turn_idx": turn_idx, "role": role,
             "text": text, "tool": tool, "ts": ts}

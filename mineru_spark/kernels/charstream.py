@@ -133,6 +133,11 @@ def _page_signals(codes: "np.ndarray") -> dict:
 # E7 char→span fill (reference span_pre_proc.py:311-364, :371-378, :453-486)
 SPAN_HEIGHT_RATIO = 0.33      # |char ctr-y − span ctr-y| < ⅓ span height
 SPAN_EMPTY_FACTOR = 0.5       # len(content)·h < w·0.5 → empty span (OCR)
+# E10 per-span private-use fallback (span_pre_proc.py:18-22, :388-430):
+# ≥2 PUA chars AND (a PUA run ≥2 OR PUA ratio ≥5%) → post-OCR the span
+PUA_COUNT_MIN = 2
+PUA_RUN_MIN = 2
+PUA_RATIO_MIN = 0.05
 VERTICAL_SPAN_FACTOR = 2.3    # h > 2.3·median and h > 2.3·w → vertical span
 SPAN_STOP_FLAG = ('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
                   ':', '：', ';', '；', ']', '】', '}', '>', '》', '、',
@@ -196,11 +201,32 @@ def fill_chars_into_spans(pc: PageCols, sel: "np.ndarray",
         assigned |= m
         idxs = sel[np.flatnonzero(m)]
         out.append((b, idxs))
-        # empty-span test runs after content assembly in the reference;
-        # the char count is a faithful stand-in for len(content) here
-        if len(idxs) * sh < sw * SPAN_EMPTY_FACTOR:
+        # post-OCR flags (reference need_ocr_spans, :347-364): the E10
+        # private-use rule first, else the empty-span test (char count is
+        # a faithful stand-in for len(content) here)
+        if len(idxs) and _pua_span_signal(pc.codes[idxs]):
+            n_empty += 1
+        elif len(idxs) * sh < sw * SPAN_EMPTY_FACTOR:
             n_empty += 1
     return out, n_empty, assigned
+
+
+def _pua_span_signal(codes: "np.ndarray") -> bool:
+    """E10: per-span private-use fallback decision (span_pre_proc.py
+    :388-430): ≥2 PUA chars and (max PUA run ≥2 or PUA ratio ≥5% of
+    non-whitespace chars).  Whitespace breaks runs (it is never PUA, so
+    the run-length mask handles that implicitly)."""
+    pua = (codes >= 0xE000) & (codes <= 0xF8FF)
+    cnt = int(pua.sum())
+    if cnt < PUA_COUNT_MIN:
+        return False
+    nonspace = int((~np.isin(codes, (9, 10, 13, 32))).sum())
+    if nonspace and cnt / nonspace >= PUA_RATIO_MIN:
+        return True
+    edges = np.diff(np.concatenate(([0], pua.view(np.int8), [0])))
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)
+    return bool(len(starts)) and int((ends - starts).max()) >= PUA_RUN_MIN
 
 
 def _assemble_block_from_spans(pc: PageCols, sel: "np.ndarray",
@@ -1055,7 +1081,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         "ocr_fallback": ocr,
         "para_merged": para_merged,
         "tables_merged": 0,
-        "empty_spans": empty_spans,
+        "spans_need_ocr": empty_spans,
     }
     return blocks_out, spans_out, metrics
 

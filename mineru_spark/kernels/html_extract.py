@@ -285,7 +285,7 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
         "ocr_fallback": 0,
         "para_merged": 0,
         "tables_merged": 0,
-        "empty_spans": 0,
+        "spans_need_ocr": 0,
     }
     return blocks, metrics
 

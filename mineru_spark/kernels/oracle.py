@@ -31,7 +31,7 @@ OUTPUT_FIELDS = ["route", "md", "md_nlp", "content_list",
 _ZERO_METRICS = {
     "blocks_classified": 0, "blocks_discarded": 0, "boilerplate_dropped": 0,
     "tables_parsed": 0, "chars_deduped": 0, "ocr_fallback": 0,
-    "para_merged": 0, "tables_merged": 0, "empty_spans": 0,
+    "para_merged": 0, "tables_merged": 0, "spans_need_ocr": 0,
 }
 
 _METRIC_KEYS = list(_ZERO_METRICS)

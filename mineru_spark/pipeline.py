@@ -73,12 +73,12 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("ocr_fallback", T.IntegerType(), True),
     T.StructField("para_merged", T.IntegerType(), True),
     T.StructField("tables_merged", T.IntegerType(), True),
-    T.StructField("empty_spans", T.IntegerType(), True),
+    T.StructField("spans_need_ocr", T.IntegerType(), True),
 ])
 
 _METRIC_COLS = ["blocks_classified", "blocks_discarded", "boilerplate_dropped",
                 "tables_parsed", "chars_deduped", "ocr_fallback",
-                "para_merged", "tables_merged", "empty_spans"]
+                "para_merged", "tables_merged", "spans_need_ocr"]
 
 
 def get_spark(app: str = "mineru_spark", master: str | None = None,

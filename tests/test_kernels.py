@@ -631,7 +631,30 @@ def test_e7_empty_span_and_unassigned_drop():
                          [50.0, 150.0, 200.0, 160.0]]}]       # empty → OCR
     out = extract_turn(json.dumps(_page(chars, layout)), "pdf_reader")
     assert out["md"] == "hello"            # 'z' dropped, empty span empty
-    assert out["metrics"]["empty_spans"] == 1
+    assert out["metrics"]["spans_need_ocr"] == 1
+
+
+def test_e10_pua_span_flagged():
+    """E10 (span_pre_proc.py:388-430): a PUA run ≥2 inside a span flags it
+    for post-OCR; a single isolated PUA char does not."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def payload(n_pua):
+        chars = [_char(c, 50 + 5 * k, 100, idx=k)
+                 for k, c in enumerate("normal text here")]
+        for k in range(n_pua):
+            chars.append(_char(chr(0xE000 + k), 150 + 5 * k, 100,
+                               idx=50 + k))
+        layout = [{"bbox": [45, 95, 300, 115], "label": "text", "index": 0,
+                   "spans": [[50.0, 100.0, 135.0, 110.0],
+                             [148.0, 100.0, 165.0, 110.0]]}]
+        return json.dumps(_page(chars, layout))
+
+    out = extract_turn(payload(3), "pdf_reader")
+    assert out["metrics"]["spans_need_ocr"] == 1
+    out1 = extract_turn(payload(1), "pdf_reader")
+    assert out1["metrics"]["spans_need_ocr"] == 0
 
 
 def test_e7_vertical_span_fill():
