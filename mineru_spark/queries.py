@@ -506,23 +506,27 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """60-bit SimHash from word md5s — bit-majority over word hashes,
-    expressed relationally (explode words × bit positions) so DuckDB can
-    verify it exactly (dedup family)."""
+    """60-bit SimHash from word md5s — bit-majority over word hashes
+    (dedup family).  Spark computes all 60 bit votes as aggregate
+    expressions over ONE exploded word row per word (a single partial+
+    final hash agg — the naive words × 60-bit-positions explode would
+    multiply the shuffle by 60); DuckDB verifies with the explicit
+    bit-position formulation, so the two different plans must agree."""
     d = _t(spark, sf_dir, "documents")
     words = (d.select("doc_id",
                       F.explode(F.split(F.trim("text"), " +")).alias("word"))
              .select("doc_id",
                      F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
                      .cast("long").alias("h")))
-    bits = words.select("doc_id", "h",
-                        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
-    votes = (bits.groupBy("doc_id", "b")
-             .agg(F.sum(F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("v")))
-    return (votes.groupBy("doc_id")
-            .agg(F.sum(F.expr(
-                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
-                .cast("long").alias("simhash")))
+    votes = words.groupBy("doc_id").agg(
+        *[F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+          .alias(f"v{b}") for b in range(60)])
+    sim = None
+    for b in range(60):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def q_doc_lang_stats(spark, sf_dir):
