@@ -197,6 +197,11 @@ def _middle_json(blocks: list[dict], route: str) -> str:
             if b.get("cross_page"):
                 # SplitFlag.CROSS_PAGE analog (para_split.py:301-304)
                 item["cross_page"] = True
+            if b.get("_runs"):
+                # full-IR span runs (the reference middle keeps the
+                # block→line→span hierarchy; we keep the typed runs)
+                item["spans"] = [{"type": t, "content": c}
+                                 for t, c in b["_runs"]]
         pages.setdefault(b["page_idx"], []).append(item)
     info = [{"page_idx": p, "para_blocks": pages[p]} for p in sorted(pages)]
     return json.dumps({"pdf_info": info, "_backend": route},
