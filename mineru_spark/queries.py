@@ -1120,3 +1120,30 @@ ORACLES["q_doc_quality_signals"] = r"""
 """
 RELATIONAL_QUERIES["q_doc_langid"] = q_doc_langid
 RELATIONAL_QUERIES["q_doc_quality_signals"] = q_doc_quality_signals
+
+
+def write_signature_table(spark, sf_dir: str, table: str = "doc_signatures",
+                          n_buckets: int = 8) -> None:
+    """Materialize the MinHash band-key table BUCKETED BY band key — the
+    production shape the q_jaccard_pairs docstring names: candidate
+    generation becomes a co-located self-join (no Exchange on the bucket
+    key), and incremental dedup joins new docs against it without
+    reshuffling the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sig = sh.select(
+        "doc_id", "sh",
+        *[F.array_min(F.transform(
+            "sh", lambda s, k=k: F.md5(F.concat(s, F.lit(f"#{k}")))))
+          .alias(f"mh{k}") for k in range(4)])
+    bands = sig.select(
+        "doc_id", "sh",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("bi"),
+                     F.md5(F.concat("mh0", "mh1")).alias("bk")),
+            F.struct(F.lit(1).alias("bi"),
+                     F.md5(F.concat("mh2", "mh3")).alias("bk")),
+        )).alias("b")).select("doc_id", "sh", "b.bi", "b.bk")
+    (bands.write.mode("overwrite")
+     .bucketBy(n_buckets, "bk").sortBy("bk")
+     .format("parquet").saveAsTable(table))

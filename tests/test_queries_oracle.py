@@ -54,3 +54,19 @@ def test_entry_smoke(spark):
     df = em.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"doc_id", "md"}
+
+
+def test_bucketed_signature_table_join_without_shuffle(spark):
+    """The materialized band-key table (production dedup shape) self-joins
+    on its bucket key with NO Exchange on either side."""
+    from mineru_spark.queries import write_signature_table
+
+    write_signature_table(spark, "/root/testdata/sf0.001",
+                          table="tq_sigs", n_buckets=4)
+    t = spark.table("tq_sigs")
+    j = (t.alias("a").join(t.alias("b"), ["bk"])
+         .where("a.doc_id < b.doc_id"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(bk" not in plan
+    assert j.count() >= 0
+    spark.sql("DROP TABLE IF EXISTS tq_sigs")
