@@ -1122,6 +1122,201 @@ RELATIONAL_QUERIES["q_doc_langid"] = q_doc_langid
 RELATIONAL_QUERIES["q_doc_quality_signals"] = q_doc_quality_signals
 
 
+COS_NEAR_MIN = 0.25  # near-dup cosine threshold on the isotropic synthetic
+                     # embeddings (top-pair cosines ≈ 0.3; a production 0.9
+                     # threshold only changes the literal)
+
+
+def q_embed_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): candidates
+    come from SRP-LSH bucket equality (same 6-bit signature — the same
+    deterministic hyperplanes DuckDB recomputes in q_lsh_signature), then
+    the exact cosine is verified per candidate.  Plan: one shuffle
+    equi-join on lsh_sig; never an all-pairs cross join.  Recall is the
+    LSH trade-off; raising it = multi-probe (hamming-adjacent buckets),
+    same plan shape."""
+    from .simsearch import signature_col
+
+    e = _t(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding", signature_col().alias("sig"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    cos = dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
+    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("va"),
+                    F.col("b.vec_id").alias("vb"),
+                    F.round(cos, 6).alias("cos"))
+            .filter(F.col("cos") >= COS_NEAR_MIN))
+
+
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Deterministic coarse quantizer: the vectors of vec_id 1..16 act as
+    the IVF centroid set (a fixed-sample quantizer — no training pass, so
+    both engines derive identical centroids from the data itself)."""
+    e = _t(spark, sf_dir, "embeddings")
+    rows = (e.filter((F.col("vec_id") >= 1)
+                     & (F.col("vec_id") <= IVF_N_CENTROIDS))
+            .orderBy("vec_id").collect())
+    return [[float(v) for v in r["embedding"]] for r in rows]
+
+
+def _ivf_assign_expr(cents):
+    """cent = argmin over centroids of NEGATIVE dot (i.e. argmax dot),
+    first-match tie-break in centroid order — mirrored exactly in SQL."""
+    dots = []
+    for ci, c in enumerate(cents):
+        arr = F.array(*[F.lit(v) for v in c])
+        dots.append(F.round(F.aggregate(
+            F.zip_with("embedding", arr,
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v), 9).alias(f"d{ci}"))
+    return dots
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse assignment (similarity-search scale path): every vector
+    goes to its max-dot centroid.  At production scale `cent` is the
+    partition/bucket key — a query probes nprobe lists instead of the
+    corpus.  Dots are rounded to 9 dp before the argmax so both engines
+    compare identical decimals (float fold order differs)."""
+    cents = _ivf_centroids(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    dots = _ivf_assign_expr(cents)
+    with_d = e.select("vec_id", *dots)
+    gmax = F.greatest(*[F.col(f"d{ci}") for ci in range(len(cents))])
+    cent = None
+    for ci in range(len(cents)):
+        branch = F.when(F.col(f"d{ci}") == gmax, F.lit(ci))
+        cent = branch if cent is None else cent.when(
+            F.col(f"d{ci}") == gmax, F.lit(ci))
+    # CASE evaluates in order → first matching centroid wins ties
+    return with_d.select("vec_id", cent.cast("long").alias("cent"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat top-k (similarity-search scale path, the brief's IVF
+    variant): probe the IVF_NPROBE centroids nearest the query (vec_id 0),
+    compute the exact cosine only inside those lists, take the top 10.
+    At scale the assignment is a bucketed column: probing = partition
+    pruning, candidates ≪ N."""
+    import numpy as np
+
+    cents = _ivf_centroids(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in
+            e.filter(F.col("vec_id") == 0).select("embedding")
+            .first()["embedding"]]
+    q = np.array(qvec)
+    qd = np.round([float(np.array(c) @ q) for c in cents], 9)
+    probes = sorted(range(len(cents)),
+                    key=lambda ci: (-qd[ci], ci))[:IVF_NPROBE]
+    assign = q_ivf_assign(spark, sf_dir).filter(F.col("cent").isin(probes))
+    cand = e.join(assign, "vec_id").filter(F.col("vec_id") != 0)
+    qn = float(np.linalg.norm(q))
+    qcol = F.array(*[F.lit(v) for v in qvec])
+    dot = F.aggregate(F.zip_with("embedding", qcol,
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding",
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v))
+    return (cand.select("vec_id", "cent",
+                        F.round(dot / (norm * F.lit(qn)), 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(10))
+
+
+_IVF_ASSIGN_CTE = f"""
+        cents AS (
+          SELECT vec_id - 1 AS ci, CAST(embedding AS DOUBLE[]) AS c
+          FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_N_CENTROIDS}
+        ), dots AS (
+          SELECT e.vec_id, cents.ci,
+                 ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        cents.c), 9) AS d
+          FROM embeddings e CROSS JOIN cents
+        ), best AS (
+          SELECT vec_id, MAX(d) AS m FROM dots GROUP BY vec_id
+        ), assign AS (
+          SELECT d.vec_id, CAST(MIN(d.ci) AS BIGINT) AS cent
+          FROM dots d JOIN best b ON d.vec_id = b.vec_id AND d.d = b.m
+          GROUP BY d.vec_id
+        )"""
+
+ORACLES["q_ivf_assign"] = f"""
+    WITH {_IVF_ASSIGN_CTE}
+    SELECT vec_id, cent FROM assign
+"""
+ORACLES["q_ivf_topk"] = f"""
+    WITH {_IVF_ASSIGN_CTE}, q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0
+    ), probes AS (
+      SELECT cents.ci FROM cents, q
+      ORDER BY ROUND(list_dot_product(cents.c, q.qe), 9) DESC, cents.ci ASC
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT e.vec_id, a.cent,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos
+    FROM embeddings e
+    JOIN assign a ON e.vec_id = a.vec_id
+    JOIN probes p ON a.cent = p.ci
+    CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+"""
+ORACLES["q_embed_near_pairs"] = """
+    WITH sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             ({SIG_TERMS}) AS s
+      FROM embeddings
+    )
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           ROUND(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {THR}
+"""
+
+
+def _near_pairs_oracle_sql() -> str:
+    from .simsearch import _PLANES
+
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({arr} AS DOUBLE[])) > 0 THEN {1 << p} ELSE 0 END)")
+    return ORACLES["q_embed_near_pairs"] \
+        .replace("{SIG_TERMS}", " + ".join(terms)) \
+        .replace("{THR}", repr(COS_NEAR_MIN))
+
+
+ORACLES["q_embed_near_pairs"] = _near_pairs_oracle_sql()
+RELATIONAL_QUERIES["q_embed_near_pairs"] = q_embed_near_pairs
+RELATIONAL_QUERIES["q_ivf_assign"] = q_ivf_assign
+RELATIONAL_QUERIES["q_ivf_topk"] = q_ivf_topk
+
+
 def write_signature_table(spark, sf_dir: str, table: str = "doc_signatures",
                           n_buckets: int = 8) -> None:
     """Materialize the MinHash band-key table BUCKETED BY band key — the
