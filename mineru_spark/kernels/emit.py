@@ -94,19 +94,29 @@ def merge_lines(lines: list[str]) -> str:
 
 
 _HAS_SPECIAL = re.compile(r"[*_~$`\\]")
+# reference TEXT_BLOCK_MARKDOWN_PREFIX_RE (markdown_utils.py:7-9): up to 3
+# leading spaces/tabs, then #{1,6} or +/-, followed by space/tab
+_BLOCK_PREFIX = re.compile(r"^(?P<indent>[ \t]{0,3})(?P<marker>#{1,6}|[+-])"
+                           r"(?=[ \t])")
+
+
+def _escape_block_prefix(s: str) -> str:
+    m = _BLOCK_PREFIX.match(s)
+    if not m:
+        return s
+    i = m.start("marker")
+    return f"{s[:i]}\\{s[i:]}"
 
 
 def escape_markdown(text: str) -> str:
-    """Conservative markdown escape (reference markdown_utils.py:12-48):
+    """Conservative markdown escape (reference markdown_utils.py:6-48):
     backslash-escape ``* _ ~ $ ``` `` when not already escaped, and escape a
-    leading block marker (# + -) followed by a space."""
+    leading block marker (#{1,6} or +/-, ≤3 indent, space/tab after)."""
     if not text:
         return text
     if _HAS_SPECIAL.search(text) is None:
         # fast path: nothing to escape except a possible leading marker
-        if len(text) >= 2 and text[0] in "#+-" and text[1] == " ":
-            return "\\" + text
-        return text
+        return _escape_block_prefix(text)
     out = []
     bs_run = 0
     for ch in text:
@@ -119,9 +129,7 @@ def escape_markdown(text: str) -> str:
         out.append(ch)
         bs_run = 0
     s = "".join(out)
-    if len(s) >= 2 and s[0] in "#+-" and s[1] == " ":
-        s = "\\" + s
-    return s
+    return _escape_block_prefix(s)
 
 
 def normalize_text(text: str) -> str:

@@ -26,6 +26,14 @@ def test_escape_markdown():
     assert emit.escape_markdown("# heading like") == "\\# heading like"
     assert emit.escape_markdown("- item like") == "\\- item like"
     assert emit.escape_markdown("plain") == "plain"
+    # reference TEXT_BLOCK_MARKDOWN_PREFIX_RE semantics
+    # (markdown_utils.py:7-9): multi-# markers, ≤3 indent, tab after
+    assert emit.escape_markdown("## two hashes") == "\\## two hashes"
+    assert emit.escape_markdown("  + indented item") == "  \\+ indented item"
+    assert emit.escape_markdown("#\theading tab") == "\\#\theading tab"
+    assert emit.escape_markdown("#nospace") == "#nospace"
+    assert emit.escape_markdown("    - four-space indent") == \
+        "    - four-space indent"  # >3 indent: code block, not a marker
 
 
 def test_fullwidth_and_ligatures():
