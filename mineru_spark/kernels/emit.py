@@ -20,7 +20,10 @@ import re
 
 LIGATURE_MAP = {
     "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl",
-    "−": "-",  # unicode minus → hyphen
+    "ﬅ": "ft", "ﬆ": "st",  # full reference set (span_pre_proc.py:29-33)
+    "−": "-",       # unicode minus → hyphen
+    "": "-",  # STX used as a soft break by some producers
+                    # (reference __replace_unicode, span_pre_proc.py:35-39)
 }
 
 _LIG_RE = re.compile("|".join(LIGATURE_MAP))
@@ -72,19 +75,25 @@ def is_cjk_text(text: str) -> bool:
     return cjk_ratio(text) > 0.4
 
 
+# reference LINE_END_HYPHEN_RE (char_utils.py:7-10): a LETTER followed by
+# a line-break hyphen variant — "3-" or an em dash never splice
+_LINE_END_HYPHEN_RE = re.compile(r"[A-Za-z]+[-­‐‑⁃]$")
+
+
 def merge_lines(lines: list[str]) -> str:
     """Join the text lines of one paragraph block.
 
-    Western text: space-joined, except a line-end hyphen is merged iff the
-    next line starts lowercase (reference char_utils.py:7-18).  CJK text:
-    joined with no separator (mkcontent :402-405).
+    Western text: space-joined, except a word-break hyphen (a letter
+    followed by a hyphen variant at line end, char_utils.py:7-18) merges
+    iff the next line starts lowercase (mkcontent :415-417, :430-445).
+    CJK text: joined with no separator (mkcontent :402-405).
     """
     lines = [ln for ln in (s.strip() for s in lines) if ln]
     if not lines:
         return ""
     out = lines[0]
     for nxt in lines[1:]:
-        if out.endswith("-") and nxt[:1].islower():
+        if _LINE_END_HYPHEN_RE.search(out) and nxt[:1].islower():
             out = out[:-1] + nxt
         elif is_cjk_text(out[-8:]) and is_cjk_text(nxt[:8]):
             out = out + nxt

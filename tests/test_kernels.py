@@ -47,6 +47,10 @@ def test_merge_lines_hyphen_and_cjk():
     assert emit.merge_lines(["exam-", "Ple"]) == "exam- Ple"  # uppercase: keep
     assert emit.merge_lines(["数据管道", "处理文档"]) == "数据管道处理文档"
     assert emit.merge_lines(["hello", "world"]) == "hello world"
+    # char_utils.py:7-10: only a LETTER before the hyphen splices
+    assert emit.merge_lines(["page 3-", "continues"]) == "page 3- continues"
+    assert emit.merge_lines(["exam‐", "ple"]) == "example"  # ‐ variant
+    assert emit.expand_ligatures("oﬅen ﬆop") == "often stop"
 
 
 # ---------------------------------------------------------------------------
