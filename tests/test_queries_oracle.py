@@ -70,3 +70,11 @@ def test_bucketed_signature_table_join_without_shuffle(spark):
     assert "Exchange hashpartitioning(bk" not in plan
     assert j.count() >= 0
     spark.sql("DROP TABLE IF EXISTS tq_sigs")
+
+
+def test_every_query_has_an_oracle():
+    """The driver contract is fully covered: every queries() entry has an
+    oracle_sql() entry (no rows-only rows left)."""
+    import __spark_entry__ as e
+    q, o = set(e.queries()), set(e.oracle_sql())
+    assert q <= o, f"missing oracles: {sorted(q - o)}"
