@@ -122,7 +122,21 @@ def _gen_html(rng: random.Random) -> str:
             paras.append(f"<p>{rng.choice(_CJK_SENTENCES)}</p>")
         else:
             paras.append(f"<p>{_sentence(rng, 8, 20, special=True)}.</p>")
-    items = "".join(f"<li>{_sentence(rng, 2, 5)}</li>" for _ in range(rng.randint(2, 4)))
+    ordered = rng.random() < 0.3
+    li_parts = []
+    for k in range(rng.randint(2, 4)):
+        inner = _sentence(rng, 2, 5)
+        if k == 0 and rng.random() < 0.3:
+            # nested sub-list inside the first item
+            sub = "".join(f"<li>{_sentence(rng, 2, 4)}</li>"
+                          for _ in range(rng.randint(2, 3)))
+            li_parts.append(f"<li>{inner}<ul>{sub}</ul></li>")
+        else:
+            li_parts.append(f"<li>{inner}</li>")
+    ltag = "ol" if ordered else "ul"
+    items = "".join(li_parts)
+    quote = (f"<blockquote>{_sentence(rng, 6, 12)}.</blockquote>"
+             if rng.random() < 0.25 else "")
     table = ""
     if rng.random() < 0.5:
         hdr = "".join(f"<th>{w}</th>" for w in _words(rng, 3))
@@ -136,7 +150,8 @@ def _gen_html(rng: random.Random) -> str:
         + paras[0]
         + f"<h2>{_sentence(rng, 2, 4).title()}</h2>"
         + "".join(paras[1:])
-        + f"<ul>{items}</ul>"
+        + quote
+        + f"<{ltag}>{items}</{ltag}>"
         + table
     )
     return (

@@ -160,6 +160,8 @@ def render_md_block(btype: str, text: str, level: int = 1) -> str:
         # verbatim, one per row (the reference's per-line hard breaks)
         items = [it for it in text.split("\n") if it.strip()]
         return "\n".join(escape_markdown(normalize_text(it)) for it in items)
+    if btype == "quote":
+        return "> " + escape_markdown(normalize_text(text))
     if btype == "table":
         return text  # already canonical HTML block
     if btype == "code":

@@ -104,10 +104,38 @@ def _collapse(s: str) -> str:
 
 @dataclass
 class Block:
-    btype: str          # title | text | list | table | code
+    btype: str          # title | text | list | quote | table | code
     text: str           # text content, items joined by \n for lists, HTML for tables
     level: int = 1
-    grid: object = None  # TableGrid for table blocks
+    grid: object = None   # TableGrid for table blocks
+    marked: bool = False  # list items already carry markers/indentation
+    ordered: bool = False
+
+
+def _list_items(node: _Node, depth: int, ordered: bool) -> list[str]:
+    """Flatten a (possibly nested) list into marker-carrying item lines:
+    two spaces of indent per level, `1.`/`2.`… markers for <ol>, `-` for
+    <ul>; a nested list inside an <li> recurses one level deeper."""
+    items: list[str] = []
+    counter = 0
+    indent = "  " * depth
+    for li in node.children:
+        if isinstance(li, str) or li.tag != "li":
+            continue
+        own = _collapse("".join(
+            c if isinstance(c, str) else
+            ("" if c.tag in ("ul", "ol") else _inner_text(c))
+            for c in li.children))
+        counter += 1
+        if own:
+            marker = f"{counter}. " if ordered else "- "
+            # marked items bypass render-time escaping → escape here
+            items.append(indent + marker
+                         + emit.escape_markdown(emit.normalize_text(own)))
+        for sub in li.children:
+            if not isinstance(sub, str) and sub.tag in ("ul", "ol"):
+                items.extend(_list_items(sub, depth + 1, sub.tag == "ol"))
+    return items
 
 
 def _cell_text(node: _Node) -> str:
@@ -218,12 +246,17 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
             if chars and link_chars / chars > LINK_DENSITY_MAX:
                 dropped[0] += 1
                 continue
-            items = [_collapse(_inner_text(li))
-                     for li in ch.children
-                     if not isinstance(li, str) and li.tag == "li"]
-            items = [it for it in items if it]
+            items = _list_items(ch, 0, ch.tag == "ol")
             if items:
-                out.append(Block("list", "\n".join(items)))
+                b = Block("list", "\n".join(items))
+                b.marked = True
+                b.ordered = ch.tag == "ol"
+                out.append(b)
+            continue
+        if ch.tag == "blockquote":
+            txt = _collapse(_inner_text(ch))
+            if txt:
+                out.append(Block("quote", txt))
             continue
         if ch.tag == "pre":
             txt = _inner_text(ch).strip("\n")
@@ -273,8 +306,13 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
             blocks.append({"type": "table", "text": html,
                            "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1})
             continue
-        blocks.append({"type": b.btype, "text": b.text, "page_idx": 0,
-                       "bbox": [0, 0, 0, 0], "level": b.level})
+        rec = {"type": b.btype, "text": b.text, "page_idx": 0,
+               "bbox": [0, 0, 0, 0], "level": b.level}
+        if b.btype == "list" and b.marked:
+            rec["items_marked"] = True
+            rec["pre_rendered"] = True
+            rec["attribute"] = "ordered" if b.ordered else "unordered"
+        blocks.append(rec)
 
     metrics = {
         "blocks_classified": len(blocks),
@@ -291,6 +329,5 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
 
 
 def blocks_to_md(blocks: list[dict]) -> str:
-    segs = [emit.render_md_block(b["type"], b["text"], b.get("level", 1))
-            for b in blocks]
+    segs = [emit.render_block(b) for b in blocks]
     return "\n\n".join(s for s in segs if s)

@@ -161,6 +161,9 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                 item = {"type": "index",
                         "content": {"list_type": "text_list",
                                     "list_items": items}}
+        elif t == "quote":
+            item = {"type": "quote",
+                    "content": {"quote_content": runs(text)}}
         elif t == "page_footnote":
             # v2 discarded-type encoding (mkcontent :749-773)
             item = {"type": "page_footnote",

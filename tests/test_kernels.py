@@ -156,6 +156,20 @@ def test_html_loose_link_run_is_boilerplate():
     assert metrics["boilerplate_dropped"] == 1
 
 
+def test_html_nested_ordered_list_and_blockquote():
+    """Nested lists flatten with indent + per-level markers; <ol> numbers
+    its items; blockquote renders as a `>` markdown quote."""
+    html = ("<article><ol><li>first<ul><li>sub a</li><li>sub b</li></ul>"
+            "</li><li>second</li></ol>"
+            "<blockquote>wise words here.</blockquote></article>")
+    blocks, _ = extract_html(html)
+    md = html_md(blocks)
+    assert md == ("1. first\n  - sub a\n  - sub b\n2. second\n\n"
+                  "> wise words here.")
+    assert blocks[0]["attribute"] == "ordered"
+    assert blocks[1]["type"] == "quote"
+
+
 def test_html_list_and_table():
     html = ("<article><ul><li>alpha one</li><li>beta two</li></ul>"
             "<table><tr><th>h</th></tr><tr><td>v</td></tr></table></article>")
