@@ -559,14 +559,17 @@ def _dedup_mask(pc: PageCols) -> "np.ndarray":
     cx = np.floor_divide(pc.x0, DEDUP_CELL).astype(np.int64)
     cy = np.floor_divide(pc.y0, DEDUP_CELL).astype(np.int64)
     order = np.sort((key << 24) | ((cx & 0xFFF) << 12) | (cy & 0xFFF))
-    suspect = np.zeros(n, dtype=bool)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            tgt = (key << 24) | (((cx + dx) & 0xFFF) << 12) \
-                | ((cy + dy) & 0xFFF)
-            cnt = (np.searchsorted(order, tgt, side="right")
-                   - np.searchsorted(order, tgt, side="left"))
-            suspect |= cnt > 1 if dx == 0 and dy == 0 else cnt > 0
+    # all 9 neighbor-cell probes in two stacked searchsorted calls
+    # (probe 4 is the center cell)
+    tgts = np.concatenate([
+        (key << 24) | (((cx + dx) & 0xFFF) << 12) | ((cy + dy) & 0xFFF)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    cnt = (np.searchsorted(order, tgts, side="right")
+           - np.searchsorted(order, tgts, side="left")).reshape(9, n)
+    suspect = cnt[4] > 1
+    for i in range(9):
+        if i != 4:
+            suspect |= cnt[i] > 0
     if not suspect.any():
         return keep
 
