@@ -78,3 +78,21 @@ def test_every_query_has_an_oracle():
     import __spark_entry__ as e
     q, o = set(e.queries()), set(e.oracle_sql())
     assert q <= o, f"missing oracles: {sorted(q - o)}"
+
+
+def test_golden_builders_cold_cache(tmp_path, monkeypatch):
+    """Golden-parquet oracles must rebuild from a cold cache directory
+    (fresh machine / new source hash): build one cheap golden end-to-end
+    and read it back with DuckDB like the driver does."""
+    import duckdb
+    import mineru_spark.golden as g
+
+    monkeypatch.setattr(g, "GOLDEN_ROOT", str(tmp_path / "golden"))
+    path = g.ensure_golden_media(50)
+    assert path.startswith(str(tmp_path))
+    rows = duckdb.sql(
+        f"SELECT COUNT(*), SUM(CASE WHEN decode_ok THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{path}')").fetchone()
+    assert rows == (50, 50)
+    # idempotent: second call returns the cached file
+    assert g.ensure_golden_media(50) == path
