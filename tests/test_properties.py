@@ -114,3 +114,43 @@ def test_tokenizer_entities_and_rawtext():
         "<script>var a = 1 < 2;</script></article>")
     assert blocks[0]["text"] == "x & y A"
     assert len(blocks) == 1  # script content never leaks into blocks
+
+
+_coord = st.one_of(st.floats(allow_nan=True, allow_infinity=True,
+                             width=32),
+                   st.integers(-10**6, 10**6))
+_char_rec = st.fixed_dictionaries({
+    "char": st.text(min_size=0, max_size=2),
+    "bbox": st.lists(_coord, min_size=0, max_size=6),
+    "font": st.fixed_dictionaries({"name": st.text(max_size=4),
+                                   "size": _coord}),
+    "rotation": _coord,
+    "char_idx": st.integers(-10, 10**9),
+})
+_layout_rec = st.fixed_dictionaries({
+    "bbox": st.lists(_coord, min_size=4, max_size=4),
+    "label": st.sampled_from(["text", "table", "image", "code", "list",
+                              "header", "table_caption", "weird"]),
+    "index": st.integers(-2, 5),
+}, optional={"spans": st.lists(st.lists(_coord, min_size=4, max_size=4),
+                               max_size=3),
+             "html": st.text(max_size=40),
+             "latex": st.text(max_size=20)})
+
+
+@given(st.lists(_char_rec, max_size=25), st.lists(_layout_rec, max_size=5))
+@settings(max_examples=120, deadline=None)
+def test_pdf_payload_shaped_fuzz(chars, layout):
+    """Structurally-valid pdf_chars payloads with hostile VALUES (NaN/inf
+    coords, negative sizes, short bboxes, junk labels) must never raise —
+    extract_turn degrades per-record or to route=error, and stays
+    deterministic."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+    payload = json.dumps({"kind": "pdf_chars", "pages": [
+        {"page_idx": 0, "page_size": [612.0, 792.0],
+         "chars": chars, "layout": layout}]}, ensure_ascii=False)
+    a = extract_turn(payload, "pdf_reader")
+    b = extract_turn(payload, "pdf_reader")
+    assert isinstance(a["md"], str)
+    assert a["md"] == b["md"] and a["middle"] == b["middle"]
