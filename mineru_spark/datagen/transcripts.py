@@ -350,6 +350,30 @@ def _row_spans(blk_chars: list) -> list:
     return [[round(v, 2) for v in s] for s in spans]
 
 
+def _gen_split_table(rng: random.Random) -> tuple[str, str, bool]:
+    """A table split across two pages: (anchor html, continuation html,
+    marked).  marked=True → the continuation repeats the header and its
+    caption says '(continued)' (only the marker path merges it);
+    marked=False → headerless rows (the structural path merges it)."""
+    ncols = rng.randint(3, 4)
+    hdr_words = _words(rng, ncols)
+    hdr = "<tr>" + "".join(f"<th>{w}</th>" for w in hdr_words) + "</tr>"
+
+    def rows(n):
+        return "".join(
+            "<tr>" + "".join(f"<td>{_sentence(rng, 1, 2)}</td>"
+                             for _ in range(ncols)) + "</tr>"
+            for _ in range(n))
+
+    anchor = f"<table>{hdr}{rows(rng.randint(2, 3))}</table>"
+    marked = rng.random() < 0.5
+    if marked:
+        cont = f"<table>{hdr}{rows(rng.randint(1, 2))}</table>"
+    else:
+        cont = f"<table>{rows(rng.randint(1, 2))}</table>"
+    return anchor, cont, marked
+
+
 def _gen_pdf(rng: random.Random) -> str:
     # rare giant document (the long-document tail the processing-window /
     # Arrow-batch memory bounds exist for)
@@ -363,6 +387,10 @@ def _gen_pdf(rng: random.Random) -> str:
     # ~40% of docs carry model-emitted span boxes on their layout blocks
     # (the E7 char→span fill path); the rest use block-level assignment
     spans_mode = rng.random() < 0.4
+    # cross-PAGE split table (reference table_merge.py in-document merge):
+    # anchor last on page 0, continuation first on page 1
+    table_split = n_pages == 2 and not cross_page and rng.random() < 0.25
+    split_tbl = _gen_split_table(rng) if table_split else None
     pages = []
     for p in range(n_pages):
         layout, chars = [], []
@@ -465,6 +493,20 @@ def _gen_pdf(rng: random.Random) -> str:
             li += 1
             return yy
 
+        if table_split and p == 1:
+            # continuation table FIRST on page 1 (cross-page merge target)
+            anchor_html, cont_html, marked = split_tbl
+            layout.append({"bbox": [50.0, round(y, 2), 562.0,
+                                    round(y + 60, 2)],
+                           "label": "table",
+                           "index": -1 if no_index else li,
+                           "html": cont_html})
+            li += 1
+            y += 64.0
+            if marked:
+                add_text_line_block("table_caption",
+                                    "Table 9 (continued)", y)
+                y += 24.0
         two_col = rng.random() < 0.4
         if two_col:
             if rng.random() < 0.25:
@@ -606,6 +648,19 @@ def _gen_pdf(rng: random.Random) -> str:
             add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2),
                       continues=True)
             y += h + 14.0
+        if table_split and p == 0:
+            # anchor table LAST on page 0 (its caption is attached and
+            # removed from the block list, so adjacency survives)
+            add_text_line_block("table_caption",
+                                f"Table 9: {_sentence(rng, 3, 5)}.", y)
+            y += 24.0
+            layout.append({"bbox": [50.0, round(y, 2), 562.0,
+                                    round(y + 60, 2)],
+                           "label": "table",
+                           "index": -1 if no_index else li,
+                           "html": split_tbl[0]})
+            li += 1
+            y += 64.0
         # page number (discarded)
         add_block("page_number", [290.0, 760.0, 322.0, 772.0], 1)
 

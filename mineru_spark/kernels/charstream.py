@@ -1045,6 +1045,7 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             r.pop("_raw", None)
         blocks_out.extend(page_blocks)
 
+    blocks_out, tables_xmerged = _merge_cross_page_tables(blocks_out)
     blocks_out, para_merged = _merge_split_paras(blocks_out)
 
     ocr = 0
@@ -1083,10 +1084,46 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         "chars_deduped": chars_deduped,
         "ocr_fallback": ocr,
         "para_merged": para_merged,
-        "tables_merged": 0,
+        "tables_merged": tables_xmerged,
         "spans_need_ocr": empty_spans,
     }
     return blocks_out, spans_out, metrics
+
+
+def _merge_cross_page_tables(blocks: list[dict]) -> tuple[list[dict], int]:
+    """In-document cross-PAGE table merge (reference table_merge.py
+    :661-733 + table_continuation.py markers; distinct from the
+    cross-TURN D2 merge in oracle.finalize_conv): the last block of page p
+    and the first block of page p+1 are both tables, and either the later
+    one's caption carries a continuation marker ('(continued)' / 续表 —
+    repeated header dropped) or it is a headerless structural continuation
+    with the same column count."""
+    from . import tables as tbl
+
+    out: list[dict] = []
+    merged = 0
+    for b in blocks:
+        if (out and b["type"] == "table" and out[-1]["type"] == "table"
+                and b["page_idx"] == out[-1]["page_idx"] + 1):
+            p = out[-1]
+            ga = tbl.parse_tables(p["text"])
+            gb = tbl.parse_tables(b["text"])
+            if len(ga) == 1 and len(gb) == 1:
+                marked = any(tbl.is_continuation_text(c)
+                             for c in b.get("caption", []))
+                m = (tbl.merge_marked_continuation(ga[0], gb[0]) if marked
+                     else tbl.merge_continuation(ga[0], gb[0]))
+                if m is not None:
+                    keep_caps = [c for c in b.get("caption", [])
+                                 if not tbl.is_continuation_text(c)]
+                    out[-1] = {**p, "text": tbl.render_table_html(m),
+                               "caption": p.get("caption", []) + keep_caps,
+                               "footnote": p.get("footnote", [])
+                               + b.get("footnote", [])}
+                    merged += 1
+                    continue
+        out.append(b)
+    return out, merged
 
 
 def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:

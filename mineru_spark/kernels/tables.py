@@ -208,6 +208,29 @@ def table_cell_count(grid: TableGrid) -> int:
     return sum(len(r) for r in grid.rows)
 
 
+CONTINUATION_END_MARKERS = (
+    "(续)", "(续表)", "(续上表)", "(continued)", "(cont.)", "(cont’d)",
+    "(…continued)", "continued", "续表",
+)
+CONTINUATION_INLINE_MARKERS = ("(continued)",)
+
+
+def is_continuation_text(text: str) -> bool:
+    """'(continued)' / 续表 caption-marker detection (reference
+    table_continuation.py:23-50): end markers match on a word boundary so
+    'discontinued' does not hit; inline markers match anywhere."""
+    t = (text or "").strip().lower()
+    if not t:
+        return False
+    for marker in CONTINUATION_END_MARKERS:
+        m = marker.lower()
+        if t.endswith(m):
+            head = t[: -len(m)].rstrip()
+            if not head or not (head[-1].isalnum() and m[0].isalnum()):
+                return True
+    return any(m in t for m in CONTINUATION_INLINE_MARKERS)
+
+
 def merge_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
     """Cross-turn table merge (reference table_merge.py:661-733): merge b
     into a iff column counts match and b has no header row while a does
@@ -219,3 +242,19 @@ def merge_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
     if not a_has_header or b_has_header:
         return None
     return TableGrid(rows=[*a.rows, *b.rows], ncols=a.ncols)
+
+
+def merge_marked_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
+    """Marker-gated cross-page merge (reference table_merge.py repeated-
+    header handling): column counts must match; a REPEATED header row on
+    the continuation (same cell texts as the anchor's header) is dropped
+    before appending."""
+    if a.ncols != b.ncols or not a.rows or not b.rows:
+        return None
+    rows_b = b.rows
+    if (a.rows and rows_b
+            and [c.text for c in rows_b[0]] == [c.text for c in a.rows[0]]):
+        rows_b = rows_b[1:]
+    if not rows_b:
+        return TableGrid(rows=list(a.rows), ncols=a.ncols)
+    return TableGrid(rows=[*a.rows, *rows_b], ncols=a.ncols)

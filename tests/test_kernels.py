@@ -494,6 +494,54 @@ def test_visual_caption_matching():
                   "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")
 
 
+def test_cross_page_table_merge_in_document():
+    """In-document cross-page table merge (table_merge.py +
+    table_continuation.py markers): a headerless continuation merges
+    structurally; a '(continued)'-captioned repeat merges with its
+    duplicate header dropped; an unrelated header table does NOT merge."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    anchor = ("<table><tr><th>a</th><th>b</th></tr>"
+              "<tr><td>1</td><td>2</td></tr></table>")
+
+    def two_page(cont_html, caption=None):
+        pages = [{"page_idx": 0, "page_size": [612.0, 792.0], "chars": [],
+                  "layout": [{"bbox": [50, 600, 562, 660], "label": "table",
+                              "index": 0, "html": anchor}]},
+                 {"page_idx": 1, "page_size": [612.0, 792.0], "chars": [],
+                  "layout": [{"bbox": [50, 60, 562, 120], "label": "table",
+                              "index": 0, "html": cont_html}]}]
+        if caption:
+            cchars = [_char(c, 50 + 5 * k, 130, idx=k)
+                      for k, c in enumerate(caption)]
+            pages[1]["chars"] = cchars
+            pages[1]["layout"].append(
+                {"bbox": [45, 125, 300, 145], "label": "table_caption",
+                 "index": 1})
+        return json.dumps({"kind": "pdf_chars", "pages": pages})
+
+    # structural: headerless, same ncols
+    o = extract_turn(two_page("<table><tr><td>3</td><td>4</td></tr></table>"),
+                     "pdf_reader")
+    assert o["metrics"]["tables_merged"] == 1
+    assert o["md"].count("<table>") == 1 and "<td>3</td>" in o["md"]
+    # marked: repeated header + (continued) caption → header dropped
+    o2 = extract_turn(two_page(
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>5</td><td>6</td></tr></table>", "Table 1 (continued)"),
+        "pdf_reader")
+    assert o2["metrics"]["tables_merged"] == 1
+    assert o2["md"].count("<th>a</th>") == 1 and "<td>5</td>" in o2["md"]
+    assert "(continued)" not in o2["md"]  # marker caption dropped
+    # unrelated table with its own header: no merge
+    o3 = extract_turn(two_page(
+        "<table><tr><th>x</th><th>y</th></tr>"
+        "<tr><td>7</td><td>8</td></tr></table>"), "pdf_reader")
+    assert o3["metrics"]["tables_merged"] == 0
+    assert o3["md"].count("<table>") == 2
+
+
 def test_caption_tiebreak_geometry_and_later_table():
     """B10 tiebreaks (find_best_visual_parent,
     visual_magic_model_utils.py:535-621): equal index distance resolves by
