@@ -1149,6 +1149,18 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
     out: list[dict] = []
     merged = 0
     for b in blocks:
+        # adjacent list/list or index/index blocks merge unconditionally
+        # (para_split.py:404-411 __merge_2_list_blocks; adjacency implies
+        # same group — a title/equation between them breaks it)
+        if (out and b["type"] in ("list", "index")
+                and out[-1]["type"] == b["type"]
+                and out[-1]["text"] and b["text"]):
+            p = out[-1]
+            out[-1] = {**p, "text": p["text"] + "\n" + b["text"]}
+            if b["page_idx"] > p["page_idx"]:
+                out[-1]["cross_page"] = True
+            merged += 1
+            continue
         if out and b["type"] == "text" and out[-1]["type"] == "text":
             p = out[-1]
             mp, mb = p.get("_mg"), b.get("_mg")

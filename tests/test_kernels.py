@@ -419,6 +419,33 @@ def test_para_no_merge_same_column():
     assert len(blocks) == 2 and m["para_merged"] == 0
 
 
+def test_adjacent_list_blocks_merge():
+    """Adjacent list/list blocks merge unconditionally (para_split.py
+    :404-411); a title between them breaks the group."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def li_block(y, items, idx0, index):
+        chars, lo = [], []
+        j = idx0
+        rows = []
+        for r, it in enumerate(items):
+            for k, c in enumerate(it):
+                chars.append(_char(c, 50 + 5 * k, y + 12 * r, idx=j))
+                j += 1
+        lo = [{"bbox": [45, y - 5, 300, y + 12 * len(items)],
+               "label": "list", "index": index}]
+        return chars, lo, j
+
+    c1, l1, j = li_block(100, ["• one", "• two"], 0, 0)
+    c2, l2, _ = li_block(200, ["• three"], j, 1)
+    out = extract_turn(json.dumps(_page(c1 + c2, l1 + l2)), "pdf_reader")
+    cl = json.loads(out["content_list"])
+    lists = [b for b in cl if b["type"] == "list"]
+    assert len(lists) == 1
+    assert lists[0]["text"] == "one\ntwo\nthree"
+
+
 def test_d1_geometric_index_block():
     """TOC lines (left-flush, ≥80% digit-end) → index block, lines kept
     verbatim (para_split.py:183-189)."""
