@@ -56,7 +56,8 @@ def x_transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_finalized(spark, sf_dir) \
         .select("conv_id", "turn_idx", "route", "md", "content_list",
                 "content_list_v2", "blocks_classified",
-                "boilerplate_dropped", "ocr_fallback")
+                "boilerplate_dropped", "ocr_fallback", "para_merged",
+                "tables_merged", "spans_need_ocr")
 
 
 def x_transcripts_route_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +67,11 @@ def x_transcripts_route_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_turns"),
                  F.sum("blocks_classified").cast("long").alias("blocks"),
                  F.sum("boilerplate_dropped").cast("long").alias("boilerplate"),
-                 F.sum("ocr_fallback").cast("long").alias("ocr_fallback")))
+                 F.sum("ocr_fallback").cast("long").alias("ocr_fallback"),
+                 F.sum("para_merged").cast("long").alias("para_merged"),
+                 F.sum("tables_merged").cast("long").alias("tables_merged"),
+                 F.sum("spans_need_ocr").cast("long")
+                 .alias("spans_need_ocr")))
 
 
 def x_docwrap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,13 +181,16 @@ def oracle_sql() -> dict[str, str]:
     out["x_transcripts_extract"] = f"""
         SELECT conv_id, turn_idx, route, md, content_list,
                content_list_v2, blocks_classified, boilerplate_dropped,
-               ocr_fallback
+               ocr_fallback, para_merged, tables_merged, spans_need_ocr
         FROM read_parquet('{golden_path("golden_extract")}')"""
     out["x_transcripts_route_metrics"] = f"""
         SELECT route, CAST(COUNT(*) AS BIGINT) AS n_turns,
                CAST(SUM(blocks_classified) AS BIGINT) AS blocks,
                CAST(SUM(boilerplate_dropped) AS BIGINT) AS boilerplate,
-               CAST(SUM(ocr_fallback) AS BIGINT) AS ocr_fallback
+               CAST(SUM(ocr_fallback) AS BIGINT) AS ocr_fallback,
+               CAST(SUM(para_merged) AS BIGINT) AS para_merged,
+               CAST(SUM(tables_merged) AS BIGINT) AS tables_merged,
+               CAST(SUM(spans_need_ocr) AS BIGINT) AS spans_need_ocr
         FROM read_parquet('{golden_path("golden_extract")}')
         GROUP BY route"""
     out["x_docwrap_metrics"] = f"""

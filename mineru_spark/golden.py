@@ -79,7 +79,8 @@ def _write_atomic(table, path: str) -> None:
 
 _EXTRACT_COLS = ("conv_id", "turn_idx", "route", "md", "content_list",
                  "content_list_v2", "blocks_classified",
-                 "boilerplate_dropped", "ocr_fallback")
+                 "boilerplate_dropped", "ocr_fallback", "para_merged",
+                 "tables_merged", "spans_need_ocr")
 
 
 def _extract_conv_range(bounds: tuple[int, int]) -> list[tuple]:
@@ -105,7 +106,8 @@ def _extract_conv_range(bounds: tuple[int, int]) -> list[tuple]:
             rows.append((conv_id, r["turn_idx"], r["route"], r["md"],
                          r["content_list"], r["content_list_v2"],
                          m["blocks_classified"], m["boilerplate_dropped"],
-                         m["ocr_fallback"]))
+                         m["ocr_fallback"], m["para_merged"],
+                         m["tables_merged"], m["spans_need_ocr"]))
     return rows
 
 
@@ -137,6 +139,9 @@ def ensure_golden_extract(sf: float = ORACLE_SF) -> str:
         "blocks_classified": pa.array(cols[6], pa.int32()),
         "boilerplate_dropped": pa.array(cols[7], pa.int32()),
         "ocr_fallback": pa.array(cols[8], pa.int32()),
+        "para_merged": pa.array(cols[9], pa.int32()),
+        "tables_merged": pa.array(cols[10], pa.int32()),
+        "spans_need_ocr": pa.array(cols[11], pa.int32()),
     })
     _write_atomic(table, path)
     return path
