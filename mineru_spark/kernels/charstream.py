@@ -775,6 +775,7 @@ def _assemble_vertical(pc: PageCols, sel: "np.ndarray",
 def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     """Parsed pdf_chars payload → (blocks, spans, metrics)."""
     blocks_out: list[dict] = []
+    discarded_out: list[dict] = []
     spans_out: list[dict] = []
     chars_deduped = 0
     blocks_discarded = 0
@@ -895,7 +896,21 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             else:
                 sel = np.empty(0, dtype=np.int64)
             if label in DISCARD_LABELS:
+                # discarded blocks keep their text and type: the reference
+                # drops them from markdown but emits them TYPED in
+                # content_list (mkcontent :626-637) and keeps them in the
+                # page's discarded_blocks list in middle json
                 blocks_discarded += 1
+                dlines, _, _ = _assemble_block(pc, sel, page_idx)
+                dtext = emit.merge_lines(dlines)
+                if dtext:
+                    discarded_out.append({
+                        "type": label, "text": dtext, "page_idx": page_idx,
+                        "bbox": [round(bx0 / pw * 1000),
+                                 round(by0 / ph * 1000),
+                                 round(bx1 / pw * 1000),
+                                 round(by1 / ph * 1000)],
+                        "level": 1, "discarded": True})
                 continue
             btype, level = LABEL_MAP.get(label, ("text", 1))
             nb = [round(bx0 / pw * 1000), round(by0 / ph * 1000),
@@ -1047,6 +1062,28 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
 
     blocks_out, tables_xmerged = _merge_cross_page_tables(blocks_out)
     blocks_out, para_merged = _merge_split_paras(blocks_out)
+    if discarded_out:
+        # append each page's discarded blocks AFTER its content blocks
+        # (the reference's para_blocks + discarded_blocks page order,
+        # mkcontent :983-985); merges above never see them
+        by_page: dict[int, list[dict]] = {}
+        for d in discarded_out:
+            by_page.setdefault(d["page_idx"], []).append(d)
+        combined: list[dict] = []
+        cur_page: int | None = None
+        for b in blocks_out:
+            if cur_page is not None and b["page_idx"] != cur_page:
+                combined.extend(by_page.pop(cur_page, []))
+                for p in sorted(k for k in by_page
+                                if cur_page < k < b["page_idx"]):
+                    combined.extend(by_page.pop(p))
+            cur_page = b["page_idx"]
+            combined.append(b)
+        if cur_page is not None:
+            combined.extend(by_page.pop(cur_page, []))
+        for p in sorted(by_page):  # pages with ONLY discarded blocks
+            combined.extend(by_page[p])
+        blocks_out = combined
 
     ocr = 0
     scripted = sum(script_counts.values())
@@ -1077,7 +1114,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         ocr = 1  # C11 high image coverage (pdf_classify.py:242-246,:1055-1090)
 
     metrics = {
-        "blocks_classified": len(blocks_out),
+        "blocks_classified": sum(1 for b in blocks_out
+                                 if not b.get("discarded")),
         "blocks_discarded": blocks_discarded,
         "boilerplate_dropped": blocks_discarded,
         "tables_parsed": tables_parsed,

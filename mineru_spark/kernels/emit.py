@@ -175,10 +175,11 @@ def render_block(b: dict) -> str:
     language guess)."""
     t = b["type"]
     text = b.get("text", "")
-    if t == "page_footnote":
-        # discarded-type block (pptx speaker notes analog): kept in
-        # content_list, dropped from markdown (reference drops discarded
-        # types from md, keeps them typed in content_list)
+    if t in ("page_footnote", "header", "footer", "page_number",
+             "aside_text"):
+        # discarded-type blocks (headers/footers/page numbers/speaker
+        # notes): kept typed in content_list and in middle's
+        # discarded_blocks, dropped from markdown (reference contract)
         return ""
     if t == "equation":
         return f"$$\n{text}\n$$" if text else ""

@@ -164,10 +164,15 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
         elif t == "quote":
             item = {"type": "quote",
                     "content": {"quote_content": runs(text)}}
-        elif t == "page_footnote":
+        elif t in ("page_footnote", "header", "footer", "page_number",
+                   "aside_text"):
             # v2 discarded-type encoding (mkcontent :749-773)
-            item = {"type": "page_footnote",
-                    "content": {"page_footnote_content": runs(text)}}
+            v2t = {"header": "page_header", "footer": "page_footer",
+                   "page_number": "page_number",
+                   "aside_text": "page_aside_text",
+                   "page_footnote": "page_footnote"}[t]
+            item = {"type": v2t,
+                    "content": {f"{v2t}_content": runs(text)}}
         else:
             item = {"type": "paragraph",
                     "content": {"paragraph_content": blk_runs or runs(text)}}
@@ -183,9 +188,14 @@ def _middle_json(blocks: list[dict], route: str) -> str:
     "_backend"}, model_json_to_middle_json.py:234-235): blocks grouped per
     page with their type/text/bbox/level/caption structure."""
     pages: dict[int, list[dict]] = {}
+    dpages: dict[int, list[dict]] = {}
     for b in blocks:
         item = {"type": b["type"], "bbox": [int(v) for v in b["bbox"]],
                 "level": b.get("level", 1)}
+        if b.get("discarded"):
+            item["text"] = b["text"]
+            dpages.setdefault(b["page_idx"], []).append(item)
+            continue
         if b["type"] in ("table", "image"):
             if b["type"] == "table":
                 item["html"] = b["text"]
@@ -206,7 +216,9 @@ def _middle_json(blocks: list[dict], route: str) -> str:
                 item["spans"] = [{"type": t, "content": c}
                                  for t, c in b["_runs"]]
         pages.setdefault(b["page_idx"], []).append(item)
-    info = [{"page_idx": p, "para_blocks": pages[p]} for p in sorted(pages)]
+    info = [{"page_idx": p, "para_blocks": pages.get(p, []),
+             **({"discarded_blocks": dpages[p]} if p in dpages else {})}
+            for p in sorted(set(pages) | set(dpages))]
     return json.dumps({"pdf_info": info, "_backend": route},
                       ensure_ascii=False, sort_keys=True,
                       separators=(",", ":"))

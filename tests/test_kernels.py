@@ -246,9 +246,15 @@ def test_charstream_hyphen_merge_and_discard():
     layout = [{"bbox": [45, 95, 200, 130], "label": "text", "index": 1},
               {"bbox": [45, 15, 200, 35], "label": "header", "index": 0}]
     blocks, _, m = extract_pdf(_page(chars, layout))
-    assert len(blocks) == 1
-    assert blocks[0]["text"] == "example"
+    content = [b for b in blocks if not b.get("discarded")]
+    assert len(content) == 1
+    assert content[0]["text"] == "example"
     assert m["blocks_discarded"] == 1
+    # discarded blocks are retained TYPED (for content_list/middle), after
+    # the page's content blocks, and render to no markdown
+    disc = [b for b in blocks if b.get("discarded")]
+    assert disc and disc[0]["type"] == "header" and disc[0]["text"] == "H"
+    assert blocks_to_md(blocks) == "example"
 
 
 def test_charstream_title_levels_and_order():
