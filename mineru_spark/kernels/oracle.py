@@ -8,12 +8,16 @@ output and this oracle's (BASELINE.json north rule; reference anchors the
 same way on end-to-end golden outputs, tests/unittest/test_e2e.py:23-71).
 
 Output fields per turn (FIXTURES.md §3):
-  route         parse route from the ingest classifier
-  md            markdown (exact bytes; the equality target)
-  content_list  JSON array of typed para dicts (exact bytes)
-  spans         list of {page_idx,bbox,type,content}
-  metrics       {blocks_classified, blocks_discarded, boilerplate_dropped,
-                 tables_parsed, chars_deduped, ocr_fallback}
+  route            parse route from the ingest classifier
+  md / md_nlp      markdown (exact bytes; the equality target)
+  content_list     JSON array of typed para dicts, discarded types included
+  content_list_v2  per-page nested ContentTypeV2 encoding with typed runs
+  middle           full IR: para_blocks + discarded_blocks per page
+  spans            list of {page_idx,bbox,type,content}
+  metrics          {blocks_classified, blocks_discarded,
+                    boilerplate_dropped, tables_parsed, chars_deduped,
+                    ocr_fallback, para_merged, tables_merged,
+                    spans_need_ocr}
 """
 
 from __future__ import annotations
