@@ -44,10 +44,9 @@ def _n_convs_for(sf_dir: str) -> int:
 
 
 def _extract_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mineru_spark.pipeline import (extract, finalize_convs,
-                                       synthesize_transcripts)
+    from mineru_spark.pipeline import extract_finalized, synthesize_transcripts
     df = synthesize_transcripts(spark, _n_convs_for(sf_dir))
-    return finalize_convs(extract(df))
+    return extract_finalized(df)
 
 
 def x_transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,7 @@ def _force(df):
 
 
 def main():
-    from mineru_spark.pipeline import get_spark, synthesize_transcripts, extract
+    from mineru_spark.pipeline import get_spark, synthesize_transcripts
     import __spark_entry__ as em
 
     try:
@@ -76,12 +76,16 @@ def main():
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
     # warm-up (page cache + python workers), then best of 3 timed reps —
     # sandbox timing noise is ±30% cold vs warm and the shared host loads
-    # up unpredictably
-    _force(extract(src.limit(2000)))
+    # up unpredictably.  The timed shape is the SHIPPED pipeline —
+    # extract_finalized(...) (single fused kernel pass + cross-turn
+    # finalize), exactly what queries()['x_transcripts_extract'] serves —
+    # not the cheaper bare extract (round-2 review #3).
+    from mineru_spark.pipeline import extract_finalized
+    _force(extract_finalized(src.limit(2000)))
     dt = None
     for _ in range(3):
         t0 = time.perf_counter()
-        _force(extract(src))
+        _force(extract_finalized(src))
         rep = time.perf_counter() - t0
         dt = rep if dt is None else min(dt, rep)
     timings["x_transcripts_extract"] = round(dt, 3)

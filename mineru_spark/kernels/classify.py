@@ -14,7 +14,7 @@ abnormal char ratio) lives in charstream.extract_pdf and surfaces as the
 
 from __future__ import annotations
 
-ROUTES = ("empty", "html", "pdf", "pptx", "docx", "office", "plain")
+ROUTES = ("empty", "html", "pdf", "pptx", "docx", "xlsx", "office", "plain")
 
 
 def classify_payload(text: str | None, tool: str | None = None) -> str:
@@ -23,15 +23,46 @@ def classify_payload(text: str | None, tool: str | None = None) -> str:
     if text is None or not text.strip():
         return "empty"
     head = text.lstrip()[:200]
-    if head.startswith("{") and '"kind"' in head and "pdf_chars" in head:
-        return "pdf"
-    if head.startswith("{") and '"kind"' in head and "pptx_shapes" in head:
-        return "pptx"
-    if head.startswith("{") and '"kind"' in head and "docx_runs" in head:
-        return "docx"
+    if head.startswith("{") and '"kind"' in head:
+        if "pdf_chars" in head:
+            return "pdf"
+        if "pptx_shapes" in head:
+            return "pptx"
+        if "docx_runs" in head:
+            return "docx"
+        if "xlsx_cells" in head:
+            return "xlsx"
     low = head.lower()
     if low.startswith("<table"):
         return "office"
     if low.startswith("<!doctype") or low.startswith("<html") or "<" in low[:80]:
         return "html"
     return "plain"
+
+
+def classify_series(text, tool=None):
+    """Vectorized twin of :func:`classify_payload` for the Spark-side
+    pandas UDF: the same decision cascade as pandas ``.str`` ops +
+    ``np.select`` — no per-row Python.  Parity with the scalar version is
+    asserted by tests/test_kernels.py::test_classify_series_parity."""
+    import numpy as np
+    import pandas as pd
+
+    s = text.fillna("").astype(str)
+    head = s.str.lstrip().str.slice(0, 200)
+    low = head.str.lower()
+    jsonish = head.str.startswith("{") & head.str.contains('"kind"',
+                                                           regex=False)
+    conds = [
+        s.str.strip().eq(""),
+        jsonish & head.str.contains("pdf_chars", regex=False),
+        jsonish & head.str.contains("pptx_shapes", regex=False),
+        jsonish & head.str.contains("docx_runs", regex=False),
+        jsonish & head.str.contains("xlsx_cells", regex=False),
+        low.str.startswith("<table"),
+        (low.str.startswith("<!doctype") | low.str.startswith("<html")
+         | low.str.slice(0, 80).str.contains("<", regex=False)),
+    ]
+    choices = ["empty", "pdf", "pptx", "docx", "xlsx", "office", "html"]
+    return pd.Series(np.select(conds, choices, default="plain"),
+                     index=s.index)

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .datagen.transcripts import conv_length, gen_turn
-from .kernels.classify import classify_payload
+from .kernels.classify import classify_series
 from .kernels.oracle import extract_turn
 
 TRANSCRIPT_SCHEMA = T.StructType([
@@ -159,7 +159,8 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int,
 
 @F.pandas_udf(T.StringType())
 def classify_udf(text: pd.Series, tool: pd.Series) -> pd.Series:
-    return pd.Series([classify_payload(t, tl) for t, tl in zip(text, tool)])
+    # vectorized pandas .str cascade — no per-row Python in the router
+    return classify_series(text, tool)
 
 
 def classify_routes(df: DataFrame) -> DataFrame:
@@ -235,26 +236,133 @@ def extract(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One conversation in, finalized conversation out.  Column-oriented:
+    the turn dicts are built from column lists and the result frame is
+    assembled fresh — per-cell ``.loc`` writes on wide string columns were
+    the dominant cost of the grouped stage (measured ~28 ms/conv, ~10× the
+    rebuild)."""
     from .kernels.oracle import finalize_conv, _METRIC_KEYS
 
     pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-    outs = [{"turn_idx": int(r.turn_idx), "route": r.route, "md": r.md,
-             "md_nlp": r.md_nlp, "content_list": r.content_list,
-             "content_list_v2": r.content_list_v2, "middle": r.middle,
-             "metrics": {k: int(getattr(r, k)) for k in _METRIC_KEYS}}
-            for r in pdf.itertuples()]
+    metric_lists = {k: pdf[k].tolist() for k in _METRIC_KEYS}
+    outs = [
+        {"turn_idx": int(ti), "route": rt, "md": md, "md_nlp": mn,
+         "content_list": cl, "content_list_v2": c2, "middle": mi,
+         "metrics": {k: int(metric_lists[k][i]) for k in _METRIC_KEYS}}
+        for i, (ti, rt, md, mn, cl, c2, mi) in enumerate(zip(
+            pdf["turn_idx"], pdf["route"], pdf["md"], pdf["md_nlp"],
+            pdf["content_list"], pdf["content_list_v2"], pdf["middle"]))
+    ]
     finalize_conv(outs)
-    for i, o in enumerate(outs):
-        pdf.loc[i, "md"] = o["md"]
-        pdf.loc[i, "md_nlp"] = o["md_nlp"]
-        pdf.loc[i, "content_list"] = o["content_list"]
-        pdf.loc[i, "content_list_v2"] = o["content_list_v2"]
-        pdf.loc[i, "middle"] = o["middle"]
-        for k in _METRIC_KEYS:
-            pdf.loc[i, k] = o["metrics"][k]
+    res = pd.DataFrame({
+        "conv_id": pdf["conv_id"],
+        "turn_idx": pdf["turn_idx"].astype("int32"),
+        "ts": pdf["ts"],
+        "route": pdf["route"],
+        "md": [o["md"] for o in outs],
+        "md_nlp": [o["md_nlp"] for o in outs],
+        "content_list": [o["content_list"] for o in outs],
+        "content_list_v2": [o["content_list_v2"] for o in outs],
+        "middle": [o["middle"] for o in outs],
+        "spans": pdf["spans"],
+    })
     for k in _METRIC_COLS:
-        pdf[k] = pdf[k].astype("int32")
-    return pdf
+        res[k] = pd.Series([o["metrics"][k] for o in outs],
+                           dtype="int32")
+    return res
+
+
+def _candidate_convs(df: DataFrame) -> DataFrame:
+    """Conv ids with ≥2 adjacent office turns, detected from the RAW
+    transcripts with the vectorized router — extraction output is never
+    touched.  The router is a prefix sniff, so this is a narrow scan +
+    keys-only window shuffle; `extract_turn` derives its route from the
+    same classifier, so the set is exact (an office payload that later
+    degrades to route='error' only makes this a superset, and the grouped
+    finalize is a no-op for it — same guard the per-conv merge applies
+    per turn)."""
+    from pyspark.sql import Window as W
+
+    # the office route is exactly "prefix-lstrip starts with <table"
+    # (kernels/classify.py cascade: the JSON kinds start with '{', html
+    # with other tags — no overlap), so the sniff stays entirely JVM-side:
+    # whole-stage-codegen'd scan + filter, zero Python
+    head = F.lower(F.ltrim(F.substring(F.col("text"), 1, 1000)))
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return (df.filter(head.startswith("<table"))
+            .select("conv_id", "turn_idx")
+            .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+            .filter(F.col("turn_idx") == F.col("_prev_idx") + 1)
+            .select("conv_id").distinct())
+
+
+def _extract_finalize_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One CANDIDATE conversation, raw rows in: extract every turn AND run
+    the cross-turn finalize in the same Python stage.  Fusing the two
+    steps avoids a second Arrow round-trip of the fat extraction output
+    (the grouped-finalize-over-extracted variant paid ~1.3 ms/row just in
+    re-conversion)."""
+    from .kernels.oracle import finalize_conv
+
+    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+    outs = []
+    for ti, text, tool in zip(pdf["turn_idx"], pdf["text"], pdf["tool"]):
+        r = extract_turn(text, tool)
+        r["turn_idx"] = int(ti)
+        outs.append(r)
+    finalize_conv(outs)
+    res = pd.DataFrame({
+        "conv_id": pdf["conv_id"],
+        "turn_idx": pdf["turn_idx"].astype("int32"),
+        "ts": pdf["ts"],
+        "route": [o["route"] for o in outs],
+        "md": [o["md"] for o in outs],
+        "md_nlp": [o["md_nlp"] for o in outs],
+        "content_list": [o["content_list"] for o in outs],
+        "content_list_v2": [o["content_list_v2"] for o in outs],
+        "middle": [o["middle"] for o in outs],
+        "spans": [[{"page_idx": s["page_idx"],
+                    "bbox": [float(v) for v in s["bbox"]],
+                    "type": s["type"], "content": s["content"]}
+                   for s in o["spans"]] for o in outs],
+        **{k: pd.Series([int(o["metrics"][k]) for o in outs],
+                        dtype="int32") for k in _METRIC_COLS},
+    })
+    return res
+
+
+def extract_finalized(df: DataFrame,
+                      salt_partitions: int | None = None) -> DataFrame:
+    """The shipped extraction shape: ONE kernel pass per row, finalize
+    included.  Candidate conversations (cross-turn table-merge eligible)
+    are detected from the raw input (_candidate_convs, a JVM-only sniff),
+    the input is split semi/anti on that broadcast key set, and each side
+    runs the extraction kernel exactly once:
+
+      rest (no adjacent office turns, ~85-95%): salted shuffle-free
+          mapInPandas — identical to extract();
+      candidates: raw rows group by conv_id and extract+finalize run in
+          ONE fused Python stage (_extract_finalize_conv).
+
+    This replaces persist-and-branch over the extraction OUTPUT
+    (finalize_convs below): output rows are ~5× the input payload, so
+    caching + three cache scans of them cost more than two extra input
+    scans, and the fused candidate stage skips the second Arrow round-trip
+    entirely.  At 10^12 turns the win is bigger — no executor storage
+    holds the extraction output, and the only shuffle moves candidate
+    conversations' RAW rows."""
+    cand_convs = _candidate_convs(df)
+    # the two broadcast builds share one canonical subplan (AQE stage
+    # reuse); even when built twice the subquery is a narrow keys-only
+    # sniff, never the extraction kernel
+    src_cand = df.select("conv_id", "turn_idx", "ts", "text", "tool") \
+        .join(F.broadcast(cand_convs), "conv_id", "left_semi")
+    src_rest = df.join(F.broadcast(cand_convs), "conv_id", "left_anti")
+    _tune_session_for_payloads(df.sparkSession)
+    rest = extract(src_rest, salt_partitions=salt_partitions)
+    cand = (src_cand.groupBy("conv_id")
+            .applyInPandas(_extract_finalize_conv, schema=EXTRACT_SCHEMA))
+    return rest.unionByName(cand)
 
 
 def finalize_convs(extracted: DataFrame) -> DataFrame:
@@ -264,8 +372,23 @@ def finalize_convs(extracted: DataFrame) -> DataFrame:
     passes through untouched — so the grouped stage moves a small fraction
     of the data (the reference's table merge is likewise gated,
     runtime_utils.py:10-26).  The candidate filter is computed with a
-    window (lag on route) and broadcast back as a semi/anti join key set."""
+    window (lag on route) and broadcast back as a semi/anti join key set.
+
+    The input fans into THREE consumers (candidate window, left-semi
+    probe, left-anti probe), so it is persisted (MEMORY_AND_DISK) before
+    branching — without this every branch re-runs the upstream extraction
+    kernel and the hottest stage executes ~4×, not once
+    (tests/test_plans.py asserts the single-execution invariant with an
+    accumulator).  Callers that manage the cache themselves (run_job,
+    bench.py) persist before calling and unpersist after their action; the
+    at-scale alternative — write the extraction output first, finalize as
+    a keys-driven second job over the sink — is the run_job shape's
+    documented evolution (SCALE.md §1)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
+
+    if extracted.storageLevel == StorageLevel.NONE:
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
 
     w = W.partitionBy("conv_id").orderBy("turn_idx")
     # candidate detection on a narrow projection: the window shuffle moves
@@ -327,8 +450,7 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
             .join(lineage, ["conv_id", "turn_idx"], "left_semi").count()
         todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
 
-    result = extract(todo, salt_partitions=salt_partitions)
-    result = finalize_convs(result)
+    result = extract_finalized(todo, salt_partitions=salt_partitions)
     result = result.withColumn("part_id", F.spark_partition_id()) \
                    .withColumn("run_id", F.lit(run_id))
     writer = result.write.mode("append")

@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..pipeline import (TRANSCRIPT_SCHEMA, extract, finalize_convs,
+from ..pipeline import (TRANSCRIPT_SCHEMA, extract_finalized,
                         _path_has_data)
 
 
@@ -42,7 +42,7 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
     cross-restart duplicates are dropped by the sink's lineage anti-join
     (idempotent foreachBatch).
 
-    Each micro-batch runs the same conv-level ``finalize_convs`` pass as the
+    Each micro-batch runs the same fused ``extract_finalized`` pass as the
     batch path, so adjacent office-table continuations arriving in one batch
     are merged identically.  Known limit (documented, matches the batch
     contract): a continuation whose anchor turn landed in an EARLIER batch
@@ -61,7 +61,7 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
             lineage = spark.read.parquet(extracted_path) \
                 .select("conv_id", "turn_idx")
             todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
-        result = finalize_convs(extract(todo)) \
+        result = extract_finalized(todo) \
             .withColumn("part_id", F.spark_partition_id())
         result.write.mode("append").parquet(extracted_path)
 

@@ -43,12 +43,11 @@ def oracle_frame():
 
 @pytest.fixture(scope="module")
 def spark_frame(spark):
-    from mineru_spark.pipeline import synthesize_transcripts, extract
+    from mineru_spark.pipeline import extract_finalized, synthesize_transcripts
 
-    from mineru_spark.pipeline import finalize_convs
-
-    df = finalize_convs(
-        extract(synthesize_transcripts(spark, N_CONVS), salt_partitions=8))
+    # the SHIPPED path: fused single-pass extract + cross-turn finalize
+    df = extract_finalized(synthesize_transcripts(spark, N_CONVS),
+                           salt_partitions=8)
     got = (df.toPandas()
            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     got["n_spans"] = got["spans"].map(len)

@@ -64,6 +64,25 @@ def test_classify_routes():
     assert classify_payload("<table><tr><td>x</td></tr></table>") == "office"
     assert classify_payload("<html><body>hi</body></html>") == "html"
     assert classify_payload("just plain words") == "plain"
+    assert classify_payload('{"kind": "xlsx_cells", "sheets": []}') == "xlsx"
+
+
+def test_classify_series_parity():
+    """The vectorized Spark-side router must agree with the scalar oracle
+    router on every payload kind the generator emits (plus edge cases)."""
+    import pandas as pd
+
+    from mineru_spark.datagen.transcripts import gen_turn
+    from mineru_spark.kernels.classify import classify_series
+
+    texts = [gen_turn(ci, ti)["text"]
+             for ci in range(40) for ti in range(2)]
+    texts += ["", None, "   ", "x < y but plain", "<table><tr></tr></table>",
+              '{"kind": "docx_runs", "paras": []}',
+              '{"kind": "xlsx_cells", "sheets": []}', "<HTML>hi</HTML>"]
+    got = classify_series(pd.Series(texts, dtype=object)).tolist()
+    want = [classify_payload(t) for t in texts]
+    assert got == want
 
 
 # ---------------------------------------------------------------------------

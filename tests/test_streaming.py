@@ -37,9 +37,9 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
 
     # per-turn equality with the batch path (including conv-level finalize:
     # streaming runs the same continuation-table merge per micro-batch)
-    from mineru_spark.pipeline import finalize_convs
-    batch = finalize_convs(extract(src)).select("conv_id", "turn_idx",
-                                                F.col("md").alias("md_b"))
+    from mineru_spark.pipeline import extract_finalized
+    batch = extract_finalized(src).select("conv_id", "turn_idx",
+                                          F.col("md").alias("md_b"))
     joined = got.join(batch, ["conv_id", "turn_idx"])
     assert joined.filter(F.col("md") != F.col("md_b")).count() == 0
 
