@@ -268,7 +268,10 @@ def ensure_golden_ann(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     import pandas as pd
     import pyarrow as pa
 
-    from .simsearch import _PLANES, probe_set, query_signature
+    from .simsearch import ANN_PLANES, probe_set, query_signature
+    from .simsearch import _PLANES as _ALL_PLANES
+
+    _PLANES = _ALL_PLANES[:ANN_PLANES]  # the ANN path's bucket width
 
     pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -278,7 +281,8 @@ def ensure_golden_ann(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     qvec = [float(v) for v in q]
     sigs = ((mat @ _PLANES.T) > 0).astype(np.int64) @ (
         1 << np.arange(_PLANES.shape[0], dtype=np.int64))
-    probes = set(probe_set(query_signature(qvec), radius))
+    probes = set(probe_set(query_signature(qvec, ANN_PLANES), radius,
+                           ANN_PLANES))
     cand = [i for i in range(len(mat))
             if int(sigs[i]) in probes and int(vec_ids[i]) != query_vec_id]
     # mirror the Spark expression's float64 LEFT-FOLD summation order

@@ -1129,30 +1129,42 @@ COS_NEAR_MIN = 0.25  # near-dup cosine threshold on the isotropic synthetic
 
 def q_embed_near_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): candidates
-    come from SRP-LSH bucket equality (same 6-bit signature — the same
-    deterministic hyperplanes DuckDB recomputes in q_lsh_signature), then
-    the exact cosine is verified per candidate.  Plan: one shuffle
-    equi-join on lsh_sig; never an all-pairs cross join.  Recall is the
-    LSH trade-off; raising it = multi-probe (hamming-adjacent buckets),
-    same plan shape."""
-    from .simsearch import signature_col
+    come from BANDED SRP-LSH — the 16-plane signature (same deterministic
+    hyperplane family DuckDB recomputes in q_lsh_signature) splits into
+    SRP_BANDS bands of SRP_BAND_BITS bits, a pair is a candidate when ANY
+    band matches (MinHash-style OR-of-ANDs), then the exact cosine is
+    verified per distinct candidate.  Plan: explode ×SRP_BANDS + one
+    shuffle equi-join on (band_idx, band_value); never an all-pairs cross
+    join.  Per-(band, value) bucket size is ~N/2^SRP_BAND_BITS, so at
+    larger corpus N the band width (not this plan shape) is the knob that
+    bounds the self-join — the round-2 fixed 64-bucket variant degenerated
+    to ~N²/64 pairs and was replaced by this."""
+    from .simsearch import band_cols, signature_col
 
     e = _t(spark, sf_dir, "embeddings") \
         .select("vec_id", "embedding", signature_col().alias("sig"))
-    a, b = e.alias("a"), e.alias("b")
+    banded = e.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*band_cols(F.col("sig")))).alias("b")) \
+        .select("vec_id", "embedding", "b.bi", "b.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("va"),
+                    F.col("b.vec_id").alias("vb"),
+                    F.col("a.embedding").alias("ea"),
+                    F.col("b.embedding").alias("eb"))
+            .dropDuplicates(["va", "vb"]))
     dot = F.aggregate(
-        F.zip_with("a.embedding", "b.embedding",
+        F.zip_with("ea", "eb",
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
     norm = lambda c: F.sqrt(F.aggregate(
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    cos = dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
-    return (a.join(b, (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("va"),
-                    F.col("b.vec_id").alias("vb"),
-                    F.round(cos, 6).alias("cos"))
+    cos = dot / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (cand.select("va", "vb", F.round(cos, 6).alias("cos"))
             .filter(F.col("cos") >= COS_NEAR_MIN))
 
 
@@ -1285,20 +1297,28 @@ ORACLES["q_embed_near_pairs"] = """
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
              ({SIG_TERMS}) AS s
       FROM embeddings
+    ), bands AS (
+      {BAND_SELECTS}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS va, b.vec_id AS vb,
-           ROUND(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
-    FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.emb, b.emb)
-                / (sqrt(list_dot_product(a.emb, a.emb))
-                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {THR}
+    SELECT c.va, c.vb,
+           ROUND(list_dot_product(x.emb, y.emb)
+                 / (sqrt(list_dot_product(x.emb, x.emb))
+                    * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cos
+    FROM cand c
+    JOIN sig x ON x.vec_id = c.va
+    JOIN sig y ON y.vec_id = c.vb
+    WHERE ROUND(list_dot_product(x.emb, y.emb)
+                / (sqrt(list_dot_product(x.emb, x.emb))
+                   * sqrt(list_dot_product(y.emb, y.emb))), 6) >= {THR}
 """
 
 
 def _near_pairs_oracle_sql() -> str:
-    from .simsearch import _PLANES
+    from .simsearch import SRP_BAND_BITS, SRP_BANDS, _PLANES
 
     terms = []
     for p, plane in enumerate(_PLANES):
@@ -1306,8 +1326,14 @@ def _near_pairs_oracle_sql() -> str:
         terms.append(
             f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
             f"CAST({arr} AS DOUBLE[])) > 0 THEN {1 << p} ELSE 0 END)")
+    mask = (1 << SRP_BAND_BITS) - 1
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {i} AS bi, "
+        f"((s // {1 << (i * SRP_BAND_BITS)}) & {mask}) AS bv FROM sig"
+        for i in range(SRP_BANDS))
     return ORACLES["q_embed_near_pairs"] \
         .replace("{SIG_TERMS}", " + ".join(terms)) \
+        .replace("{BAND_SELECTS}", band_selects) \
         .replace("{THR}", repr(COS_NEAR_MIN))
 
 

@@ -29,7 +29,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-N_PLANES = 6
+# Near-dup banding signature: N_PLANES bits split into SRP_BANDS bands of
+# SRP_BAND_BITS each (MinHash-style OR-of-ANDs).  Per-(band, value) bucket
+# size is ~N / 2^SRP_BAND_BITS, so the near-pair self-join is bounded —
+# at larger corpus N, raise N_PLANES and SRP_BANDS together (band width
+# stays the knob that bounds bucket size; the round-2 fixed-64-bucket
+# signature degenerated to ~N²/64 pairs).
+N_PLANES = 16
+SRP_BANDS = 2
+SRP_BAND_BITS = N_PLANES // SRP_BANDS
+# Multi-probe ANN bucket width: 2^ANN_PLANES buckets, sized to the corpus
+# (≈ log2(N / target bucket size)); the first ANN_PLANES planes of the
+# shared deterministic family.  At production N this rises with log N.
+ANN_PLANES = 6
 DIM = 64
 
 
@@ -62,16 +74,28 @@ def signature_col(emb_col: str = "embedding", n_planes: int = N_PLANES):
     return sig
 
 
-def query_signature(query_vec: list[float]) -> int:
-    dots = _PLANES @ np.array(query_vec, dtype=np.float64)
-    return sum(1 << p for p in range(N_PLANES) if dots[p] > 0)
+def band_cols(sig, bands: int = SRP_BANDS, bits: int = SRP_BAND_BITS):
+    """(band_idx, band_value) structs for the banded near-dup join; pure
+    bit arithmetic on the signature column (JVM-side)."""
+    return [F.struct(
+        F.lit(i).cast("int").alias("bi"),
+        F.shiftright(sig, i * bits)
+        .bitwiseAND(F.lit((1 << bits) - 1)).cast("long").alias("bv"))
+        for i in range(bands)]
 
 
-def probe_set(qsig: int, radius: int = 1) -> list[int]:
+def query_signature(query_vec: list[float],
+                    n_planes: int = N_PLANES) -> int:
+    dots = _PLANES[:n_planes] @ np.array(query_vec, dtype=np.float64)
+    return sum(1 << p for p in range(n_planes) if dots[p] > 0)
+
+
+def probe_set(qsig: int, radius: int = 1,
+              n_planes: int = N_PLANES) -> list[int]:
     """All signatures within hamming distance ≤ radius (multi-probe LSH)."""
     probes = {qsig}
     for r in range(1, radius + 1):
-        for combo in itertools.combinations(range(N_PLANES), r):
+        for combo in itertools.combinations(range(n_planes), r):
             s = qsig
             for b in combo:
                 s ^= 1 << b
@@ -80,12 +104,14 @@ def probe_set(qsig: int, radius: int = 1) -> list[int]:
 
 
 def bucketed_candidates(emb: DataFrame, query_vec: list[float],
-                        radius: int = 1) -> DataFrame:
-    """Rows whose signature lies within hamming ≤ radius of the query's
-    bucket.  At scale `lsh_sig` is a precomputed/bucketed column and this
-    filter is a partition-pruned scan, not a full pass."""
-    probes = probe_set(query_signature(query_vec), radius)
-    with_sig = emb.withColumn("lsh_sig", signature_col())
+                        radius: int = 1,
+                        n_planes: int = ANN_PLANES) -> DataFrame:
+    """Rows whose ANN-width signature lies within hamming ≤ radius of the
+    query's bucket.  At scale `lsh_sig` is a precomputed/bucketed column
+    and this filter is a partition-pruned scan, not a full pass."""
+    probes = probe_set(query_signature(query_vec, n_planes), radius,
+                       n_planes)
+    with_sig = emb.withColumn("lsh_sig", signature_col(n_planes=n_planes))
     return with_sig.filter(F.col("lsh_sig").isin(probes))
 
 

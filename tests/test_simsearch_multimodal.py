@@ -17,6 +17,7 @@ def test_ann_enrichment_and_mechanism(spark):
 
     pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # full-width (16-plane) banding signature parity Spark vs numpy
     sigs_np = ((mat @ ss._PLANES.T) > 0) @ (1 << np.arange(ss.N_PLANES))
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -24,15 +25,20 @@ def test_ann_enrichment_and_mechanism(spark):
         .select("vec_id", "lsh_sig").toPandas().sort_values("vec_id")
     assert list(got.lsh_sig) == [int(s) for s in sigs_np]
 
+    # the ANN probe path uses the ANN-width prefix of the plane family
+    ann_sigs = ((mat @ ss._PLANES[:ss.ANN_PLANES].T) > 0) \
+        @ (1 << np.arange(ss.ANN_PLANES))
+
     # enrichment over 15 queries
     norms = np.linalg.norm(mat, axis=1)
     recalls, fractions = [], []
     for qi in range(15):
         cos = (mat @ mat[qi]) / (norms * norms[qi])
         top = set(np.argsort(-cos)[1:11].tolist())
-        probes = set(ss.probe_set(int(sigs_np[qi]), radius=1))
+        probes = set(ss.probe_set(int(ann_sigs[qi]), radius=1,
+                                  n_planes=ss.ANN_PLANES))
         cand = {i for i in range(len(mat))
-                if int(sigs_np[i]) in probes and i != qi}
+                if int(ann_sigs[i]) in probes and i != qi}
         recalls.append(len(cand & top) / 10)
         fractions.append(len(cand) / len(mat))
     enrich = (sum(recalls) / 15) / max(1e-9, sum(fractions) / 15)
@@ -43,9 +49,11 @@ def test_ann_enrichment_and_mechanism(spark):
     spark_cand = ss.bucketed_candidates(
         emb.filter(F.col("vec_id") != 0), qvec, radius=1) \
         .select("vec_id").toPandas()
-    probes = set(ss.probe_set(ss.query_signature(qvec), radius=1))
+    probes = set(ss.probe_set(
+        ss.query_signature(qvec, ss.ANN_PLANES), radius=1,
+        n_planes=ss.ANN_PLANES))
     np_cand = {int(pdf.vec_id[i]) for i in range(len(mat))
-               if int(sigs_np[i]) in probes and int(pdf.vec_id[i]) != 0}
+               if int(ann_sigs[i]) in probes and int(pdf.vec_id[i]) != 0}
     assert set(spark_cand.vec_id) == np_cand
     assert len(np_cand) < len(mat)  # genuinely prunes
 
