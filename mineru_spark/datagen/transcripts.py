@@ -26,6 +26,9 @@ Payload kinds inside ``text`` (mirroring the reference's input universe,
   ends (char_utils.py:7-18).
 - Office table fragments (~10%, tool=file_reader): HTML tables with
   rowspan/colspan merged cells (xlsx_converter.py:39-166 semantics).
+- DOCX run / PPTX shape / XLSX sheet-cell fragments (~3% each,
+  tool=file_reader): post-XML payload analogs for the office converters
+  (docx_converter / pptx converter / xlsx_converter DataRegion route).
 - Empty (~5%, tool=none): null-path coverage.
 
 Conversation lengths follow a Zipf-ish tail: ~1% of convs are 40-80 turns
@@ -739,8 +742,81 @@ def _gen_docx(rng: random.Random) -> str:
                     (r"E=mc^2", r"\sum_{i} x_i", r"a_n"))})
                 runs.append({"text": _sentence(rng, 2, 4) + "."})
             paras.append({"style": "Normal", "runs": runs})
+    # ~30%: a table (reference renders DOCX tables via its mammoth-HTML
+    # path with vMerge/gridSpan resolved, docx_converter.py:960-1122; the
+    # payload carries the post-XML cell rows).  Header row + occasional
+    # colspan-2 / rowspan-2 anchors + rare OMML cell equation.
+    if rng.random() < 0.3:
+        ncols = rng.randint(2, 4)
+        nrows = rng.randint(2, 4)
+        rows = [[{"text": _sentence(rng, 1, 2).title(), "header": True}
+                 for _ in range(ncols)]]
+        carry = 0  # columns occupied by a rowspan-2 anchor from the row above
+        for i in range(nrows):
+            row = []
+            c = carry
+            carry = 0
+            while c < ncols:
+                cell = {"text": _sentence(rng, 1, 3)}
+                adv = 1
+                if c + 1 < ncols and rng.random() < 0.15:
+                    cell["colspan"] = 2
+                    adv = 2
+                elif i + 1 < nrows and carry == 0 and rng.random() < 0.12:
+                    cell["rowspan"] = 2
+                    carry = 1
+                if rng.random() < 0.08:
+                    cell["math"] = rng.choice((r"x^2", r"\alpha_i"))
+                row.append(cell)
+                c += adv
+            rows.append(row)
+        paras.append({"style": "Table", "rows": rows})
     return json.dumps({"kind": "docx_runs", "paras": paras},
                       ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# XLSX sheet-cell fragments (O3: DataRegion detection, merged-cell grid)
+# ---------------------------------------------------------------------------
+
+def _gen_xlsx(rng: random.Random) -> str:
+    """Sparse sheet cells + merge ranges (the reference's raw-sheet input,
+    xlsx_converter.py): a main data region at a random offset (header row,
+    occasional horizontal header merge, occasional gap-1 hole inside the
+    region that flood fill must cross), sometimes a far-away singleton
+    cell (its own 1×1 region → text block), sometimes a second sheet."""
+    def sheet(idx: int) -> dict:
+        r0, c0 = rng.randint(0, 3), rng.randint(0, 2)
+        ncols, nrows = rng.randint(2, 4), rng.randint(2, 4)
+        cells, merges = [], []
+        merged_header = ncols >= 3 and rng.random() < 0.3
+        for c in range(ncols):
+            if merged_header and c == 1:
+                merges.append([r0, c0 + 1, r0, c0 + 2])
+            if merged_header and c == 2:
+                continue  # hidden under the header merge anchor
+            cells.append({"r": r0, "c": c0 + c,
+                          "v": _sentence(rng, 1, 2).title()})
+        hole = rng.random() < 0.25  # one blank cell inside the region
+        hole_at = (r0 + 1 + rng.randint(0, nrows - 1),
+                   c0 + rng.randint(0, ncols - 1)) if hole else None
+        for r in range(nrows):
+            for c in range(ncols):
+                if (r0 + 1 + r, c0 + c) == hole_at:
+                    continue
+                cells.append({"r": r0 + 1 + r, "c": c0 + c,
+                              "v": _sentence(rng, 1, 3)})
+        if rng.random() < 0.3:
+            # isolated note cell, > gap+1 away → its own singleton region
+            cells.append({"r": r0 + nrows + 4, "c": c0,
+                          "v": _sentence(rng, 2, 5)})
+        return {"name": f"Sheet{idx + 1}", "cells": cells,
+                "merges": merges}
+
+    n_sheets = 2 if rng.random() < 0.3 else 1
+    return json.dumps(
+        {"kind": "xlsx_cells", "sheets": [sheet(i) for i in range(n_sheets)]},
+        ensure_ascii=False)
 
 
 # ---------------------------------------------------------------------------
@@ -988,6 +1064,8 @@ def gen_turn(conv_i: int, turn_idx: int) -> dict:
         text, tool = _gen_pptx(rng), "file_reader"
     elif r < 0.65:
         text, tool = _gen_docx(rng), "file_reader"
+    elif r < 0.68:
+        text, tool = _gen_xlsx(rng), "file_reader"
     else:
         text, tool = _gen_pdf(rng), "pdf_reader"
         # rare corruption knobs, one per classifier signal family

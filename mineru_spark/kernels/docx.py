@@ -15,7 +15,10 @@ of styled paragraphs with inline runs:
                   |"TOC",
          "num": {"id": int, "ilvl": int, "ordered": bool},   # optional
          "runs": [{"text": "...", "bold": false, "italic": false,
-                   "hidden": false} | {"math": "latex"}]}]}
+                   "hidden": false} | {"math": "latex"}]}
+      | {"style": "Table",
+         "rows": [[{"text": "...", "rowspan": 1, "colspan": 1,
+                    "header": false, "math": "latex"?}, ...], ...]}]}
 
 Semantics re-expressed:
 - style chain → block type (headings → title levels, ListParagraph →
@@ -29,7 +32,13 @@ Semantics re-expressed:
   SURVIVES interruptions — a later group with the same numId continues
   3., 4., … exactly like Word (reference counter cache :101);
 - ilvl nesting indents items two spaces per level;
-- consecutive TOC paragraphs coalesce into one index block.
+- consecutive TOC paragraphs coalesce into one index block;
+- TABLES: a `Table` para carries cell rows (vMerge/gridSpan already
+  resolved to rowspan/colspan, the post-XML analog of the reference's
+  mammoth table→HTML path, docx_converter.py:960-1122); cells render
+  through the shared grid algebra (kernels/tables.py) into the canonical
+  table HTML, with OMML cell equations injected as `$…$` like the
+  reference's _inject_equations_into_table (:1125-1236).
 """
 
 from __future__ import annotations
@@ -62,8 +71,37 @@ def _render_runs(runs: list) -> str:
     return " ".join(parts)
 
 
+def _table_grid(rows_payload: list):
+    """Cell rows → normalized TableGrid via the shared rowspan/colspan
+    occupancy algebra (tables.grid_from_rows); None when degenerate."""
+    from . import tables as tbl
+
+    cell_rows = []
+    for row in rows_payload:
+        if not isinstance(row, list):
+            continue
+        crow = []
+        for c in row:
+            if not isinstance(c, dict):
+                continue
+            text = " ".join(str(c.get("text", "")).split())
+            math = str(c.get("math", "")).strip()
+            if math:
+                # reference equation injection: formulas lost by the HTML
+                # table path are re-added to the cell as $…$
+                text = f"{text} ${math}$" if text else f"${math}$"
+            crow.append(tbl.Cell(text=text,
+                                 rowspan=tbl.span_of(c.get("rowspan")),
+                                 colspan=tbl.span_of(c.get("colspan")),
+                                 header=bool(c.get("header"))))
+        if crow:
+            cell_rows.append(crow)
+    return tbl.grid_from_rows(cell_rows) if cell_rows else None
+
+
 def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     blocks: list[dict] = []
+    tables_parsed = 0
     paras = payload.get("paras", [])
     if not isinstance(paras, list):
         paras = []
@@ -98,6 +136,18 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         if not isinstance(p, dict):
             continue
         style = str(p.get("style", "Normal"))
+        if style == "Table":
+            flush_list()
+            flush_toc()
+            grid = _table_grid(p.get("rows") or [])
+            if grid is not None:
+                from . import tables as tbl
+                blocks.append({"type": "table",
+                               "text": tbl.render_table_html(grid),
+                               "page_idx": 0, "bbox": [0, 0, 0, 0],
+                               "level": 1})
+                tables_parsed += 1
+            continue
         text = _render_runs(p.get("runs") or [])
         if not text:
             continue
@@ -138,4 +188,5 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                            "pre_rendered": True})
     flush_list()
     flush_toc()
-    return blocks, {"blocks_classified": len(blocks)}
+    return blocks, {"blocks_classified": len(blocks),
+                    "tables_parsed": tables_parsed}

