@@ -327,6 +327,139 @@ def _bbox_center_distance(a, b) -> float:
     return float(((ax - bx) ** 2 + (ay - by) ** 2) ** 0.5)
 
 
+def _is_single_line(r: dict) -> bool:
+    """is_single_line_caption_fragment analog (visual_magic_model_utils.py
+    :323-325): blocks without line geometry count as single-line."""
+    return r.get("_mg", {}).get("n_lines", 1) <= 1
+
+
+def _horiz_near(b, t, tol_frac: float = 0.03) -> bool:
+    """is_horizontally_near_table (:313-321): within max(12, w·0.03)."""
+    tol = max(12.0, (t[2] - t[0]) * tol_frac)
+    return not (b[2] < t[0] - tol or b[0] > t[2] + tol)
+
+
+def _stacked_gap(h: float) -> float:
+    """stacked_caption_max_gap (:328-330)."""
+    return max(12.0, h * 1.5)
+
+
+def _fallback_captions(raw: list[dict]) -> None:
+    """B10 caption fallbacks (reference visual_magic_model_utils.py):
+    promote unlabeled text fragments to caption labels BEFORE parent
+    attachment, in the reference's call order (pipeline_magic_model.py
+    :123-124 → inline, stacked, leading-continuation).
+
+    1. inline fragments (:101-131 + :351-379): a text block sandwiched
+       between a caption and a visual main block joins the caption when
+       it sits on the caption's line (y-overlap ≥ 0.6 of the smaller
+       height, or center-Δy ≤ 0.5 of the larger) and the pair sits
+       directly above the visual (gap ∈ [0, max(12, 1.5·h)]);
+    2. stacked table clusters (:226-251 + :267-305): inside the stack of
+       caption/text/footnote blocks geometrically piled above a table,
+       single-line text fragments BELOW the last labeled caption become
+       captions;
+    3. leading table continuations (:133-223): single-line '(continued)'
+       / 续表 text blocks at the head of the page, geometrically adjacent
+       to the first table, become its captions.
+
+    Mutates labels in place; the existing attach loop then routes the
+    promoted blocks to their visual parents.  raw is one page in reading
+    order with discarded blocks already removed (the reference likewise
+    skips VISUAL_RELATION_IGNORED_TYPES)."""
+    from . import tables as tbl
+
+    if len(raw) >= 3:
+        # --- rule 1: inline caption fragments ---
+        for i in range(1, len(raw) - 1):
+            r = raw[i]
+            if r["label"] != "text":
+                continue
+            prev, nxt = raw[i - 1], raw[i + 1]
+            slot = CAPTION_LABELS.get(prev["label"])
+            if not slot or slot[1] != "caption":
+                continue
+            if nxt["label"] not in ("table", "image"):
+                continue
+            cb, rb, vb = prev["_raw"], r["_raw"], nxt["_raw"]
+            ch = max(cb[3] - cb[1], 1.0)
+            rh = max(rb[3] - rb[1], 1.0)
+            overlap = min(cb[3], rb[3]) - max(cb[1], rb[1])
+            center_dy = abs((cb[1] + cb[3]) / 2 - (rb[1] + rb[3]) / 2)
+            same_line = (overlap / max(min(ch, rh), 1.0) >= 0.6
+                         or center_dy <= max(ch, rh) * 0.5)
+            gap = vb[1] - max(cb[3], rb[3])
+            if same_line and 0 <= gap <= _stacked_gap(max(ch, rh)):
+                r["label"] = prev["label"]
+                r.pop("_mg", None)  # no longer merges as body text
+
+    # --- rule 2: stacked table caption clusters ---
+    cluster_types = {"table_caption", "table_footnote", "text"}
+    for t in raw:
+        if t["label"] != "table":
+            continue
+        tb = t["_raw"]
+        above = [r for r in raw
+                 if r is not t and r["label"] in cluster_types
+                 and r["_raw"][3] <= tb[1] and _horiz_near(r["_raw"], tb)]
+        cluster: list[dict] = []
+        next_top = tb[1]
+        max_h = 1.0
+        for r in sorted(above, key=lambda x: (x["_raw"][1], x["pos"]),
+                        reverse=True):
+            h = max(r["_raw"][3] - r["_raw"][1], 1.0)
+            gap = next_top - r["_raw"][3]
+            if not 0 <= gap <= _stacked_gap(max(max_h, h)):
+                break
+            cluster.append(r)
+            next_top = r["_raw"][1]
+            max_h = max(max_h, h)
+        cluster.reverse()
+        last_cap = None
+        for pos in range(len(cluster) - 1, -1, -1):
+            if cluster[pos]["label"] == "table_caption":
+                last_cap = pos
+                break
+        if last_cap is None:
+            continue
+        for r in cluster[last_cap + 1:]:
+            if r["label"] == "text" and _is_single_line(r):
+                r["label"] = "table_caption"
+                r.pop("_mg", None)
+
+    # --- rule 3: leading '(continued)' text above the first table ---
+    leading: list[dict] = []
+    cursor = 0
+    while cursor < len(raw):
+        r = raw[cursor]
+        if not (r["label"] == "text" and _is_single_line(r)
+                and tbl.is_continuation_text(r["text"])):
+            break
+        leading.append(r)
+        cursor += 1
+    if leading and cursor < len(raw) and raw[cursor]["label"] == "table":
+        tb = raw[cursor]["_raw"]
+        next_top = tb[1]
+        max_h = 1.0
+        ok = True
+        for r in reversed(leading):
+            rb = r["_raw"]
+            if not _horiz_near(rb, tb):
+                ok = False
+                break
+            h = max(rb[3] - rb[1], 1.0)
+            gap = next_top - rb[3]
+            if gap > _stacked_gap(max(max_h, h)) or gap < -max(2.0, h * 0.3):
+                ok = False
+                break
+            next_top = rb[1]
+            max_h = max(max_h, h)
+        if ok:
+            for r in leading:
+                r["label"] = "table_caption"
+                r.pop("_mg", None)
+
+
 def _font_signals(pc: PageCols) -> tuple[int, bool, bool]:
     """Per-page font-table signals (C4/C5/C6 analogs over the payload's
     font-resource metadata, reference pdf_classify.py:459-732):
@@ -772,6 +905,27 @@ def _assemble_vertical(pc: PageCols, sel: "np.ndarray",
     return text, [span]
 
 
+def _vertical_merge_geometry(pc: PageCols, sel: "np.ndarray") -> dict | None:
+    """Merge geometry for the D1 vertical variant (para_split.py:309-345):
+    the FIRST line of a vertical block is its rightmost column, the LAST
+    its leftmost (right→left flow); the reference's line_width becomes the
+    column width."""
+    if len(sel) == 0:
+        return None
+    x0, y0, x1, y1 = pc.x0[sel], pc.y0[sel], pc.x1[sel], pc.y1[sel]
+    xr = np.round(x0, 1)
+    first = xr == xr.max()
+    last = xr == xr.min()
+    return {
+        "first_top": float(y0[first].min()),
+        "first_w": float(max(x1[first].max() - x0[first].min(), 1e-6)),
+        "last_bottom": float(y1[last].max()),
+        "last_w": float(max(x1[last].max() - x0[last].min(), 1e-6)),
+        "x0": float(x0.min()), "x1": float(x1.max()),
+        "y0": float(y0.min()), "y1": float(y1.max()),
+    }
+
+
 def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
     """Parsed pdf_chars payload → (blocks, spans, metrics)."""
     blocks_out: list[dict] = []
@@ -949,6 +1103,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                         # >80% of spans taller than 2× their width
                         text, bspans = _assemble_vertical(pc, sel, page_idx)
                         rec["text"] = text
+                        rec["_vert"] = True
+                        rec["_vmg"] = _vertical_merge_geometry(pc, sel)
                         spans_out.extend(bspans)
                         if rec["text"]:
                             raw.append(rec)
@@ -964,6 +1120,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                         >= VERTICAL_SINGLE * len(lines)):
                     text, bspans = _assemble_vertical(pc, sel, page_idx)
                     rec["text"] = text
+                    rec["_vert"] = True
+                    rec["_vmg"] = _vertical_merge_geometry(pc, sel)
                 elif label == "code":
                     rec["text"] = "\n".join(lines)
                     rec["lang"] = guess_code_lang(rec["text"])
@@ -1008,6 +1166,10 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
 
             if rec["text"] or label == "image":
                 raw.append(rec)
+
+        # B10 fallbacks: promote unlabeled caption fragments (inline /
+        # stacked / leading-continuation rules) before parent attachment
+        _fallback_captions(raw)
 
         # B10: attach caption/footnote blocks to the best visual parent of
         # the matching kind (reference find_best_visual_parent,
@@ -1199,6 +1361,40 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
                 out[-1]["cross_page"] = True
             merged += 1
             continue
+        # D1 vertical variant (para_split.py:309-345,
+        # __merge_2_vertical_text_blocks): the later (left) vertical block
+        # merges into the earlier (right) one iff its first column starts
+        # at the block top (< colw/2), the earlier's last column reaches
+        # its bottom (< colw), no stop flag, comparable heights
+        # (|h1-h2| < min(h1,h2)), the later text does not open with a
+        # digit/uppercase, and the later block's right edge passes the
+        # earlier's left edge (right→left column flow).
+        if (out and b.get("_vert") and out[-1].get("_vert")
+                and b["type"] == "text" and out[-1]["type"] == "text"):
+            p = out[-1]
+            mp, mb = p.get("_vmg"), b.get("_vmg")
+            head = b["text"][:1]
+            if mp and mb and p["text"] and b["text"]:
+                hp, hb = mp["y1"] - mp["y0"], mb["y1"] - mb["y0"]
+                if (abs(mb["y0"] - mb["first_top"]) < mb["first_w"] / 2
+                        and abs(mp["y1"] - mp["last_bottom"]) < mp["last_w"]
+                        and not p["text"].endswith(LINE_STOP_FLAG)
+                        and abs(hp - hb) < min(hp, hb)
+                        and not head.isdigit() and not head.isupper()
+                        and mb["x1"] > mp["x0"]):
+                    # vertical runs are CJK: columns join with no separator
+                    out[-1] = {**p, "text": p["text"] + b["text"],
+                               "_vmg": {**mp,
+                                        "last_bottom": mb["last_bottom"],
+                                        "last_w": mb["last_w"],
+                                        "x0": min(mp["x0"], mb["x0"]),
+                                        "x1": max(mp["x1"], mb["x1"]),
+                                        "y0": min(mp["y0"], mb["y0"]),
+                                        "y1": max(mp["y1"], mb["y1"])}}
+                    if b["page_idx"] > p["page_idx"]:
+                        out[-1]["cross_page"] = True
+                    merged += 1
+                    continue
         if out and b["type"] == "text" and out[-1]["type"] == "text":
             p = out[-1]
             mp, mb = p.get("_mg"), b.get("_mg")
@@ -1228,6 +1424,8 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
         out.append(b)
     for b in out:
         b.pop("_mg", None)
+        b.pop("_vmg", None)
+        b.pop("_vert", None)
     return out, merged
 
 

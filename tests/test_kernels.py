@@ -689,6 +689,107 @@ def test_vertical_text_assembly():
     assert blocks[0]["text"] == "数据管处理文"
 
 
+def test_vertical_block_cross_page_merge():
+    """D1 vertical variant (para_split.py:309-345): a later vertical block
+    whose first column starts at its top merges into an earlier vertical
+    block whose last column reaches its bottom, when heights are
+    comparable, no stop flag ends the earlier text, and the x-ranges
+    overlap (right→left flow).  Columns join with no separator; the merge
+    is marked cross_page."""
+    def vchars(texts, i0):
+        out = []
+        for col, (x, s) in enumerate(texts):
+            for k, c in enumerate(s):
+                out.append(_char(c, x, 100 + 12 * k, idx=i0 + col * 10 + k,
+                                 w=10))
+        return out
+
+    pages = [
+        {"page_idx": 0, "page_size": [612.0, 792.0],
+         "chars": vchars([(530, "数据管"), (515, "处理文")], 0),
+         "layout": [{"bbox": [513, 95, 542, 240], "label": "text",
+                     "index": 0}]},
+        {"page_idx": 1, "page_size": [612.0, 792.0],
+         "chars": vchars([(530, "続行拡"), (515, "張充実")], 0),
+         "layout": [{"bbox": [513, 95, 542, 240], "label": "text",
+                     "index": 0}]},
+    ]
+    blocks, _, m = extract_pdf({"kind": "pdf_chars", "pages": pages})
+    assert len(blocks) == 1
+    assert blocks[0]["text"] == "数据管处理文続行拡張充実"
+    assert blocks[0]["cross_page"] is True
+    assert m["para_merged"] == 1
+
+    # negative: earlier block ends with a stop flag → no merge
+    pages[0]["chars"] = vchars([(530, "数据管"), (515, "处理。")], 0)
+    blocks2, _, m2 = extract_pdf({"kind": "pdf_chars", "pages": pages})
+    assert len(blocks2) == 2 and m2["para_merged"] == 0
+
+
+def test_b10_inline_caption_fragment():
+    """B10 inline fallback (visual_magic_model_utils.py:101-131,:351-379):
+    a text fragment on the caption's line, directly above the visual,
+    joins the caption; a fragment on a different line stays text."""
+    cap, _, j = _caption_chars("Figure 1:", 200, 0)
+    frag = []
+    for k, c in enumerate("extra part"):
+        if c != " ":
+            frag.append(_char(c, 160 + 5 * k, 200, idx=j + k))
+    layout = [
+        {"bbox": [45, 195, 150, 215], "label": "image_caption", "index": 0},
+        {"bbox": [155, 195, 300, 215], "label": "text", "index": 1},
+        {"bbox": [45, 230, 300, 330], "label": "image", "index": 2},
+    ]
+    blocks, _, _ = extract_pdf(_page(cap + frag, layout))
+    img = [b for b in blocks if b["type"] == "image"][0]
+    assert img["caption"] == ["Figure 1:", "extra part"]
+
+    # different line (no y-overlap, center gap > 0.5·h) → stays text
+    frag_lo = [_char(c, 160 + 5 * k, 260, idx=j + k)
+               for k, c in enumerate("extrapart")]
+    layout_lo = [
+        {"bbox": [45, 195, 150, 215], "label": "image_caption", "index": 0},
+        {"bbox": [155, 255, 300, 275], "label": "text", "index": 1},
+        {"bbox": [45, 290, 300, 390], "label": "image", "index": 2},
+    ]
+    blocks2, _, _ = extract_pdf(_page(cap + frag_lo, layout_lo))
+    img2 = [b for b in blocks2 if b["type"] == "image"][0]
+    assert img2["caption"] == ["Figure 1:"]
+    assert any(b["type"] == "text" for b in blocks2)
+
+
+def test_b10_stacked_table_caption_cluster():
+    """B10 stacked fallback (:226-305): a single-line text fragment BELOW
+    the last labeled caption in the stack piled above a table becomes a
+    table caption."""
+    cap, _, j = _caption_chars("Table 2: stuff", 262, 0)
+    frag, _, _ = _caption_chars("More details here", 280, j)
+    layout = [
+        {"bbox": [45, 258, 300, 276], "label": "table_caption", "index": 0},
+        {"bbox": [45, 278, 300, 294], "label": "text", "index": 1},
+        {"bbox": [50, 300, 300, 400], "label": "table", "index": 2,
+         "html": "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"},
+    ]
+    blocks, _, _ = extract_pdf(_page(cap + frag, layout))
+    tab = [b for b in blocks if b["type"] == "table"][0]
+    assert tab["caption"] == ["Table 2: stuff", "More details here"]
+
+
+def test_b10_leading_continuation_caption():
+    """B10 leading-continuation fallback (:133-223): page-leading
+    single-line '(continued)' text adjacent to the first table becomes
+    its caption instead of body text."""
+    cont, _, _ = _caption_chars("(continued)", 98, 0)
+    layout = [
+        {"bbox": [45, 95, 300, 112], "label": "text", "index": 0},
+        {"bbox": [50, 120, 300, 220], "label": "table", "index": 1,
+         "html": "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"},
+    ]
+    blocks, _, _ = extract_pdf(_page(cont, layout))
+    assert len(blocks) == 1 and blocks[0]["type"] == "table"
+    assert blocks[0]["caption"] == ["(continued)"]
+
+
 def test_punct_run_ocr_route():
     text = "...." * 30  # 120 punct chars in runs
     chars, _, _ = _caption_chars(text, 100, 0)
