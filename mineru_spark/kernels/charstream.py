@@ -275,6 +275,8 @@ def _assemble_block_from_spans(pc: PageCols, sel: "np.ndarray",
                                  max(p[0][2] for p in cur),
                                  max(p[0][3] for p in cur)])
                 for p in cur:
+                    for s in p[2]:
+                        s["line"] = len(lines_text) - 1
                     spans_out.extend(p[2])
                 cur = []
         cur.append(piece)
@@ -286,6 +288,8 @@ def _assemble_block_from_spans(pc: PageCols, sel: "np.ndarray",
                          max(p[0][2] for p in cur),
                          max(p[0][3] for p in cur)])
         for p in cur:
+            for s in p[2]:
+                s["line"] = len(lines_text) - 1
             spans_out.extend(p[2])
     lbb = np.array(lbb_rows, dtype=np.float64).reshape(len(lbb_rows), 4) \
         if lbb_rows else np.empty((0, 4))
@@ -874,6 +878,7 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
                 "type": {0: "text", 1: "sup", 2: "sub",
                          3: "inline_equation"}[r],
                 "content": stripped,
+                "line": lid,  # block-local line id (middle hierarchy)
             })
         lines_text.append("".join(parts))
 
@@ -1090,7 +1095,17 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                     rec["text"] = tbl.render_table_html(grids[0])
                     tables_parsed += 1
             elif label == "image":
-                pass  # opaque body; captions carry the text
+                # S8 image sink analog: deterministic sha256-named path
+                # string per the reference's crop-file naming
+                # (pdf_image_tools.py:495-514 — sha256 of
+                # "{type}/{page_md5}_{page}_{x0}_{y0}_{x1}_{y1}" + .jpg;
+                # no raster here, so the page-image md5 term is omitted
+                # and the name derives from geometry alone)
+                import hashlib as _hl
+                key = (f"image/{page_idx}_{int(bx0)}_{int(by0)}"
+                       f"_{int(bx1)}_{int(by1)}")
+                rec["img_path"] = \
+                    f"images/{_hl.sha256(key.encode()).hexdigest()}.jpg"
             else:
                 # vertical detection (B5): tall-narrow block whose line
                 # segmentation degenerates to single-char lines
@@ -1146,6 +1161,26 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                     # sub / inline_equation, in reading order)
                     rec["_runs"] = [(s["type"], s["content"])
                                     for s in bspans]
+                    # block→line→span hierarchy with page-normalized
+                    # bboxes for the middle IR (reference keeps
+                    # page→block→line→span geometry end to end)
+                    if len(lbb):
+                        def _nb(v):
+                            return [round(v[0] / pw * 1000),
+                                    round(v[1] / ph * 1000),
+                                    round(v[2] / pw * 1000),
+                                    round(v[3] / ph * 1000)]
+                        by_line: dict[int, list] = {}
+                        for s in bspans:
+                            by_line.setdefault(
+                                int(s.get("line", 0)), []).append(s)
+                        rec["_lines"] = [
+                            {"bbox": _nb(lbb[li]),
+                             "spans": [{"bbox": _nb(s["bbox"]),
+                                        "content": s["content"],
+                                        "type": s["type"]}
+                                       for s in by_line.get(li, [])]}
+                            for li in range(len(lbb))]
                     if lines and len(lbb):
                         # merge-guard geometry for the cross-page/column
                         # paragraph merge (D1, para_split.py:265-306)
@@ -1222,6 +1257,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             r.pop("_raw", None)
         blocks_out.extend(page_blocks)
 
+    for s in spans_out:
+        s.pop("line", None)  # block-local id; not part of the span record
     blocks_out, tables_xmerged = _merge_cross_page_tables(blocks_out)
     blocks_out, para_merged = _merge_split_paras(blocks_out)
     if discarded_out:
@@ -1417,6 +1454,8 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
                                    "n_lines": mp["n_lines"] + mb["n_lines"]}}
                 if p.get("_runs") and b.get("_runs"):
                     out[-1]["_runs"] = p["_runs"] + b["_runs"]
+                if p.get("_lines") and b.get("_lines"):
+                    out[-1]["_lines"] = p["_lines"] + b["_lines"]
                 if cross:
                     out[-1]["cross_page"] = True
                 merged += 1

@@ -191,6 +191,10 @@ def render_block(b: dict) -> str:
                 for c in b.get("caption", []) if c]
         if t == "table" and text:
             segs.append(text)  # canonical HTML body
+        if t == "image" and b.get("img_path"):
+            # S8: the reference's image body line
+            # (pipeline_middle_json_mkcontent.py:152-155)
+            segs.append(f"![]({b['img_path']})")
         segs += [escape_markdown(normalize_text(f))
                  for f in b.get("footnote", []) if f]
         return "\n\n".join(s for s in segs if s)

@@ -59,6 +59,9 @@ def _content_list_json(blocks: list[dict]) -> str:
             item["table_footnote"] = [emit.normalize_text(f)
                                       for f in b.get("footnote", [])]
         elif b["type"] == "image":
+            # S8: sha2-named path string (reference content_list carries
+            # img_path, mkcontent :656-665)
+            item["img_path"] = b.get("img_path", "")
             item["image_caption"] = [emit.normalize_text(c)
                                      for c in b.get("caption", [])]
             item["image_footnote"] = [emit.normalize_text(f)
@@ -129,6 +132,7 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
         elif t == "image":
             item = {"type": "image",
                     "content": {
+                        "image_source": {"path": b.get("img_path", "")},
                         "image_caption": [r for c in b.get("caption", [])
                                           for r in runs(c)],
                         "image_footnote": [r for f in b.get("footnote", [])
@@ -203,6 +207,8 @@ def _middle_json(blocks: list[dict], route: str) -> str:
         if b["type"] in ("table", "image"):
             if b["type"] == "table":
                 item["html"] = b["text"]
+            if b["type"] == "image" and b.get("img_path"):
+                item["img_path"] = b["img_path"]
             item["caption"] = [emit.normalize_text(c)
                                for c in b.get("caption", [])]
             item["footnote"] = [emit.normalize_text(f)
@@ -214,9 +220,13 @@ def _middle_json(blocks: list[dict], route: str) -> str:
             if b.get("cross_page"):
                 # SplitFlag.CROSS_PAGE analog (para_split.py:301-304)
                 item["cross_page"] = True
-            if b.get("_runs"):
-                # full-IR span runs (the reference middle keeps the
-                # block→line→span hierarchy; we keep the typed runs)
+            if b.get("_lines"):
+                # full block→line→span hierarchy with bboxes (the
+                # reference middle's page→block→line→span geometry;
+                # model_json_to_middle_json line/span records)
+                item["lines"] = b["_lines"]
+            elif b.get("_runs"):
+                # geometry-free converters (office/html) keep typed runs
                 item["spans"] = [{"type": t, "content": c}
                                  for t, c in b["_runs"]]
         pages.setdefault(b["page_idx"], []).append(item)

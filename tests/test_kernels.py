@@ -790,6 +790,50 @@ def test_b10_leading_continuation_caption():
     assert blocks[0]["caption"] == ["(continued)"]
 
 
+def test_middle_line_hierarchy_and_image_paths():
+    """middle IR keeps the block→line→span hierarchy with page-normalized
+    bboxes for char-kernel blocks (reference page→block→line→span), and
+    image blocks carry a deterministic sha256-named img_path through
+    md (![](...) line), content_list and content_list_v2
+    (pdf_image_tools.py:495-514 naming; mkcontent :656-665)."""
+    import json
+
+    chars = [_char("a", 50, 100, idx=0), _char("b", 55, 100, idx=1),
+             _char("c", 65, 100, idx=2), _char("d", 70, 100, idx=3),
+             _char("e", 50, 112, idx=4), _char("f", 55, 112, idx=5)]
+    cap, _, _ = _caption_chars("Figure 9: map", 210, 10)
+    layout = [
+        {"bbox": [45, 95, 200, 130], "label": "text", "index": 0},
+        {"bbox": [45, 205, 320, 225], "label": "image_caption", "index": 1},
+        {"bbox": [45, 230, 320, 330], "label": "image", "index": 2},
+    ]
+    out = extract_turn(json.dumps(_page(chars + cap, layout)), "pdf_reader")
+    middle = json.loads(out["middle"])
+    page = middle["pdf_info"][0]
+    tb = [b for b in page["para_blocks"] if b["type"] == "text"][0]
+    assert len(tb["lines"]) == 2          # "ab cd" / "ef"
+    for ln in tb["lines"]:
+        assert len(ln["bbox"]) == 4
+        assert ln["spans"], "line without span records"
+        for s in ln["spans"]:
+            assert set(s) == {"bbox", "content", "type"}
+            assert len(s["bbox"]) == 4
+    assert tb["lines"][0]["spans"][0]["content"] == "ab cd"
+    assert tb["lines"][1]["spans"][0]["content"] == "ef"
+
+    img_mid = [b for b in page["para_blocks"] if b["type"] == "image"][0]
+    path = img_mid["img_path"]
+    assert path.startswith("images/") and path.endswith(".jpg")
+    assert len(path) == len("images/") + 64 + len(".jpg")
+    assert f"![]({path})" in out["md"]
+    cl_img = [i for i in json.loads(out["content_list"])
+              if i["type"] == "image"][0]
+    assert cl_img["img_path"] == path
+    v2_img = [i for pg in json.loads(out["content_list_v2"]) for i in pg
+              if i["type"] == "image"][0]
+    assert v2_img["content"]["image_source"]["path"] == path
+
+
 def test_punct_run_ocr_route():
     text = "...." * 30  # 120 punct chars in runs
     chars, _, _ = _caption_chars(text, 100, 0)
