@@ -272,36 +272,47 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return res
 
 
-def _candidate_convs(df: DataFrame) -> DataFrame:
-    """Conv ids with ≥2 adjacent office turns, detected from the RAW
-    transcripts with the vectorized router — extraction output is never
-    touched.  The router is a prefix sniff, so this is a narrow scan +
-    keys-only window shuffle; `extract_turn` derives its route from the
-    same classifier, so the set is exact (an office payload that later
-    degrades to route='error' only makes this a superset, and the grouped
-    finalize is a no-op for it — same guard the per-conv merge applies
-    per turn)."""
+def _candidate_run_keys(df: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, _run) keys of every turn inside a maximal run
+    of ≥2 ADJACENT office turns, detected from the RAW transcripts —
+    extraction output is never touched.
+
+    The cross-turn table merge only ever acts within such runs
+    (finalize_conv resets its anchor on any non-office or non-adjacent
+    turn), so the RUN — not the conversation — is the finalize unit:
+    grouping at run granularity shuffles only the office-run rows (~5-8%
+    of the corpus) instead of every turn of a candidate conversation
+    (~20%).
+
+    The office route is exactly "prefix-lstrip starts with <table"
+    (kernels/classify.py cascade: the JSON kinds start with '{', html
+    with other tags — no overlap), so the sniff stays entirely JVM-side:
+    whole-stage-codegen'd scan + filter, zero Python.  Runs come from the
+    gaps-and-islands trick (turn_idx - row_number is constant within an
+    adjacent run); `extract_turn` derives its route from the same
+    classifier, so the key set is exact up to payloads that later degrade
+    to route='error' — a superset for which the grouped finalize is a
+    no-op (the same per-turn guard the merge itself applies)."""
     from pyspark.sql import Window as W
 
-    # the office route is exactly "prefix-lstrip starts with <table"
-    # (kernels/classify.py cascade: the JSON kinds start with '{', html
-    # with other tags — no overlap), so the sniff stays entirely JVM-side:
-    # whole-stage-codegen'd scan + filter, zero Python
     head = F.lower(F.ltrim(F.substring(F.col("text"), 1, 1000)))
     w = W.partitionBy("conv_id").orderBy("turn_idx")
-    return (df.filter(head.startswith("<table"))
-            .select("conv_id", "turn_idx")
-            .withColumn("_prev_idx", F.lag("turn_idx").over(w))
-            .filter(F.col("turn_idx") == F.col("_prev_idx") + 1)
-            .select("conv_id").distinct())
+    office = (df.filter(head.startswith("<table"))
+              .select("conv_id", "turn_idx")
+              .withColumn("_run", F.col("turn_idx")
+                          - F.row_number().over(w)))
+    wr = W.partitionBy("conv_id", "_run")
+    return (office.withColumn("_n", F.count("*").over(wr))
+            .filter(F.col("_n") >= 2)
+            .select("conv_id", "turn_idx", "_run"))
 
 
 def _extract_finalize_conv(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One CANDIDATE conversation, raw rows in: extract every turn AND run
-    the cross-turn finalize in the same Python stage.  Fusing the two
-    steps avoids a second Arrow round-trip of the fat extraction output
-    (the grouped-finalize-over-extracted variant paid ~1.3 ms/row just in
-    re-conversion)."""
+    """One office RUN (adjacent office turns of one conversation), raw
+    rows in: extract every turn AND apply the cross-turn finalize in the
+    same Python stage.  Fusing the two steps avoids a second Arrow
+    round-trip of the fat extraction output (the grouped-finalize-over-
+    extracted variant paid ~1.3 ms/row just in re-conversion)."""
     from .kernels.oracle import finalize_conv
 
     pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
@@ -334,33 +345,34 @@ def _extract_finalize_conv(pdf: pd.DataFrame) -> pd.DataFrame:
 def extract_finalized(df: DataFrame,
                       salt_partitions: int | None = None) -> DataFrame:
     """The shipped extraction shape: ONE kernel pass per row, finalize
-    included.  Candidate conversations (cross-turn table-merge eligible)
-    are detected from the raw input (_candidate_convs, a JVM-only sniff),
-    the input is split semi/anti on that broadcast key set, and each side
-    runs the extraction kernel exactly once:
+    included.  Office-run keys (cross-turn table-merge eligible turns)
+    are detected from the raw input (_candidate_run_keys, a JVM-only
+    sniff + keys-only windows), the input splits on that broadcast key
+    set, and each side runs the extraction kernel exactly once:
 
-      rest (no adjacent office turns, ~85-95%): salted shuffle-free
-          mapInPandas — identical to extract();
-      candidates: raw rows group by conv_id and extract+finalize run in
-          ONE fused Python stage (_extract_finalize_conv).
+      rest (~92-95%, everything outside office runs): salted
+          shuffle-free mapInPandas — identical to extract();
+      office runs: raw rows group by (conv_id, run) and extract+finalize
+          run in ONE fused Python stage (_extract_finalize_conv).
 
     This replaces persist-and-branch over the extraction OUTPUT
     (finalize_convs below): output rows are ~5× the input payload, so
     caching + three cache scans of them cost more than two extra input
     scans, and the fused candidate stage skips the second Arrow round-trip
     entirely.  At 10^12 turns the win is bigger — no executor storage
-    holds the extraction output, and the only shuffle moves candidate
-    conversations' RAW rows."""
-    cand_convs = _candidate_convs(df)
-    # the two broadcast builds share one canonical subplan (AQE stage
-    # reuse); even when built twice the subquery is a narrow keys-only
-    # sniff, never the extraction kernel
+    holds the extraction output (bar the tiny persisted key set), and the
+    only shuffle moves the office-run rows themselves."""
+    # tiny key frame (3 narrow columns, office-run rows only): persist so
+    # the sniff+window scan runs once, not once per broadcast build
+    keys = _candidate_run_keys(df).persist()
     src_cand = df.select("conv_id", "turn_idx", "ts", "text", "tool") \
-        .join(F.broadcast(cand_convs), "conv_id", "left_semi")
-    src_rest = df.join(F.broadcast(cand_convs), "conv_id", "left_anti")
+        .join(F.broadcast(keys), ["conv_id", "turn_idx"])
+    src_rest = df.join(
+        F.broadcast(keys.select("conv_id", "turn_idx")),
+        ["conv_id", "turn_idx"], "left_anti")
     _tune_session_for_payloads(df.sparkSession)
     rest = extract(src_rest, salt_partitions=salt_partitions)
-    cand = (src_cand.groupBy("conv_id")
+    cand = (src_cand.groupBy("conv_id", "_run")
             .applyInPandas(_extract_finalize_conv, schema=EXTRACT_SCHEMA))
     return rest.unionByName(cand)
 
