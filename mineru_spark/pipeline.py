@@ -365,14 +365,27 @@ def extract_finalized(df: DataFrame,
     # tiny key frame (3 narrow columns, office-run rows only): persist so
     # the sniff+window scan runs once, not once per broadcast build
     keys = _candidate_run_keys(df).persist()
-    src_cand = df.select("conv_id", "turn_idx", "ts", "text", "tool") \
+    # run rows are office rows by construction, so the sniff predicate
+    # pre-filters the probe side before the join hash (same JVM-side
+    # expression the key detection used)
+    head = F.lower(F.ltrim(F.substring(F.col("text"), 1, 1000)))
+    src_cand = df.filter(head.startswith("<table")) \
+        .select("conv_id", "turn_idx", "ts", "text", "tool") \
         .join(F.broadcast(keys), ["conv_id", "turn_idx"])
     src_rest = df.join(
         F.broadcast(keys.select("conv_id", "turn_idx")),
         ["conv_id", "turn_idx"], "left_anti")
     _tune_session_for_payloads(df.sparkSession)
     rest = extract(src_rest, salt_partitions=salt_partitions)
-    cand = (src_cand.groupBy("conv_id", "_run")
+    # EXPLICIT repartition on the group keys: the run rows are small in
+    # BYTES but heavy in Python time (extraction kernel per row), so AQE's
+    # size-based coalescing would fold the post-shuffle stage down to ~1
+    # partition and serialize it (measured: constant ~19 s at any core
+    # count).  A user repartition is never coalesced, and groupBy on the
+    # same keys reuses the partitioning — no second exchange.
+    n_parts = salt_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cand = (src_cand.repartition(n_parts, "conv_id", "_run")
+            .groupBy("conv_id", "_run")
             .applyInPandas(_extract_finalize_conv, schema=EXTRACT_SCHEMA))
     return rest.unionByName(cand)
 

@@ -25,7 +25,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())
-from mineru_spark.pipeline import get_spark, synthesize_transcripts, extract
+def loadavg():
+    return float(open("/proc/loadavg").read().split()[0])
+from mineru_spark.pipeline import (get_spark, synthesize_transcripts,
+                                   extract_finalized)
 cores = int(sys.argv[1]); corpus = sys.argv[2]
 spark = get_spark(app=f"scaling_{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores)
@@ -38,15 +41,20 @@ src = spark.read.parquet(corpus)
 n = src.count()
 # warm-up pass (page cache + python workers), then 3 timed reps, best-of
 # (sandbox timing noise is ±20-30%)
-extract(src.limit(2000)).write.format("noop").mode("overwrite").save()
+extract_finalized(src.limit(2000)).write.format("noop") \
+    .mode("overwrite").save()
 best = None
+loads = []
 for _ in range(3):
+    loads.append(loadavg())
     t0 = time.perf_counter()
-    extract(src).write.format("noop").mode("overwrite").save()
+    extract_finalized(src).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     best = dt if best is None else min(best, dt)
+loads.append(loadavg())
 print(json.dumps({"cores": cores, "turns": n, "sec": round(best, 2),
-                  "turns_per_sec": round(n / best, 1)}))
+                  "turns_per_sec": round(n / best, 1),
+                  "external_load": loads}))
 spark.stop()
 """
 
@@ -75,8 +83,13 @@ def main():
     gen_ver = hashlib.md5(open(dgmod.__file__, "rb").read()).hexdigest()[:8]
     corpus = f"/tmp/mineru_spark_bench_corpus_sf{sf}_{gen_ver}"
 
-    lo = run_level(n, corpus, n_convs)
-    hi = run_level(4 * n, corpus, n_convs)
+    # alternate the legs across two fresh-JVM rounds each and keep the
+    # best per leg: the sandbox host is multi-tenant with BURSTY external
+    # load, and alternation keeps one leg from absorbing a whole burst
+    legs = [run_level(n, corpus, n_convs), run_level(4 * n, corpus, n_convs),
+            run_level(n, corpus, n_convs), run_level(4 * n, corpus, n_convs)]
+    lo = min((r for r in legs if r["cores"] == n), key=lambda r: r["sec"])
+    hi = min((r for r in legs if r["cores"] == 4 * n), key=lambda r: r["sec"])
     eff = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / 4, 3)
     result = {"sf": sf, "N": n, "4N": 4 * n, "lo": lo, "hi": hi,
               "scaling_efficiency": eff, "target": 0.8,
@@ -85,12 +98,15 @@ def main():
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = (f"\n## Measured scaling (round run {stamp})\n\n"
-          f"Identical extraction job (scan → classify → extract kernels → "
-          f"noop sink) on the identical materialized corpus "
+          f"Identical SHIPPED extraction job (scan → run-key sniff → fused "
+          f"extract+finalize → noop sink) on the identical materialized corpus "
           f"({lo['turns']} turns, sf={sf}):\n\n"
           f"| parallelism | wall sec | turns/sec |\n|---|---|---|\n"
           f"| local[{n}] (N) | {lo['sec']} | {lo['turns_per_sec']} |\n"
           f"| local[{4*n}] (4N) | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
+          f"Host 1-min load before each rep (this box is multi-tenant; "
+          f"contention squeezes the 4N leg first): "
+          f"N={lo.get('external_load')}, 4N={hi.get('external_load')}\n\n"
           f"Scaling efficiency = ({hi['turns_per_sec']} / "
           f"{lo['turns_per_sec']}) / 4 = **{eff}** "
           f"(target ≥ 0.8: {'PASS' if eff >= 0.8 else 'MISS'})\n")
