@@ -2,16 +2,17 @@
 
 Spark-first shape (mirrors the reference lifecycle at
 /root/reference/mineru/backend/pipeline/pipeline_analyze.py:157-328, recast
-declaratively):
+declaratively; the shipped path is `extract_finalized`):
 
     scan (or shard-local synthesis)                 [S1]
-      → classify_routes      pandas_udf             [C1-C11 analog]
-      → salted repartition   hash(conv_id, turn_idx, salt)
-                             (the reference's cross-document batch packing,
-                              pipeline_analyze.py:232-262, as a partitioner)
-      → extract              mapInPandas over Arrow batches
-                             (per-turn kernels; chars never become rows)
-      → sink                 parquet/Iceberg append + lineage + metrics
+      → office-run key sniff  JVM-only prefix filter + keys-only
+                              gaps-and-islands windows          [tiny]
+      → split on broadcast (conv_id, turn_idx) run keys
+      ├─ rest (~92-95%)       mapInPandas over Arrow batches    [0 shuffles]
+      │                       (per-turn kernels; chars never become rows)
+      └─ office runs          repartition(run keys) → ONE fused Python
+                              stage: extract + cross-turn finalize [D2]
+      → union → sink          parquet/Iceberg append + lineage + metrics
 
 Everything pre/post the UDF is plain DataFrame code so Catalyst keeps
 column pruning + predicate pushdown; the UDF receives only (conv_id,
