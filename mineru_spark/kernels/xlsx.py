@@ -45,6 +45,16 @@ from collections import deque
 from . import tables as tbl
 
 GAP_TOLERANCE = 1
+# Defensive bounds for hostile payloads (a web-scale job must survive a
+# merge range claiming a billion cells without allocating it): merge
+# ranges clamp to 256×64 cells (≤4096 ranges), a detected region's bbox
+# walk clamps to 512×512 — far beyond any real sheet fragment, cheap to
+# enforce.
+MAX_MERGE_ROWS = 256
+MAX_MERGE_COLS = 64
+MAX_MERGES = 4096
+MAX_MERGED_CELLS = 262144
+MAX_REGION_DIM = 512
 
 
 def _sheet_tables(cells: dict, merges: list) -> list[dict]:
@@ -58,7 +68,11 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
     merged_pos: set[tuple] = set()
     hidden_pos: set[tuple] = set()
     for m in merges:
+        if len(merged_pos) > MAX_MERGED_CELLS:
+            break  # hostile payload; real sheets never get near this
         r0, c0, r1, c1 = m
+        r1 = min(r1, r0 + MAX_MERGE_ROWS - 1)
+        c1 = min(c1, c0 + MAX_MERGE_COLS - 1)
         anchor_span[(r0, c0)] = (r1 - r0 + 1, c1 - c0 + 1)
         for r in range(r0, r1 + 1):
             for c in range(c0, c1 + 1):
@@ -104,6 +118,8 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
 
         # --- grid extraction (phase 2): bbox walk, hidden cells skipped,
         # empty positions kept so the rectangle stays dense ---
+        max_r = min(max_r, min_r + MAX_REGION_DIM - 1)
+        max_c = min(max_c, min_c + MAX_REGION_DIM - 1)
         rows: list[list[tbl.Cell]] = []
         semantic: set[tuple] = set()
         for ri in range(min_r, max_r + 1):
@@ -166,7 +182,8 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
         for m in sheet.get("merges") or []:
             if (isinstance(m, (list, tuple)) and len(m) == 4
                     and all(isinstance(v, int) and v >= 0 for v in m)
-                    and m[0] <= m[2] and m[1] <= m[3]):
+                    and m[0] <= m[2] and m[1] <= m[3]
+                    and len(merges) < MAX_MERGES):
                 merges.append(tuple(m))
         page: list[dict] = []
         for t in _sheet_tables(cells, merges):

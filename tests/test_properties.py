@@ -107,6 +107,40 @@ def test_tokenizer_adversarial_payloads():
         assert isinstance(out["md"], str)
 
 
+def test_xlsx_docx_adversarial_payloads_bounded():
+    """Office payload kinds never raise AND stay time-bounded under
+    hostile inputs: billion-cell merge ranges clamp (MAX_MERGE_*/
+    MAX_MERGED_CELLS), giant region bboxes clamp (MAX_REGION_DIM),
+    far-apart cells don't allocate the empty space between them."""
+    import json
+    import time
+
+    bads = [
+        '{"kind": "xlsx_cells", "sheets": "nope"}',
+        '{"kind": "xlsx_cells", "sheets": [{"cells": [{"r": 0}],'
+        ' "merges": [[0, 0]]}]}',
+        json.dumps({"kind": "xlsx_cells", "sheets": [
+            {"cells": [{"r": 0, "c": 0, "v": "a"}],
+             "merges": [[0, 0, 10**9, 10**9]]}]}),
+        json.dumps({"kind": "xlsx_cells", "sheets": [
+            {"cells": [{"r": 0, "c": 0, "v": "a"},
+                       {"r": 10**6, "c": 10**6, "v": "b"}]}]}),
+        json.dumps({"kind": "xlsx_cells", "sheets": [
+            {"cells": [{"r": 0, "c": 0, "v": "a"}],
+             "merges": [[i, 0, i + 255, 63]
+                        for i in range(0, 512 * 256, 256)]}]}),
+        '{"kind": "docx_runs", "paras": [{"style": "Table", "rows": "x"}]}',
+        '{"kind": "docx_runs", "paras": [{"style": "Table",'
+        ' "rows": [[{"rowspan": "huge", "math": 3}], "bad"]}]}',
+    ]
+    for b in bads:
+        t0 = time.perf_counter()
+        out = extract_turn(b, "file_reader")
+        assert isinstance(out["md"], str)
+        assert out["route"] in ("xlsx", "docx", "error")
+        assert time.perf_counter() - t0 < 5.0
+
+
 def test_tokenizer_entities_and_rawtext():
     from mineru_spark.kernels.html_extract import extract_html
     blocks, _ = extract_html(
