@@ -368,8 +368,24 @@ def _gen_split_table(rng: random.Random) -> tuple[str, str, bool]:
                              for _ in range(ncols)) + "</tr>"
             for _ in range(n))
 
-    anchor = f"<table>{hdr}{rows(rng.randint(2, 3))}</table>"
     marked = rng.random() < 0.5
+    if marked and rng.random() < 0.3:
+        # unequal-column continuation: the anchor ends in a label+span
+        # summary row (2 visual cells over ncols columns) and the marked
+        # continuation arrives as narrow 2-cell rows — the structural
+        # merge matches the boundary by rendered segments and aligns the
+        # columns by colspan adjustment (reference
+        # adjust_table_rows_colspan / check_rows_match)
+        wide = (f"<tr><td>{_sentence(rng, 1, 2)}</td>"
+                f'<td colspan="{ncols - 1}">{_sentence(rng, 1, 2)}</td>'
+                "</tr>")
+        anchor = f"<table>{hdr}{rows(rng.randint(1, 2))}{wide}</table>"
+        cont_rows = "".join(
+            f"<tr><td>{_sentence(rng, 1, 2)}</td>"
+            f"<td>{_sentence(rng, 1, 2)}</td></tr>"
+            for _ in range(rng.randint(1, 2)))
+        return anchor, f"<table>{cont_rows}</table>", True
+    anchor = f"<table>{hdr}{rows(rng.randint(2, 3))}</table>"
     if marked:
         cont = f"<table>{hdr}{rows(rng.randint(1, 2))}</table>"
     else:

@@ -1348,7 +1348,12 @@ def _merge_cross_page_tables(blocks: list[dict]) -> tuple[list[dict], int]:
             if len(ga) == 1 and len(gb) == 1:
                 marked = any(tbl.is_continuation_text(c)
                              for c in b.get("caption", []))
-                m = (tbl.merge_marked_continuation(ga[0], gb[0]) if marked
+                # marked continuations go through the full structural
+                # merge (multi-row repeated headers skipped with rowspan
+                # expansion, unequal column counts aligned by colspan
+                # adjustment); unmarked ones keep the conservative
+                # headerless equal-column rule
+                m = (tbl.merge_structural(ga[0], gb[0]) if marked
                      else tbl.merge_continuation(ga[0], gb[0]))
                 if m is not None:
                     keep_caps = [c for c in b.get("caption", [])

@@ -244,6 +244,166 @@ def merge_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
     return TableGrid(rows=[*a.rows, *b.rows], ncols=a.ncols)
 
 
+def _row_meta(grid: TableGrid) -> list[dict]:
+    """Per-row structure metrics over the anchor-cell grid (the
+    TableMergeState row metrics, reference table_merge.py:95-160 /
+    :385-399 / :484-550, recast on the occupancy algebra):
+
+      carried   cells continued into this row by a rowspan from above
+      actual    sum of this row's anchor colspans (no carry)
+      eff       carried + actual (effective columns)
+      segments  rendered segments: carried placeholders + anchors
+                (colspan counts as ONE segment, :484-550)
+    """
+    out = []
+    occupied: dict[tuple[int, int], bool] = {}
+    for r, row in enumerate(grid.rows):
+        c = 0
+        carried = 0
+        while occupied.get((r, c)):
+            carried += 1
+            c += 1
+        actual = 0
+        for cell in row:
+            while occupied.get((r, c)):
+                carried += 1
+                c += 1
+            for dr in range(cell.rowspan):
+                for dc in range(cell.colspan):
+                    occupied[(r + dr, c + dc)] = True
+            actual += cell.colspan
+            c += cell.colspan
+        while occupied.get((r, c)):
+            carried += 1
+            c += 1
+        out.append({
+            "carried": carried,
+            "actual": actual,
+            "eff": carried + actual,
+            "segments": carried + len(row),
+            "colspans": tuple(cell.colspan for cell in row),
+            "rowspans": tuple(cell.rowspan for cell in row),
+            "texts": tuple(" ".join(cell.text.split()).lower()
+                           for cell in row),
+        })
+    return out
+
+
+MAX_HEADER_ROWS = 5
+
+
+def detect_repeated_header_rows(a: TableGrid, b: TableGrid,
+                                max_rows: int = MAX_HEADER_ROWS) -> int:
+    """How many leading rows of ``b`` repeat ``a``'s header (reference
+    detect_table_headers :568-634 + rowspan expansion :638-658): first a
+    STRUCTURAL pass (cell count, colspans, rowspans, normalized texts all
+    equal), then — when that matches nothing — a VISUAL pass (texts +
+    rendered segment counts only; OCR loses spans).  The count expands to
+    cover any rowspan reaching past the matched rows."""
+    ma, mb = _row_meta(a), _row_meta(b)
+    n = min(len(a.rows), len(b.rows), max_rows)
+    k = 0
+    for i in range(n):
+        if (len(a.rows[i]) == len(b.rows[i])
+                and ma[i]["eff"] == mb[i]["eff"]
+                and ma[i]["colspans"] == mb[i]["colspans"]
+                and ma[i]["rowspans"] == mb[i]["rowspans"]
+                and ma[i]["texts"] == mb[i]["texts"]):
+            k += 1
+        else:
+            break
+    if k == 0:
+        for i in range(n):
+            if (ma[i]["texts"] == mb[i]["texts"]
+                    and ma[i]["segments"] == mb[i]["segments"]):
+                k += 1
+            else:
+                break
+    # expand by rowspan coverage (:638-658)
+    expanded = min(k, len(b.rows))
+    i = 0
+    while i < expanded:
+        for cell in b.rows[i]:
+            if cell.rowspan > 1:
+                expanded = min(max(expanded, i + cell.rowspan), len(b.rows))
+        i += 1
+    return expanded
+
+
+def can_merge_structural(a: TableGrid, b: TableGrid) -> bool:
+    """can_merge_by_structure (:663-690): equal total columns always
+    merge; unequal columns merge when the BOUNDARY rows match — the last
+    row of ``a`` vs the first data row of ``b`` (after the repeated
+    header), by effective cols, actual cols, or rendered segments
+    (check_rows_match :734-753)."""
+    if not a.rows or not b.rows:
+        return False
+    if a.ncols == b.ncols:
+        return True
+    k = detect_repeated_header_rows(a, b)
+    if k >= len(b.rows):
+        return False
+    ma, mb = _row_meta(a), _row_meta(b)
+    last, first = ma[-1], mb[k]
+    return (last["eff"] == first["eff"]
+            or last["actual"] == first["actual"]
+            or last["segments"] == first["segments"])
+
+
+def _adjust_rows_colspan(rows: list[list[Cell]], metas: list[dict],
+                         ref_structure: tuple, ref_visual: int,
+                         target_cols: int, ref_row_meta: dict) -> None:
+    """adjust_table_rows_colspan (:769-807): rows narrower than the
+    target either copy the reference row's colspans (when they visually
+    mirror the match-reference row) or stretch their LAST cell."""
+    for row, meta in zip(rows, metas):
+        if not row:
+            continue
+        if meta["eff"] >= target_cols or meta["actual"] >= target_cols:
+            continue
+        if (len(row) == ref_visual
+                and len(row) == len(ref_row_meta["colspans"])
+                and meta["colspans"] == ref_row_meta["colspans"]):
+            if len(row) <= len(ref_structure):
+                for idx, cell in enumerate(row):
+                    if idx < len(ref_structure) and ref_structure[idx] > 1:
+                        cell.colspan = ref_structure[idx]
+        else:
+            diff = target_cols - meta["eff"]
+            if diff > 0:
+                row[-1].colspan += diff
+
+
+def merge_structural(a: TableGrid, b: TableGrid) -> TableGrid | None:
+    """Full structural cross-page merge (perform_table_merge
+    :1020-1083 on the grid algebra): detect+skip the repeated
+    (possibly multi-row, rowspan-expanded) header, align unequal column
+    counts by colspan adjustment toward the wider table, append the data
+    rows, re-normalize.  Returns None when the structures don't merge."""
+    from copy import deepcopy
+
+    if not can_merge_structural(a, b):
+        return None
+    k = detect_repeated_header_rows(a, b)
+    rows_b = [list(r) for r in deepcopy(b.rows)]
+    if k >= len(rows_b):
+        return TableGrid(rows=deepcopy(a.rows), ncols=a.ncols)
+    rows_a = [list(r) for r in deepcopy(a.rows)]
+    ma, mb = _row_meta(a), _row_meta(b)
+    if a.ncols > b.ncols:
+        ref = rows_a[-1]
+        _adjust_rows_colspan(rows_b[k:], mb[k:],
+                             tuple(c.colspan for c in ref), len(ref),
+                             a.ncols, mb[k])
+    elif b.ncols > a.ncols:
+        ref = rows_b[k]
+        _adjust_rows_colspan(rows_a, ma,
+                             tuple(c.colspan for c in ref), len(ref),
+                             b.ncols, ma[-1])
+    merged = grid_from_rows(rows_a + rows_b[k:])
+    return merged
+
+
 def merge_marked_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
     """Marker-gated cross-page merge (reference table_merge.py repeated-
     header handling): column counts must match; a REPEATED header row on

@@ -594,6 +594,53 @@ def test_cross_page_table_merge_in_document():
     assert o3["md"].count("<table>") == 2
 
 
+def test_structural_merge_headers_and_colspan_adjust():
+    """Full structural merge machinery (table_merge.py
+    detect_table_headers :568-634, _expand_header_count_by_rowspan
+    :638-658, can_merge_by_structure :663-690, check_rows_match
+    :734-753, adjust_table_rows_colspan :769-807, perform_table_merge
+    :1020-1083) on the grid algebra."""
+    from mineru_spark.kernels import tables as tbl
+
+    def grid(html):
+        return tbl.parse_tables(html)[0]
+
+    # multi-row repeated header whose first row carries rowspan=2: the
+    # skip count expands to cover both header rows
+    hdr = '<tr><th rowspan="2">k</th><th>p</th></tr><tr><th>q</th></tr>'
+    a = grid(f"<table>{hdr}<tr><td>1</td><td>2</td></tr></table>")
+    b = grid(f"<table>{hdr}<tr><td>3</td><td>4</td></tr></table>")
+    assert tbl.detect_repeated_header_rows(a, b) == 2
+    m = tbl.merge_structural(a, b)
+    assert tbl.render_table_html(m).count("<th>p</th>") == 1
+    assert "<td>3</td>" in tbl.render_table_html(m)
+
+    # unequal column counts: the continuation's narrow rows adopt the
+    # anchor boundary row's colspan structure
+    a2 = grid('<table><tr><th>h1</th><th>h2</th><th>h3</th></tr>'
+              '<tr><td>1</td><td colspan="2">wide</td></tr></table>')
+    b2 = grid('<table><tr><td>2</td><td>narrow</td></tr></table>')
+    assert tbl.can_merge_structural(a2, b2)
+    m2 = tbl.merge_structural(a2, b2)
+    assert m2.ncols == 3
+    html2 = tbl.render_table_html(m2)
+    assert '<td colspan="2">narrow</td>' in html2
+
+    # last-cell stretch path: a continuation row that does NOT mirror the
+    # match-reference row pads its last cell to the target width
+    m3 = tbl.merge_structural(
+        a2, grid('<table><tr><td>4</td><td>narrow2</td></tr>'
+                 '<tr><td>total</td></tr></table>'))
+    assert m3 is not None and m3.ncols == 3
+    assert '<td colspan="3">total</td>' in tbl.render_table_html(m3)
+
+    # structurally incompatible boundary rows: refused
+    a4 = grid('<table><tr><th>x</th><th>y</th><th>z</th></tr>'
+              '<tr><td>1</td><td>2</td><td>3</td></tr></table>')
+    b4 = grid("<table><tr><td>solo</td></tr></table>")
+    assert tbl.merge_structural(a4, b4) is None
+
+
 def test_caption_tiebreak_geometry_and_later_table():
     """B10 tiebreaks (find_best_visual_parent,
     visual_magic_model_utils.py:535-621): equal index distance resolves by
