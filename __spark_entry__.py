@@ -53,10 +53,11 @@ def x_transcripts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mineru_spark.golden import ORACLE_SF, ensure_golden_extract
     ensure_golden_extract(ORACLE_SF)
     return _extract_finalized(spark, sf_dir) \
-        .select("conv_id", "turn_idx", "route", "md", "content_list",
-                "content_list_v2", "blocks_classified",
-                "boilerplate_dropped", "ocr_fallback", "para_merged",
-                "tables_merged", "spans_need_ocr")
+        .select("conv_id", "turn_idx", "route", "md", "md_nlp",
+                "content_list", "content_list_v2", "middle",
+                "blocks_classified", "boilerplate_dropped",
+                "ocr_fallback", "para_merged", "tables_merged",
+                "spans_need_ocr")
 
 
 def x_transcripts_route_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,9 +179,10 @@ def oracle_sql() -> dict[str, str]:
         pass  # each query function also ensures its own golden
 
     out["x_transcripts_extract"] = f"""
-        SELECT conv_id, turn_idx, route, md, content_list,
-               content_list_v2, blocks_classified, boilerplate_dropped,
-               ocr_fallback, para_merged, tables_merged, spans_need_ocr
+        SELECT conv_id, turn_idx, route, md, md_nlp, content_list,
+               content_list_v2, middle, blocks_classified,
+               boilerplate_dropped, ocr_fallback, para_merged,
+               tables_merged, spans_need_ocr
         FROM read_parquet('{golden_path("golden_extract")}')"""
     out["x_transcripts_route_metrics"] = f"""
         SELECT route, CAST(COUNT(*) AS BIGINT) AS n_turns,

@@ -104,7 +104,8 @@ def _extract_conv_range(bounds: tuple[int, int]) -> list[tuple]:
         for r in outs:
             m = r["metrics"]
             rows.append((conv_id, r["turn_idx"], r["route"], r["md"],
-                         r["content_list"], r["content_list_v2"],
+                         r["md_nlp"], r["content_list"],
+                         r["content_list_v2"], r["middle"],
                          m["blocks_classified"], m["boilerplate_dropped"],
                          m["ocr_fallback"], m["para_merged"],
                          m["tables_merged"], m["spans_need_ocr"]))
@@ -134,14 +135,16 @@ def ensure_golden_extract(sf: float = ORACLE_SF) -> str:
         "turn_idx": pa.array(cols[1], pa.int32()),
         "route": pa.array(cols[2], pa.string()),
         "md": pa.array(cols[3], pa.string()),
-        "content_list": pa.array(cols[4], pa.string()),
-        "content_list_v2": pa.array(cols[5], pa.string()),
-        "blocks_classified": pa.array(cols[6], pa.int32()),
-        "boilerplate_dropped": pa.array(cols[7], pa.int32()),
-        "ocr_fallback": pa.array(cols[8], pa.int32()),
-        "para_merged": pa.array(cols[9], pa.int32()),
-        "tables_merged": pa.array(cols[10], pa.int32()),
-        "spans_need_ocr": pa.array(cols[11], pa.int32()),
+        "md_nlp": pa.array(cols[4], pa.string()),
+        "content_list": pa.array(cols[5], pa.string()),
+        "content_list_v2": pa.array(cols[6], pa.string()),
+        "middle": pa.array(cols[7], pa.string()),
+        "blocks_classified": pa.array(cols[8], pa.int32()),
+        "boilerplate_dropped": pa.array(cols[9], pa.int32()),
+        "ocr_fallback": pa.array(cols[10], pa.int32()),
+        "para_merged": pa.array(cols[11], pa.int32()),
+        "tables_merged": pa.array(cols[12], pa.int32()),
+        "spans_need_ocr": pa.array(cols[13], pa.int32()),
     })
     _write_atomic(table, path)
     return path
