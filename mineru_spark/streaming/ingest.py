@@ -34,24 +34,100 @@ def read_transcript_stream(spark: SparkSession, in_dir: str,
             .parquet(in_dir))
 
 
+# a tail office run longer than this flushes anyway — bounds side-state
+# per conversation (the cross-page merge window; real continuation chains
+# are 2-4 tables)
+MAX_OPEN_RUN = 64
+
+
+def _split_open_tails(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(closed_rows, open_tail_rows) over raw transcript rows.
+
+    A conversation's OPEN TAIL is the maximal suffix of ADJACENT office
+    turns ending at its max turn_idx — exactly the rows a later batch
+    could still extend through the cross-turn table merge.  Everything
+    else is closed: a trailing non-office turn (or a gap) breaks the run,
+    so no future turn can merge into it.  JVM-only: the office sniff +
+    two window expressions, no Python."""
+    from pyspark.sql import Window as W
+
+    head = F.lower(F.ltrim(F.substring(F.col("text"), 1, 1000)))
+    w = W.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    wall = W.partitionBy("conv_id")
+    flagged = (df.withColumn("_office", head.startswith("<table")
+                             .cast("int"))
+               .withColumn("_max_idx", F.max("turn_idx").over(wall))
+               .withColumn("_rn", F.row_number().over(w))
+               # running AND of office-ness from the conversation's top
+               .withColumn("_all_office",
+                           F.min("_office").over(
+                               w.rowsBetween(W.unboundedPreceding, 0)))
+               .withColumn("_tail",
+                           (F.col("_all_office") == 1)
+                           & (F.col("turn_idx")
+                              == F.col("_max_idx") - (F.col("_rn") - 1))
+                           & (F.col("_rn") <= MAX_OPEN_RUN)))
+    cols = df.columns
+    closed = flagged.filter(~F.col("_tail")).select(*cols)
+    tails = flagged.filter(F.col("_tail")).select(*cols)
+    return closed, tails
+
+
+def _run_state_path(out_dir: str, epoch: int | None = None) -> str:
+    base = os.path.join(out_dir, "run_state")
+    return base if epoch is None else os.path.join(base, f"epoch={epoch}")
+
+
+def _read_run_state(spark: SparkSession, out_dir: str,
+                    before_epoch: int | None = None) -> DataFrame | None:
+    """Open-tail rows of the latest epoch (< before_epoch when given —
+    a REPLAYED epoch must read the state that preceded it, never its own
+    partial write), or None."""
+    base = _run_state_path(out_dir)
+    try:
+        epochs = [int(d.split("=", 1)[1]) for d in os.listdir(base)
+                  if d.startswith("epoch=")]
+    except FileNotFoundError:
+        return None
+    if before_epoch is not None:
+        epochs = [e for e in epochs if e < before_epoch]
+    if not epochs:
+        return None
+    path = _run_state_path(out_dir, max(epochs))
+    if not _path_has_data(spark, path):
+        return None
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
 def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
-                      checkpoint_dir: str, watermark: str = "1 hour"):
+                      checkpoint_dir: str, watermark: str = "1 hour",
+                      max_files_per_trigger: int = 8):
     """Start the streaming extraction job; returns the StreamingQuery.
 
     Late/duplicate turns inside the watermark are dropped by state;
     cross-restart duplicates are dropped by the sink's lineage anti-join
     (idempotent foreachBatch).
 
-    Each micro-batch runs the same fused ``extract_finalized`` pass as the
-    batch path, so adjacent office-table continuations arriving in one batch
-    are merged identically.  Known limit (documented, matches the batch
-    contract): a continuation whose anchor turn landed in an EARLIER batch
-    is already committed and is not re-finalized — keep one conversation's
-    turns inside one trigger (the file source groups by file; the producer
-    should not split a conversation across files beyond the watermark)."""
+    CROSS-BATCH continuations: each micro-batch holds back every
+    conversation's open tail office run (the rows a later batch could
+    still merge into) in a raw side-state (`out_dir/run_state/epoch=N`)
+    instead of committing them; the next batch unions the held rows with
+    its own before the fused ``extract_finalized`` pass, so a
+    continuation table whose anchor arrived in an EARLIER trigger merges
+    exactly like the batch path.  The sink stays append-only — no row is
+    ever revised.  Replay safety: the sink write precedes the state
+    write, held rows are never in the sink (the anti-join can't drop
+    them), and each epoch overwrites its own state dir, so a replayed
+    epoch reproduces the same split.  Call :func:`flush_open_runs` after
+    the stream drains (or on a watermark-style timer in a continuous
+    deployment) to commit still-open tails.
+
+    Assumes per-conversation in-order arrival (log-stream contract): a
+    turn arriving after a LATER turn of its conversation was committed
+    merges only with state-resident tails."""
     extracted_path = os.path.join(out_dir, "extracted")
 
-    src = (read_transcript_stream(spark, in_dir)
+    src = (read_transcript_stream(spark, in_dir, max_files_per_trigger)
            .withWatermark("ts", watermark)
            .dropDuplicates(["conv_id", "turn_idx"]))
 
@@ -61,15 +137,52 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
             lineage = spark.read.parquet(extracted_path) \
                 .select("conv_id", "turn_idx")
             todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
-        result = extract_finalized(todo) \
+        state = _read_run_state(spark, out_dir, before_epoch=int(epoch_id))
+        if state is not None:
+            todo = todo.unionByName(state) \
+                .dropDuplicates(["conv_id", "turn_idx"])
+        closed, tails = _split_open_tails(todo)
+        result = extract_finalized(closed) \
             .withColumn("part_id", F.spark_partition_id())
         result.write.mode("append").parquet(extracted_path)
+        tails.write.mode("overwrite") \
+            .parquet(_run_state_path(out_dir, int(epoch_id)))
+        # prune state epochs older than the replay window (previous epoch)
+        import shutil
+        base = _run_state_path(out_dir)
+        for d in os.listdir(base):
+            if d.startswith("epoch=") \
+                    and int(d.split("=", 1)[1]) < int(epoch_id) - 1:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     return (src.writeStream
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def flush_open_runs(spark: SparkSession, out_dir: str) -> int:
+    """Commit all still-open tail runs (stream drained / conversation
+    closure): extract+finalize the held raw rows, append to the sink,
+    clear the state.  Returns the number of rows flushed."""
+    extracted_path = os.path.join(out_dir, "extracted")
+    state = _read_run_state(spark, out_dir)
+    if state is None:
+        return 0
+    todo = state
+    if _path_has_data(spark, extracted_path):
+        lineage = spark.read.parquet(extracted_path) \
+            .select("conv_id", "turn_idx")
+        todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
+    n = todo.count()
+    if n:
+        (extract_finalized(todo)
+         .withColumn("part_id", F.spark_partition_id())
+         .write.mode("append").parquet(extracted_path))
+    import shutil
+    shutil.rmtree(_run_state_path(out_dir), ignore_errors=True)
+    return n
 
 
 def windowed_route_counts(spark: SparkSession, in_dir: str, out_dir: str,

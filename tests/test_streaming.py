@@ -14,39 +14,77 @@ def stream_dirs(tmp_path):
 
 
 def test_streaming_extract_matches_batch(spark, stream_dirs):
-    from mineru_spark.pipeline import synthesize_transcripts, extract
-    from mineru_spark.streaming.ingest import streaming_extract
+    """Streaming output equals the batch path per turn EVEN when a
+    conversation's turns straddle triggers: open tail office runs are
+    held in side-state and merge with the next batch's rows (cross-batch
+    continuation), then flush_open_runs commits the remainder."""
+    from mineru_spark.pipeline import synthesize_transcripts
+    from mineru_spark.streaming.ingest import flush_open_runs, streaming_extract
 
-    src = synthesize_transcripts(spark, 20)
+    from datetime import datetime
+
+    from mineru_spark.pipeline import TRANSCRIPT_SCHEMA
+
+    # a handcrafted conversation whose office continuation RUN straddles
+    # the file boundary: anchor + one continuation in file 1, two more
+    # continuations in file 2 — only the cross-batch state path can merge
+    # them the way the batch path does
+    hdr = "<tr><th>k</th><th>v</th></tr>"
+    row = "<tr><td>r{0}</td><td>x{0}</td></tr>"
+    straddle = [
+        ("zz-straddle", i, "tool",
+         f"<table>{hdr if i == 0 else ''}{row.format(i)}</table>",
+         "file_reader", datetime(2025, 1, 1, 0, 0, i))
+        for i in range(4)
+    ]
+    extra = spark.createDataFrame(straddle, schema=TRANSCRIPT_SCHEMA)
+
+    base = synthesize_transcripts(spark, 20)
+    src = base.unionByName(extra)
     # two input files, the second replays half of the first (duplicates);
-    # single-file writes keep each conversation whole within one trigger
-    # (the documented streaming-finalize contract)
-    src.filter(F.col("conv_id") <= "conv-00000011").coalesce(1) \
+    # conversations deliberately STRADDLE the file boundary (first file
+    # holds each conv's turns 0..2, the second the rest) so cross-batch
+    # continuation merges are exercised, not avoided
+    src.filter(F.col("turn_idx") <= 1).coalesce(1) \
         .write.mode("overwrite").parquet(stream_dirs["in"])
-    src.filter(F.col("conv_id") >= "conv-00000006").coalesce(1) \
+    src.filter((F.col("turn_idx") >= 1)
+               | (F.col("conv_id") >= "conv-00000006")).coalesce(1) \
         .write.mode("append").parquet(stream_dirs["in"])
 
     q = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
-                          stream_dirs["ckpt"])
+                          stream_dirs["ckpt"], max_files_per_trigger=1)
     q.awaitTermination(180)
+    flush_open_runs(spark, stream_dirs["out"])
 
     got = spark.read.parquet(os.path.join(stream_dirs["out"], "extracted"))
     n_src = src.count()
     assert got.count() == n_src  # duplicates dropped exactly once
     assert got.select("conv_id", "turn_idx").distinct().count() == n_src
 
-    # per-turn equality with the batch path (including conv-level finalize:
-    # streaming runs the same continuation-table merge per micro-batch)
+    # per-turn equality with the batch path over the WHOLE corpus —
+    # including continuation merges whose anchor arrived a trigger
+    # earlier than the continuation
     from mineru_spark.pipeline import extract_finalized
     batch = extract_finalized(src).select("conv_id", "turn_idx",
                                           F.col("md").alias("md_b"))
     joined = got.join(batch, ["conv_id", "turn_idx"])
     assert joined.filter(F.col("md") != F.col("md_b")).count() == 0
 
+    # the straddling run really merged across triggers: the anchor turn
+    # absorbed all 3 continuations (its table holds rows r0..r3) and the
+    # continuation turns were emptied — identical to the batch path
+    zz = {r["turn_idx"]: r for r in
+          got.filter(F.col("conv_id") == "zz-straddle").collect()}
+    assert zz[0]["tables_merged"] == 3
+    for i in range(4):
+        assert f"<td>r{i}</td>" in zz[0]["md"]
+    assert zz[1]["md"] == "" and zz[3]["md"] == ""
+
     # restart with a new checkpoint (full replay) → idempotent sink
     q2 = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
                            stream_dirs["ckpt"] + "_2")
     q2.awaitTermination(180)
+    flush_open_runs(spark, stream_dirs["out"])
     assert spark.read.parquet(
         os.path.join(stream_dirs["out"], "extracted")).count() == n_src
 
