@@ -353,11 +353,14 @@ def _row_spans(blk_chars: list) -> list:
     return [[round(v, 2) for v in s] for s in spans]
 
 
-def _gen_split_table(rng: random.Random) -> tuple[str, str, bool]:
+def _gen_split_table(rng: random.Random) -> tuple[str, str, bool, list | None]:
     """A table split across two pages: (anchor html, continuation html,
-    marked).  marked=True → the continuation repeats the header and its
-    caption says '(continued)' (only the marker path merges it);
-    marked=False → headerless rows (the structural path merges it)."""
+    marked, cell_merge).  marked=True → the continuation repeats the
+    header and its caption says '(continued)' (only the marker path
+    merges it); marked=False → headerless rows (the structural path
+    merges it); cell_merge (rare) → the page break split one logical row
+    and the VLM-style signal flags which visual columns' content
+    continues (reference _apply_cell_merge)."""
     ncols = rng.randint(3, 4)
     hdr_words = _words(rng, ncols)
     hdr = "<tr>" + "".join(f"<th>{w}</th>" for w in hdr_words) + "</tr>"
@@ -384,13 +387,25 @@ def _gen_split_table(rng: random.Random) -> tuple[str, str, bool]:
             f"<tr><td>{_sentence(rng, 1, 2)}</td>"
             f"<td>{_sentence(rng, 1, 2)}</td></tr>"
             for _ in range(rng.randint(1, 2)))
-        return anchor, f"<table>{cont_rows}</table>", True
+        return anchor, f"<table>{cont_rows}</table>", True, None
     anchor = f"<table>{hdr}{rows(rng.randint(2, 3))}</table>"
+    if not marked and rng.random() < 0.25:
+        # cell-split continuation: the break cut one logical row in two;
+        # the continuation's first row holds only the continued halves
+        # and the layout record carries the cell_merge column flags
+        flags = [1 if rng.random() < 0.6 else 0 for _ in range(ncols)]
+        if not any(flags):
+            flags[rng.randrange(ncols)] = 1
+        half = "<tr>" + "".join(
+            (f"<td>{_sentence(rng, 1, 2)}</td>" if f else "<td></td>")
+            for f in flags) + "</tr>"
+        cont = f"<table>{half}{rows(rng.randint(0, 1))}</table>"
+        return anchor, cont, False, flags
     if marked:
         cont = f"<table>{hdr}{rows(rng.randint(1, 2))}</table>"
     else:
         cont = f"<table>{rows(rng.randint(1, 2))}</table>"
-    return anchor, cont, marked
+    return anchor, cont, marked, None
 
 
 def _gen_pdf(rng: random.Random) -> str:
@@ -514,12 +529,14 @@ def _gen_pdf(rng: random.Random) -> str:
 
         if table_split and p == 1:
             # continuation table FIRST on page 1 (cross-page merge target)
-            anchor_html, cont_html, marked = split_tbl
-            layout.append({"bbox": [50.0, round(y, 2), 562.0,
-                                    round(y + 60, 2)],
-                           "label": "table",
-                           "index": -1 if no_index else li,
-                           "html": cont_html})
+            anchor_html, cont_html, marked, cmerge = split_tbl
+            rec = {"bbox": [50.0, round(y, 2), 562.0, round(y + 60, 2)],
+                   "label": "table",
+                   "index": -1 if no_index else li,
+                   "html": cont_html}
+            if cmerge:
+                rec["cell_merge"] = cmerge
+            layout.append(rec)
             li += 1
             y += 64.0
             if marked:

@@ -1094,6 +1094,12 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                 if grids:
                     rec["text"] = tbl.render_table_html(grids[0])
                     tables_parsed += 1
+                    cm = blk.get("cell_merge")
+                    if isinstance(cm, list) and cm:
+                        # VLM cross-page cell-continuation signal
+                        # (vlm_magic_model.py:231-232): consumed by the
+                        # cross-page merge below
+                        rec["_cmerge"] = [int(bool(v)) for v in cm]
             elif label == "image":
                 # S8 image sink analog: deterministic sha256-named path
                 # string per the reference's crop-file naming
@@ -1348,12 +1354,15 @@ def _merge_cross_page_tables(blocks: list[dict]) -> tuple[list[dict], int]:
             if len(ga) == 1 and len(gb) == 1:
                 marked = any(tbl.is_continuation_text(c)
                              for c in b.get("caption", []))
-                # marked continuations go through the full structural
-                # merge (multi-row repeated headers skipped with rowspan
-                # expansion, unequal column counts aligned by colspan
-                # adjustment); unmarked ones keep the conservative
-                # headerless equal-column rule
-                m = (tbl.merge_structural(ga[0], gb[0]) if marked
+                cmerge = b.get("_cmerge")
+                # marked continuations — and blocks carrying the model's
+                # cell_merge continuation signal — go through the full
+                # structural merge (multi-row repeated headers skipped
+                # with rowspan expansion, unequal column counts aligned
+                # by colspan adjustment, split cells re-joined); unmarked
+                # ones keep the conservative headerless equal-column rule
+                m = (tbl.merge_structural(ga[0], gb[0], cell_merge=cmerge)
+                     if (marked or cmerge)
                      else tbl.merge_continuation(ga[0], gb[0]))
                 if m is not None:
                     keep_caps = [c for c in b.get("caption", [])
@@ -1470,6 +1479,7 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
         b.pop("_mg", None)
         b.pop("_vmg", None)
         b.pop("_vert", None)
+        b.pop("_cmerge", None)
     return out, merged
 
 

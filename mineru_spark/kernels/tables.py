@@ -244,7 +244,7 @@ def merge_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
     return TableGrid(rows=[*a.rows, *b.rows], ncols=a.ncols)
 
 
-def _row_meta(grid: TableGrid) -> list[dict]:
+def _row_meta(grid_or_rows) -> list[dict]:
     """Per-row structure metrics over the anchor-cell grid (the
     TableMergeState row metrics, reference table_merge.py:95-160 /
     :385-399 / :484-550, recast on the occupancy algebra):
@@ -255,9 +255,11 @@ def _row_meta(grid: TableGrid) -> list[dict]:
       segments  rendered segments: carried placeholders + anchors
                 (colspan counts as ONE segment, :484-550)
     """
+    rows = (grid_or_rows.rows if isinstance(grid_or_rows, TableGrid)
+            else grid_or_rows)
     out = []
     occupied: dict[tuple[int, int], bool] = {}
-    for r, row in enumerate(grid.rows):
+    for r, row in enumerate(rows):
         c = 0
         carried = 0
         while occupied.get((r, c)):
@@ -374,12 +376,76 @@ def _adjust_rows_colspan(rows: list[list[Cell]], metas: list[dict],
                 row[-1].colspan += diff
 
 
-def merge_structural(a: TableGrid, b: TableGrid) -> TableGrid | None:
+def _row_vcols(rows: list[list[Cell]], row_idx: int) -> list[int]:
+    """Starting VISUAL column of each anchor cell in row ``row_idx``
+    (reference build_visual_col_mapping: rowspans from above occupy
+    their columns)."""
+    occupied: dict[tuple[int, int], bool] = {}
+    for r in range(row_idx + 1):
+        c = 0
+        starts = []
+        for cell in rows[r]:
+            while occupied.get((r, c)):
+                c += 1
+            starts.append(c)
+            for dr in range(cell.rowspan):
+                for dc in range(cell.colspan):
+                    occupied[(r + dr, c + dc)] = True
+            c += cell.colspan
+        if r == row_idx:
+            return starts
+    return []
+
+
+def _apply_cell_merge(rows_a: list[list[Cell]], rows_b: list[list[Cell]],
+                      k: int, cell_merge: list) -> None:
+    """Cross-page CELL continuation (reference _apply_cell_merge
+    :938-1017): for each visual column flagged 1, the continuation's
+    first data-row cell content appends into the anchor's last-row cell
+    at the same visual column and the source cell empties; a first data
+    row left with no content is dropped (simplification vs the
+    reference: only when none of its cells carry a rowspan — the
+    reference sinks blank rowspan placeholders instead)."""
+    if not rows_a or k >= len(rows_b):
+        return
+    last, first = rows_a[-1], rows_b[k]
+    v1 = _row_vcols(rows_a, len(rows_a) - 1)
+    v2 = _row_vcols(rows_b, k)
+    vcol_to_1 = {}
+    for ci, start in enumerate(v1):
+        for c in range(start, start + last[ci].colspan):
+            vcol_to_1[c] = ci
+    vcol_to_2 = {}
+    for ci, start in enumerate(v2):
+        for c in range(start, start + first[ci].colspan):
+            vcol_to_2[c] = ci
+    transferred: set[tuple[int, int]] = set()
+    for vi, flag in enumerate(cell_merge):
+        if flag != 1:
+            continue
+        c1, c2 = vcol_to_1.get(vi), vcol_to_2.get(vi)
+        if c1 is None or c2 is None or (c1, c2) in transferred:
+            continue
+        if first[c2].text:
+            last[c1].text = (f"{last[c1].text} {first[c2].text}"
+                             if last[c1].text else first[c2].text)
+        first[c2].text = ""
+        transferred.add((c1, c2))
+    if (transferred
+            and not any(c.text for c in first)
+            and all(c.rowspan == 1 for c in first)):
+        del rows_b[k]
+
+
+def merge_structural(a: TableGrid, b: TableGrid,
+                     cell_merge: list | None = None) -> TableGrid | None:
     """Full structural cross-page merge (perform_table_merge
     :1020-1083 on the grid algebra): detect+skip the repeated
-    (possibly multi-row, rowspan-expanded) header, align unequal column
-    counts by colspan adjustment toward the wider table, append the data
-    rows, re-normalize.  Returns None when the structures don't merge."""
+    (possibly multi-row, rowspan-expanded) header, apply the model's
+    cell_merge continuation signal (split cells re-joined across the
+    page break), align unequal column counts by colspan adjustment
+    toward the wider table, append the data rows, re-normalize.
+    Returns None when the structures don't merge."""
     from copy import deepcopy
 
     if not can_merge_structural(a, b):
@@ -389,17 +455,24 @@ def merge_structural(a: TableGrid, b: TableGrid) -> TableGrid | None:
     if k >= len(rows_b):
         return TableGrid(rows=deepcopy(a.rows), ncols=a.ncols)
     rows_a = [list(r) for r in deepcopy(a.rows)]
-    ma, mb = _row_meta(a), _row_meta(b)
-    if a.ncols > b.ncols:
+    if cell_merge:
+        _apply_cell_merge(rows_a, rows_b, k, cell_merge)
+        if k >= len(rows_b):
+            return grid_from_rows(rows_a)
+    # metas computed on the possibly cell-merged rows so indices align
+    ma, mb = _row_meta(rows_a), _row_meta(rows_b)
+    ncols_a = max((m["eff"] for m in ma), default=0)
+    ncols_b = max((m["eff"] for m in mb), default=0)
+    if ncols_a > ncols_b:
         ref = rows_a[-1]
         _adjust_rows_colspan(rows_b[k:], mb[k:],
                              tuple(c.colspan for c in ref), len(ref),
-                             a.ncols, mb[k])
-    elif b.ncols > a.ncols:
+                             ncols_a, mb[k])
+    elif ncols_b > ncols_a:
         ref = rows_b[k]
         _adjust_rows_colspan(rows_a, ma,
                              tuple(c.colspan for c in ref), len(ref),
-                             b.ncols, ma[-1])
+                             ncols_b, ma[-1])
     merged = grid_from_rows(rows_a + rows_b[k:])
     return merged
 

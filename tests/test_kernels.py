@@ -641,6 +641,59 @@ def test_structural_merge_headers_and_colspan_adjust():
     assert tbl.merge_structural(a4, b4) is None
 
 
+def test_cell_merge_cross_page_continuation():
+    """VLM cell_merge signal (reference _apply_cell_merge :938-1017 +
+    vlm_magic_model.py:231-232): flagged visual columns' content in the
+    continuation's first data row appends into the anchor's last-row
+    cells; a fully-emptied row is dropped; unflagged content survives."""
+    import json
+
+    from mineru_spark.kernels import tables as tbl
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def grid(h):
+        return tbl.parse_tables(h)[0]
+
+    a = grid("<table><tr><th>k</th><th>v</th></tr>"
+             "<tr><td>key one</td><td>value starts</td></tr></table>")
+    b = grid("<table><tr><td></td><td>and ends here</td></tr>"
+             "<tr><td>k2</td><td>v2</td></tr></table>")
+    m = tbl.merge_structural(a, b, cell_merge=[0, 1])
+    html = tbl.render_table_html(m)
+    assert "<td>value starts and ends here</td>" in html
+    assert html.count("<tr>") == 3  # emptied continuation row dropped
+    assert "<td>k2</td>" in html
+
+    # mixed: an unflagged non-empty cell keeps the row alive (emptied
+    # flagged cell stays blank)
+    b2 = grid("<table><tr><td>stray</td><td>tail</td></tr></table>")
+    m2 = tbl.merge_structural(a, b2, cell_merge=[0, 1])
+    h2 = tbl.render_table_html(m2)
+    assert "<td>value starts tail</td>" in h2
+    assert "<td>stray</td>" in h2 and h2.count("<tr>") == 3
+
+    # end-to-end: two-page pdf payload, continuation record carries the
+    # cell_merge flags → single merged table in md
+    pages = [
+        {"page_idx": 0, "page_size": [612.0, 792.0], "chars": [],
+         "layout": [{"bbox": [50, 600, 562, 660], "label": "table",
+                     "index": 0,
+                     "html": "<table><tr><th>k</th><th>v</th></tr>"
+                             "<tr><td>key one</td><td>value starts</td>"
+                             "</tr></table>"}]},
+        {"page_idx": 1, "page_size": [612.0, 792.0], "chars": [],
+         "layout": [{"bbox": [50, 60, 562, 120], "label": "table",
+                     "index": 0, "cell_merge": [0, 1],
+                     "html": "<table><tr><td></td>"
+                             "<td>and ends here</td></tr></table>"}]},
+    ]
+    out = extract_turn(json.dumps({"kind": "pdf_chars", "pages": pages}),
+                       "pdf_reader")
+    assert out["metrics"]["tables_merged"] == 1
+    assert "<td>value starts and ends here</td>" in out["md"]
+    assert out["md"].count("<table>") == 1
+
+
 def test_caption_tiebreak_geometry_and_later_table():
     """B10 tiebreaks (find_best_visual_parent,
     visual_magic_model_utils.py:535-621): equal index distance resolves by
