@@ -1122,6 +1122,70 @@ RELATIONAL_QUERIES["q_doc_langid"] = q_doc_langid
 RELATIONAL_QUERIES["q_doc_quality_signals"] = q_doc_quality_signals
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition signal (RefinedWeb/Gopher-style
+    repetition REMOVAL stats, positional): a word POSITION is repeated
+    when the trigram starting there already occurred earlier in the same
+    document.  Whole-corpus shape: posexplode + two windows partitioned
+    by doc_id — at 10^12 docs the window key is the doc, so state is one
+    document's positions, never global.  Emits per doc: trigram count,
+    repeated-position count, repetition ratio (the filter a cleaning
+    pass would threshold on)."""
+    from pyspark.sql import Window as W
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), " +"))
+        .alias("pos", "w"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    tri = F.concat_ws(" ", "w", F.lead("w", 1).over(wdoc),
+                      F.lead("w", 2).over(wdoc))
+    g = base.select("doc_id", "pos", tri.alias("tri"),
+                    F.lead("w", 2).over(wdoc).alias("_w2")) \
+        .filter(F.col("_w2").isNotNull())   # only complete trigrams
+    wtri = W.partitionBy("doc_id", "tri").orderBy("pos")
+    flagged = g.select(
+        "doc_id",
+        (F.row_number().over(wtri) > 1).cast("int").alias("dup"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_trigrams"),
+                 F.sum("dup").cast("long").alias("n_repeated"),
+                 F.round(F.sum("dup").cast("double")
+                         / F.count("*"), 6).alias("rep_ratio")))
+
+
+ORACLES["q_doc_repetition"] = """
+    WITH words AS (
+      SELECT doc_id, w, pos
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), ' +')) AS w,
+               generate_subscripts(
+                   regexp_split_to_array(trim(text), ' +'), 1) - 1 AS pos
+        FROM documents
+      )
+    ), tri AS (
+      SELECT doc_id, pos,
+             w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS tri,
+             LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM words
+    ), flagged AS (
+      SELECT doc_id,
+             CASE WHEN ROW_NUMBER() OVER (
+                 PARTITION BY doc_id, tri ORDER BY pos) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM tri WHERE w2 IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(dup) AS BIGINT) AS n_repeated,
+           ROUND(CAST(SUM(dup) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
+    FROM flagged GROUP BY doc_id
+"""
+RELATIONAL_QUERIES["q_doc_repetition"] = q_doc_repetition
+
+
 COS_NEAR_MIN = 0.25  # near-dup cosine threshold on the isotropic synthetic
                      # embeddings (top-pair cosines ≈ 0.3; a production 0.9
                      # threshold only changes the literal)
