@@ -217,9 +217,12 @@ CONTINUATION_INLINE_MARKERS = ("(continued)",)
 
 def is_continuation_text(text: str) -> bool:
     """'(continued)' / 续表 caption-marker detection (reference
-    table_continuation.py:23-50): end markers match on a word boundary so
+    table_continuation.py:23-50): text normalizes full→half width first
+    (char_utils.full_to_half — FF01-FF5E punctuation included, so
+    （续表） matches), end markers match on a word boundary so
     'discontinued' does not hit; inline markers match anywhere."""
-    t = (text or "").strip().lower()
+    t = "".join(chr(ord(c) - 0xFEE0) if 0xFF01 <= ord(c) <= 0xFF5E else c
+                for c in (text or "")).strip().lower()
     if not t:
         return False
     for marker in CONTINUATION_END_MARKERS:
