@@ -480,17 +480,3 @@ def merge_structural(a: TableGrid, b: TableGrid,
     return merged
 
 
-def merge_marked_continuation(a: TableGrid, b: TableGrid) -> TableGrid | None:
-    """Marker-gated cross-page merge (reference table_merge.py repeated-
-    header handling): column counts must match; a REPEATED header row on
-    the continuation (same cell texts as the anchor's header) is dropped
-    before appending."""
-    if a.ncols != b.ncols or not a.rows or not b.rows:
-        return None
-    rows_b = b.rows
-    if (a.rows and rows_b
-            and [c.text for c in rows_b[0]] == [c.text for c in a.rows[0]]):
-        rows_b = rows_b[1:]
-    if not rows_b:
-        return TableGrid(rows=list(a.rows), ncols=a.ncols)
-    return TableGrid(rows=[*a.rows, *rows_b], ncols=a.ncols)
