@@ -425,6 +425,19 @@ def _gen_pdf(rng: random.Random) -> str:
     # anchor last on page 0, continuation first on page 1
     table_split = n_pages == 2 and not cross_page and rng.random() < 0.25
     split_tbl = _gen_split_table(rng) if table_split else None
+    # cross-PAGE vertical text split (D1 vertical merge variant,
+    # para_split.py:309-345): page 0 ends with a vertical CJK column run
+    # that continues as page 1's FIRST vertical block at the same x-range
+    vertical_split = (n_pages == 2 and not cross_page and not table_split
+                      and not no_index and rng.random() < 0.15)
+    vtexts = None
+    if vertical_split:
+        pool = "".join(c for s in _CJK_SENTENCES for c in s
+                       if c not in "。！？，、")
+        i0 = rng.randrange(max(1, len(pool) - 12))
+        vtexts = (pool[i0:i0 + 6], pool[i0 + 6:i0 + 12])
+        if len(vtexts[1]) < 3:
+            vertical_split, vtexts = False, None
     pages = []
     for p in range(n_pages):
         layout, chars = [], []
@@ -527,6 +540,33 @@ def _gen_pdf(rng: random.Random) -> str:
             li += 1
             return yy
 
+        def add_vertical_run(vtext, yv):
+            """Single vertical CJK column (B5 shape) at a fixed x; char
+            extents define the merge geometry the D1 vertical variant
+            reads."""
+            nonlocal ci, li
+            vx, vy = 530.0, yv
+            j = ci
+            for chv in vtext:
+                chars.append({"char": chv,
+                              "bbox": [vx, round(vy, 2), vx + 10.0,
+                                       round(vy + 10.0, 2)],
+                              "font": {"name": "CJK", "size": BODY_SIZE,
+                                       "flags": 0, "weight": 400},
+                              "rotation": 0.0, "char_idx": j})
+                vy += 12.0
+                j += 1
+            ci = j
+            layout.append({"bbox": [vx - 2, round(yv - 2, 2), vx + 12.0,
+                                    round(vy + 2, 2)],
+                           "label": "text", "index": li})
+            li += 1
+            return vy + 12.0
+
+        if vertical_split and p == 1:
+            # continuation column FIRST on page 1 (same x-range as the
+            # page-0 tail column → the vertical merge guards hold)
+            y = add_vertical_run(vtexts[1], y)
         if table_split and p == 1:
             # continuation table FIRST on page 1 (cross-page merge target)
             anchor_html, cont_html, marked, cmerge = split_tbl
@@ -684,6 +724,10 @@ def _gen_pdf(rng: random.Random) -> str:
             add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2),
                       continues=True)
             y += h + 14.0
+        if vertical_split and p == 0:
+            # anchor column LAST on page 0 (no stop flag at its foot —
+            # the continuation on page 1 merges into it)
+            y = add_vertical_run(vtexts[0], y)
         if table_split and p == 0:
             # anchor table LAST on page 0 (its caption is attached and
             # removed from the block list, so adjacency survives)
