@@ -479,12 +479,12 @@ def _gen_pdf(rng: random.Random) -> str:
             add_block("text", [50.0, y, 562.0, y + h], rng.randint(1, 2),
                       lead_digit=rng.random() < 0.3)
             y += h + 14.0
-        def add_text_line_block(label, text, y, size=BODY_SIZE):
+        def add_text_line_block(label, text, y, size=BODY_SIZE, x0=50.0):
             """One literal text line as chars (captions, code lines, list
             items keep their exact glyph sequence; spaces become gaps)."""
             nonlocal ci, li
             blk_chars: list = []
-            x = 50.0
+            x = x0
             j = ci
             for word in text.split(" "):
                 for chx in word:
@@ -499,7 +499,7 @@ def _gen_pdf(rng: random.Random) -> str:
                     j += 1
                 x += CHAR_W  # word gap
             ci = j
-            layout.append({"bbox": [50.0, round(y, 2), round(x, 2),
+            layout.append({"bbox": [round(x0, 2), round(y, 2), round(x, 2),
                                     round(y + size, 2)],
                            "label": label, "index": -1 if no_index else li})
             if spans_mode and blk_chars:
@@ -642,14 +642,33 @@ def _gen_pdf(rng: random.Random) -> str:
                     "table_footnote", f"Note: {_sentence(rng, 2, 4)}.", y)
                 y += 24.0
         elif r_rich < 0.40:
-            # image block (opaque body) + caption
-            layout.append({"bbox": [150.0, round(y, 2), 450.0, round(y + 80, 2)],
-                           "label": "image", "index": -1 if no_index else li})
-            li += 1
-            y += 84.0
-            add_text_line_block(
-                "image_caption", f"Figure {p + 1}: {_sentence(rng, 3, 6)}.", y)
-            y += 24.0
+            if rng.random() < 0.3:
+                # caption + SAME-LINE text fragment ABOVE the image: the
+                # B10 inline-caption fallback must promote the fragment
+                # (visual_magic_model_utils.py:101-131)
+                add_text_line_block("image_caption",
+                                    f"Figure {p + 1}:", y)
+                add_text_line_block("text", _sentence(rng, 2, 4), y,
+                                    x0=260.0)
+                y += 14.0 + BODY_SIZE
+                layout.append({"bbox": [150.0, round(y, 2), 450.0,
+                                        round(y + 80, 2)],
+                               "label": "image",
+                               "index": -1 if no_index else li})
+                li += 1
+                y += 84.0
+            else:
+                # image block (opaque body) + caption
+                layout.append({"bbox": [150.0, round(y, 2), 450.0,
+                                        round(y + 80, 2)],
+                               "label": "image",
+                               "index": -1 if no_index else li})
+                li += 1
+                y += 84.0
+                add_text_line_block(
+                    "image_caption",
+                    f"Figure {p + 1}: {_sentence(rng, 3, 6)}.", y)
+                y += 24.0
         elif r_rich < 0.55:
             # interline equation: latex on the layout record (G2/MFR)
             latex = rng.choice((
