@@ -570,6 +570,14 @@ def _gen_pdf(rng: random.Random) -> str:
         if table_split and p == 1:
             # continuation table FIRST on page 1 (cross-page merge target)
             anchor_html, cont_html, marked, cmerge = split_tbl
+            leading_text_marker = marked and rng.random() < 0.5
+            if leading_text_marker:
+                # the '(continued)' marker arrives as page-leading PLAIN
+                # text — the B10 leading-continuation fallback must
+                # promote it to the table's caption
+                # (visual_magic_model_utils.py:133-173)
+                add_text_line_block("text", "Table 9 (continued)", y)
+                y += 14.0 + BODY_SIZE
             rec = {"bbox": [50.0, round(y, 2), 562.0, round(y + 60, 2)],
                    "label": "table",
                    "index": -1 if no_index else li,
@@ -579,7 +587,7 @@ def _gen_pdf(rng: random.Random) -> str:
             layout.append(rec)
             li += 1
             y += 64.0
-            if marked:
+            if marked and not leading_text_marker:
                 add_text_line_block("table_caption",
                                     "Table 9 (continued)", y)
                 y += 24.0
