@@ -1159,6 +1159,18 @@ def gen_turn(conv_i: int, turn_idx: int) -> dict:
         if turn_idx > 0 and _is_office(conv_id, turn_idx - 1):
             cont_ncols = _office_ncols(conv_id, turn_idx - 1)
         text, _ = _gen_office(rng, continuation_of=cont_ncols)
+        # ~15% of office payloads carry leading whitespace — newline/tab/
+        # CRLF/ideographic space/a >1 KiB space run — so the JVM run-key
+        # sniff's lstrip() parity (classify.OFFICE_SNIFF_RE) sits behind
+        # the extraction hash gate (round-3 verdict finding #1: F.ltrim
+        # strips only spaces and a substring window can't eat unbounded
+        # whitespace; either slip silently breaks the cross-turn merge).
+        # Drawn AFTER _gen_office so _office_ncols' replay (which stops at
+        # _gen_office) stays pure.
+        wsd = rng.random()
+        if wsd < 0.15:
+            _prefixes = ("\n", "\t", "\r\n  ", "　", " " * 1200)
+            text = _prefixes[int(wsd * 1000) % len(_prefixes)] + text
         tool = "file_reader"
     elif r < 0.05:
         text, tool = "", "none"

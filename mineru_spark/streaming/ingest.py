@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..kernels.classify import OFFICE_SNIFF_RE
 from ..pipeline import (TRANSCRIPT_SCHEMA, extract_finalized,
                         _path_has_data)
 
@@ -51,10 +52,10 @@ def _split_open_tails(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     two window expressions, no Python."""
     from pyspark.sql import Window as W
 
-    head = F.lower(F.ltrim(F.substring(F.col("text"), 1, 1000)))
     w = W.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
     wall = W.partitionBy("conv_id")
-    flagged = (df.withColumn("_office", head.startswith("<table")
+    flagged = (df.withColumn("_office",
+                             F.col("text").rlike(OFFICE_SNIFF_RE)
                              .cast("int"))
                .withColumn("_max_idx", F.max("turn_idx").over(wall))
                .withColumn("_rn", F.row_number().over(w))

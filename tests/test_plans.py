@@ -142,3 +142,38 @@ def test_finalize_shuffles_narrow_projection_only(spark):
               and "md#" not in ln]
     assert narrow, "no payload-free cached scan feeding the window"
     spark.catalog.clearCache()
+
+
+def test_office_sniff_matches_python_classifier(spark):
+    """The JVM run-key sniff (OFFICE_SNIFF_RE rlike) must agree with
+    classify_payload row-for-row, including adversarial leading
+    whitespace: every Python-whitespace class char, unbounded-length
+    whitespace runs, and near-miss negatives.  Round-3 verdict finding
+    #1 — F.ltrim strips only spaces and a substring window can't eat
+    >window whitespace; either slip silently skips the cross-turn table
+    merge for the affected run."""
+    from pyspark.sql import functions as F
+
+    from mineru_spark.kernels.classify import (OFFICE_SNIFF_RE,
+                                               classify_payload)
+
+    table = "<table><tr><td>x</td></tr></table>"
+    ws_chars = [chr(c) for c in range(0x11000) if chr(c).isspace()]
+    payloads = ([w + table for w in ws_chars]
+                + [w * 3 + table for w in ("\n", "\t", "\r\n", "　")]
+                + [" " * 5000 + table,          # beyond any substring window
+                   "\n" * 2000 + "\t <TABLE><tr></tr></table>",
+                   table, "<TaBlE><tr></tr></table>",
+                   # negatives: non-office lookalikes
+                   "x " + table, "<tab le>", "<tablex>" + table,
+                   ". \n" + table, "​" + table,  # ZWSP is NOT space
+                   "", "   ", "plain text", "<html><table></table></html>",
+                   '{"kind": "docx_runs"}'])
+    sdf = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                                "i int, text string")
+    got = {r["i"]: r["m"] for r in
+           sdf.select("i", F.col("text").rlike(OFFICE_SNIFF_RE)
+                      .alias("m")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == (classify_payload(p) == "office"), \
+            f"sniff mismatch on payload {i}: {p[:40]!r}"
