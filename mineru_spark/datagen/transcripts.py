@@ -123,6 +123,19 @@ def _gen_html(rng: random.Random) -> str:
     for _ in range(n_paras):
         if rng.random() < 0.07:
             paras.append(f"<p>{rng.choice(_CJK_SENTENCES)}</p>")
+        elif rng.random() < 0.25:
+            # inline structure inside a kept paragraph: bold/italic runs
+            # and an in-content link below the density cutoff — exercises
+            # the v2 typed-run records (r4 directive #4)
+            a, b, c = (_sentence(rng, 4, 8, special=True),
+                       _sentence(rng, 1, 3), _sentence(rng, 3, 6))
+            btag = rng.choice(("b", "strong"))
+            itag = rng.choice(("i", "em"))
+            link = (f' See <a href="https://example.org/ref/{rng.randint(1, 99)}">'
+                    f"{_sentence(rng, 1, 2)}</a>."
+                    if rng.random() < 0.5 else "")
+            paras.append(f"<p>{a} <{btag}>{b}</{btag}> "
+                         f"<{itag}>{c}</{itag}>.{link}</p>")
         else:
             paras.append(f"<p>{_sentence(rng, 8, 20, special=True)}.</p>")
     ordered = rng.random() < 0.3
@@ -844,6 +857,31 @@ def _gen_docx(rng: random.Random) -> str:
             if rng.random() < 0.15:
                 runs.append({"math": rng.choice(
                     (r"E=mc^2", r"\sum_{i} x_i", r"a_n"))})
+                runs.append({"text": _sentence(rng, 2, 4) + "."})
+            # hyperlink runs (r4 directive #2): same-target styled split
+            # runs that must group into ONE [label](url); URLs with parens
+            # (→ %28/%29), labels with brackets (→ \[ \]), and the
+            # invalid targets ('' / '.') that must degrade to plain text
+            # (reference office_rich_text.py:172-228)
+            hld = rng.random()
+            if hld < 0.25:
+                url = rng.choice((
+                    "https://example.org/a",
+                    "https://example.org/p(1)?q=2",
+                    "https://example.org/docs#s3",
+                    "", "."))
+                if hld < 0.08:
+                    # split styled group: two adjacent runs, one target
+                    runs.append({"text": _sentence(rng, 1, 2),
+                                 "bold": True, "link": url})
+                    runs.append({"text": _sentence(rng, 1, 2),
+                                 "link": url})
+                else:
+                    label = _sentence(rng, 1, 3)
+                    if hld < 0.12:
+                        label = f"see [{label}]"
+                    runs.append({"text": label, "link": url,
+                                 "italic": rng.random() < 0.3})
                 runs.append({"text": _sentence(rng, 2, 4) + "."})
             paras.append({"style": "Normal", "runs": runs})
     # ~30%: a table (reference renders DOCX tables via its mammoth-HTML

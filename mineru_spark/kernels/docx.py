@@ -15,7 +15,8 @@ of styled paragraphs with inline runs:
                   |"TOC",
          "num": {"id": int, "ilvl": int, "ordered": bool},   # optional
          "runs": [{"text": "...", "bold": false, "italic": false,
-                   "hidden": false} | {"math": "latex"}]}
+                   "hidden": false, "link": "https://..."?}
+                  | {"math": "latex"}]}
       | {"style": "Table",
          "rows": [[{"text": "...", "rowspan": 1, "colspan": 1,
                     "header": false, "math": "latex"?}, ...], ...]}]}
@@ -25,6 +26,11 @@ Semantics re-expressed:
   list items, Code → fenced block, TOC → index block);
 - inline bold/italic runs → `**`/`*` markdown with the escape rules of
   the shared emission kernel applied to the run text first;
+- HYPERLINK runs → `[text](target)` with the reference's escaping
+  (label brackets, URL parens → %28/%29; docx_converter.py:209-240),
+  same-target run grouping (office_rich_text.py:195-228) and
+  invalid-target fallback to plain text (:172-192); typed run records
+  additionally feed content_list_v2 (directives r4 #2/#4);
 - OMML math runs → inline `$…$` (oMath2Latex analog: latex arrives on
   the run, like the charstream's Math-font spans);
 - hidden runs (webHidden TOC page-number fields) are dropped;
@@ -48,27 +54,111 @@ from . import emit
 _STYLE_HEADING = {"Heading1": 1, "Heading2": 2, "Heading3": 3}
 
 
-def _render_runs(runs: list) -> str:
-    parts = []
-    for r in runs:
+def _valid_link_target(target) -> bool:
+    """Reference is_valid_hyperlink_target (office_rich_text.py:172-178):
+    non-None, non-blank, and not the self-referential '.'."""
+    if target is None:
+        return False
+    s = str(target)
+    return bool(s and s.strip() and s != ".")
+
+
+def _escape_link_label(text: str) -> str:
+    """Square brackets break the []() form — the reference escapes them in
+    link text (_escape_hyperlink_text, docx_converter.py:209-222); the
+    shared conservative escape handles the rest."""
+    return emit.escape_markdown(emit.normalize_text(text)) \
+        .replace("[", "\\[").replace("]", "\\]")
+
+
+def _escape_link_url(url: str) -> str:
+    """Parens break the []() form — %-encode them (reference
+    _escape_hyperlink_url, docx_converter.py:226-240)."""
+    return str(url).strip().replace("(", "%28").replace(")", "%29")
+
+
+def _styled_md(text: str, bold: bool, italic: bool, *, link: bool = False) -> str:
+    t = (_escape_link_label(text) if link
+         else emit.escape_markdown(emit.normalize_text(text)))
+    if not t:
+        return ""
+    if bold:
+        t = f"**{t}**"
+    if italic:
+        t = f"*{t}*"
+    return t
+
+
+def _render_runs(runs: list) -> tuple[str, list[tuple]]:
+    """Inline runs → (markdown text, typed run records).
+
+    Records feed content_list_v2's span runs (oracle._content_list_v2_json
+    runs_from_records): 2-tuples (type, content) with type in
+    text|bold|italic|bold_italic|inline_equation, plus 3-tuple
+    ("hyperlink", label, url) for link runs.
+
+    Hyperlinks: consecutive runs sharing one valid target render as ONE
+    link — Word splits a styled link into several runs and the reference
+    groups them back (format_hyperlink_group / _format_hyperlink_segments,
+    office_rich_text.py:195-228) — with per-run bold/italic styling kept
+    INSIDE the label (_render_hyperlink_children_label,
+    inline_renderer.py:830-842) and the []()-breaking characters escaped
+    (docx_converter.py:209-240).  An invalid target (None/blank/'.')
+    degrades to plain styled text, like format_text_with_hyperlink's
+    fallback (office_rich_text.py:180-192)."""
+    parts: list[str] = []
+    records: list[tuple] = []
+    i, n = 0, len(runs)
+    while i < n:
+        r = runs[i]
         if not isinstance(r, dict):
+            i += 1
             continue
         if r.get("hidden"):
+            i += 1
             continue  # webHidden: TOC page-number field runs
         if "math" in r:
             m = str(r.get("math", "")).strip()
             if m:
                 parts.append(f"${m}$")
+                records.append(("inline_equation", m))
+            i += 1
             continue
-        t = emit.escape_markdown(emit.normalize_text(str(r.get("text", ""))))
-        if not t:
+        link = r.get("link")
+        if _valid_link_target(link):
+            # greedily take the whole same-target group
+            group = [r]
+            j = i + 1
+            while j < n and isinstance(runs[j], dict) \
+                    and not runs[j].get("hidden") \
+                    and "math" not in runs[j] \
+                    and str(runs[j].get("link", "")) == str(link):
+                group.append(runs[j])
+                j += 1
+            label_md = " ".join(
+                s for s in (_styled_md(str(g.get("text", "")),
+                                       bool(g.get("bold")),
+                                       bool(g.get("italic")), link=True)
+                            for g in group) if s)
+            label_plain = " ".join(
+                s for s in (emit.normalize_text(str(g.get("text", "")))
+                            for g in group) if s)
+            if label_md:
+                parts.append(f"[{label_md}]({_escape_link_url(link)})")
+                records.append(("hyperlink", label_plain, str(link).strip()))
+            i = j
             continue
-        if r.get("bold"):
-            t = f"**{t}**"
-        if r.get("italic"):
-            t = f"*{t}*"
-        parts.append(t)
-    return " ".join(parts)
+        t = _styled_md(str(r.get("text", "")), bool(r.get("bold")),
+                       bool(r.get("italic")))
+        if t:
+            parts.append(t)
+            plain = emit.normalize_text(str(r.get("text", "")))
+            bold, italic = bool(r.get("bold")), bool(r.get("italic"))
+            rtype = ("bold_italic" if bold and italic else
+                     "bold" if bold else "italic" if italic else "text")
+            records.append((rtype, plain))
+        i += 1
+    return " ".join(parts), records
 
 
 def _table_grid(rows_payload: list):
@@ -148,7 +238,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                                "level": 1})
                 tables_parsed += 1
             continue
-        text = _render_runs(p.get("runs") or [])
+        text, recs = _render_runs(p.get("runs") or [])
         if not text:
             continue
         if style == "TOC":
@@ -178,14 +268,14 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             blocks.append({"type": "title", "text": text, "page_idx": 0,
                            "bbox": [0, 0, 0, 0],
                            "level": _STYLE_HEADING[style],
-                           "pre_rendered": True})
+                           "pre_rendered": True, "_runs": recs})
         elif style == "Code":
             blocks.append({"type": "code", "text": text, "page_idx": 0,
                            "bbox": [0, 0, 0, 0], "level": 1})
         else:
             blocks.append({"type": "text", "text": text, "page_idx": 0,
                            "bbox": [0, 0, 0, 0], "level": 1,
-                           "pre_rendered": True})
+                           "pre_rendered": True, "_runs": recs})
     flush_list()
     flush_toc()
     return blocks, {"blocks_classified": len(blocks),

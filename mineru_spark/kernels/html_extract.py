@@ -102,6 +102,69 @@ def _collapse(s: str) -> str:
     return " ".join(s.split())
 
 
+_BOLD_TAGS = ("b", "strong")
+_ITALIC_TAGS = ("i", "em")
+
+
+def _inline_runs(node: _Node) -> list[tuple]:
+    """Typed inline run records for content_list_v2 (r4 directive #4):
+    walk a content block's subtree carrying (bold, italic) state and emit
+    ("text"|"bold"|"italic"|"bold_italic", content) records, plus
+    ("hyperlink", label, href) for <a href> and ("inline_equation", tex)
+    for <eq>.  Markdown output stays flat text (the main-content axis
+    strips link/style syntax like the boilerplate extractors it mirrors);
+    the typed records preserve the structure v2 is for.  Adjacent
+    same-style fragments coalesce here so the record list mirrors the
+    reference office spans' run granularity, not tokenizer granularity."""
+    records: list[tuple] = []
+
+    def emit_rec(rec: tuple) -> None:
+        if records and len(rec) == 2 and len(records[-1]) == 2 \
+                and records[-1][0] == rec[0]:
+            records[-1] = (rec[0], f"{records[-1][1]} {rec[1]}")
+        else:
+            records.append(rec)
+
+    def walk(n: _Node, bold: bool, italic: bool) -> None:
+        for ch in n.children:
+            if isinstance(ch, str):
+                t = _collapse(ch)
+                if t:
+                    kind = ("bold_italic" if bold and italic else
+                            "bold" if bold else
+                            "italic" if italic else "text")
+                    emit_rec((kind, t))
+                continue
+            if ch.tag == "a":
+                href = str(ch.attrs.get("href", "")).strip()
+                label = _collapse(_inner_text(ch))
+                if label:
+                    if href and href != ".":
+                        emit_rec(("hyperlink", label, href))
+                    else:
+                        emit_rec(("text", label))
+                continue
+            if ch.tag == "eq":
+                tex = _inner_text(ch).strip()
+                if tex:
+                    emit_rec(("inline_equation", tex))
+                continue
+            walk(ch, bold or ch.tag in _BOLD_TAGS,
+                 italic or ch.tag in _ITALIC_TAGS)
+
+    walk(node, False, False)
+    return records
+
+
+def _attach_runs(rec_block: "Block", node: _Node) -> None:
+    """Attach typed records to a Block only when the subtree has inline
+    STRUCTURE (style/link/math); plain paragraphs keep the single-text
+    fallback so their v2 encoding is unchanged."""
+    recs = _inline_runs(node)
+    if any(r[0] != "text" for r in recs):
+        rec_block.runs = recs
+
+
 @dataclass
 class Block:
     btype: str          # title | text | list | quote | table | code
@@ -110,6 +173,7 @@ class Block:
     grid: object = None   # TableGrid for table blocks
     marked: bool = False  # list items already carry markers/indentation
     ordered: bool = False
+    runs: list = None     # typed inline records when structure exists
 
 
 def _list_items(node: _Node, depth: int, ordered: bool) -> list[str]:
@@ -230,7 +294,9 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
         if ch.tag in _HEADING:
             txt = _collapse(_inner_text(ch))
             if txt:
-                out.append(Block("title", txt, _HEADING[ch.tag]))
+                b = Block("title", txt, _HEADING[ch.tag])
+                _attach_runs(b, ch)
+                out.append(b)
             continue
         if ch.tag == "p":
             chars, link_chars = _text_stats(ch)
@@ -239,7 +305,9 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
                 continue
             txt = _collapse(_inner_text(ch))
             if txt:
-                out.append(Block("text", txt))
+                b = Block("text", txt)
+                _attach_runs(b, ch)
+                out.append(b)
             continue
         if ch.tag in ("ul", "ol"):
             chars, link_chars = _text_stats(ch)
@@ -256,7 +324,9 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
         if ch.tag == "blockquote":
             txt = _collapse(_inner_text(ch))
             if txt:
-                out.append(Block("quote", txt))
+                b = Block("quote", txt)
+                _attach_runs(b, ch)
+                out.append(b)
             continue
         if ch.tag == "pre":
             txt = _inner_text(ch).strip("\n")
@@ -308,6 +378,8 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
             continue
         rec = {"type": b.btype, "text": b.text, "page_idx": 0,
                "bbox": [0, 0, 0, 0], "level": b.level}
+        if b.runs:
+            rec["_runs"] = b.runs
         if b.btype == "list" and b.marked:
             rec["items_marked"] = True
             rec["pre_rendered"] = True

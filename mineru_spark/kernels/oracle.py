@@ -99,15 +99,35 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
 
     _V2_RUN_TYPE = {"text": "text", "sup": "sup", "sub": "sub",
                     "inline_equation": "equation_inline"}
+    # office/html style-run records (docx._render_runs, html_extract) →
+    # v2 text runs with a style list, the shape of the reference office
+    # spans (inline_renderer.py `span.get('style', [])`)
+    _V2_RUN_STYLE = {"bold": ["bold"], "italic": ["italic"],
+                     "bold_italic": ["bold", "italic"]}
 
     def runs_from_records(recs: list) -> list[dict]:
         out: list[dict] = []
-        for typ, content in recs:
-            vt = _V2_RUN_TYPE.get(typ, "text")
+        for rec in recs:
+            if rec[0] == "hyperlink":
+                # ("hyperlink", label, url): typed link run (reference
+                # ContentType.HYPERLINK span with a url field)
+                _, label, url = rec
+                label = emit.normalize_text(label)
+                if label:
+                    out.append({"content": label, "type": "hyperlink",
+                                "url": url})
+                continue
+            typ, content = rec
+            style = _V2_RUN_STYLE.get(typ)
+            vt = "text" if style else _V2_RUN_TYPE.get(typ, "text")
             content = emit.normalize_text(content)
             if not content:
                 continue
-            if out and out[-1]["type"] == vt == "text":
+            if style:
+                out.append({"content": content, "type": "text",
+                            "style": style})
+            elif out and out[-1]["type"] == vt == "text" \
+                    and "style" not in out[-1]:
                 # same-type coalescing with the shared hyphen/CJK join rule
                 out[-1]["content"] = emit.merge_lines(
                     [out[-1]["content"], content])
@@ -226,9 +246,12 @@ def _middle_json(blocks: list[dict], route: str) -> str:
                 # model_json_to_middle_json line/span records)
                 item["lines"] = b["_lines"]
             elif b.get("_runs"):
-                # geometry-free converters (office/html) keep typed runs
-                item["spans"] = [{"type": t, "content": c}
-                                 for t, c in b["_runs"]]
+                # geometry-free converters (office/html) keep typed runs;
+                # 3-field hyperlink records carry their url
+                item["spans"] = [
+                    {"type": r[0], "content": r[1],
+                     **({"url": r[2]} if len(r) > 2 else {})}
+                    for r in b["_runs"]]
         pages.setdefault(b["page_idx"], []).append(item)
     info = [{"page_idx": p, "para_blocks": pages.get(p, []),
              **({"discarded_blocks": dpages[p]} if p in dpages else {})}

@@ -1340,3 +1340,88 @@ def test_xlsx_semantic_subset_filter():
     blocks, spans, _ = extract_pdf(_page(chars, layout))
     assert blocks[0]["text"] == "cost $x+y$ here."
     assert any(s["type"] == "inline_equation" for s in spans)
+
+
+def test_docx_hyperlink_runs():
+    """O1 hyperlinks (r4 directive #2): link runs render as [label](url)
+    with the reference's escaping — label brackets escaped
+    (docx_converter.py:209-222), URL parens %-encoded (:226-240) —
+    consecutive same-target runs group into ONE link with per-run styling
+    kept inside the label (office_rich_text.py:195-228,
+    inline_renderer.py:830-842), and invalid targets (blank / '.')
+    degrade to plain styled text (office_rich_text.py:172-192)."""
+    from mineru_spark.kernels.docx import extract_docx
+    p = {"paras": [
+        {"style": "Normal", "runs": [
+            {"text": "see"},
+            {"text": "the docs", "link": "https://ex.org/p(1)?q=2"},
+            {"text": "now."}]},
+        {"style": "Normal", "runs": [
+            {"text": "Part", "bold": True, "link": "https://ex.org/a"},
+            {"text": "two", "link": "https://ex.org/a"},
+            {"text": "done."}]},
+        {"style": "Normal", "runs": [
+            {"text": "click [here]", "link": "https://ex.org/b"}]},
+        {"style": "Normal", "runs": [
+            {"text": "dead link", "link": "."},
+            {"text": "blank", "bold": True, "link": "  "}]},
+    ]}
+    blocks, _ = extract_docx(p)
+    texts = [b["text"] for b in blocks]
+    assert texts[0] == "see [the docs](https://ex.org/p%281%29?q=2) now."
+    # one grouped link, bold preserved inside the label
+    assert texts[1] == "[**Part** two](https://ex.org/a) done."
+    assert texts[2] == "[click \\[here\\]](https://ex.org/b)"
+    # invalid targets: plain styled text, no link syntax
+    assert texts[3] == "dead link **blank**"
+    # typed v2 records carry the hyperlink runs
+    recs = blocks[0]["_runs"]
+    assert ("hyperlink", "the docs", "https://ex.org/p(1)?q=2") in recs
+    assert recs[0] == ("text", "see")
+
+
+def test_docx_hyperlink_v2_runs():
+    """The typed link/style records surface in content_list_v2 as typed
+    span runs (hyperlink runs with url, styled text runs with a style
+    list), not the old single-text fallback (r4 directive #4)."""
+    import json
+    payload = {"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [
+            {"text": "go", "bold": True},
+            {"text": "home", "link": "https://ex.org/h"}]},
+    ]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    v2 = json.loads(out["content_list_v2"])
+    para = v2[0][0]["content"]["paragraph_content"]
+    assert {"content": "go", "type": "text", "style": ["bold"]} in para
+    assert {"content": "home", "type": "hyperlink",
+            "url": "https://ex.org/h"} in para
+
+
+def test_html_inline_runs_v2():
+    """HTML blocks with inline structure carry typed v2 run records
+    (bold/italic/hyperlink/equation), while plain paragraphs keep the
+    single-text fallback (r4 directive #4)."""
+    import json
+    html = ("<html><body><article>"
+            "<p>plain only paragraph here</p>"
+            "<p>mix <b>bold bit</b> and <em>ital</em> plus "
+            '<a href="https://x.org/r/7">ref seven</a> end</p>'
+            "<h2>Head <i>leaning</i></h2>"
+            "</article></body></html>")
+    out = extract_turn(html, "browser")
+    assert out["route"] == "html"
+    v2 = json.loads(out["content_list_v2"])
+    paras = [b for pg in v2 for b in pg]
+    plain = paras[0]["content"]["paragraph_content"]
+    assert plain == [{"content": "plain only paragraph here",
+                      "type": "text"}]
+    mixed = paras[1]["content"]["paragraph_content"]
+    assert {"content": "bold bit", "type": "text",
+            "style": ["bold"]} in mixed
+    assert {"content": "ital", "type": "text", "style": ["italic"]} in mixed
+    assert {"content": "ref seven", "type": "hyperlink",
+            "url": "https://x.org/r/7"} in mixed
+    head = paras[2]["content"]["title_content"]
+    assert {"content": "leaning", "type": "text",
+            "style": ["italic"]} in head
