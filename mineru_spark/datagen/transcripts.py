@@ -952,6 +952,30 @@ def _gen_xlsx(rng: random.Random) -> str:
             # isolated note cell, > gap+1 away → its own singleton region
             cells.append({"r": r0 + nrows + 4, "c": c0,
                           "v": _sentence(rng, 2, 5)})
+        shape = rng.random()
+        if shape < 0.12:
+            # two dense blocks separated by ONE blank row: tolerance 1
+            # would fuse them into a table with an interior blank row
+            # (penalty ≈0.49 > margin), tolerance 0 scores 0 → the auto
+            # selection must pick 0 and emit TWO tables (r4 directive #3)
+            base = r0 + nrows + 10
+            for rr in range(3):
+                for cc in range(3):
+                    cells.append({"r": base + rr, "c": c0 + cc,
+                                  "v": _sentence(rng, 1, 2)})
+                    cells.append({"r": base + 4 + rr, "c": c0 + cc,
+                                  "v": _sentence(rng, 1, 2)})
+        elif shape < 0.24:
+            # label column + blank column + value column: tolerance 0
+            # splits it into two fully row-overlapping strips (penalty
+            # 1.0), tolerance 1 reads ONE table across the blank column
+            # (penalty ≈0.79) — the selection must bridge the gap
+            base = r0 + nrows + 10
+            for rr in range(5):
+                cells.append({"r": base + rr, "c": c0,
+                              "v": _sentence(rng, 1, 2)})
+                cells.append({"r": base + rr, "c": c0 + 2,
+                              "v": str(rng.randint(1, 999))})
         return {"name": f"Sheet{idx + 1}", "cells": cells,
                 "merges": merges}
 

@@ -15,10 +15,16 @@ Reference semantics re-expressed (no openpyxl — plain dict/set algebra):
 - true data bounds = bbox over non-empty cells + merge ranges
   (_find_true_data_bounds :1151-1191);
 - tables found by BFS flood fill from each unvisited non-empty cell,
-  4-directional, crossing gaps up to GAP_TOLERANCE=1 blank cells (the
-  reference's preferred auto-candidate, AUTO_GAP_TOLERANCE_PREFERENCE
-  :34), merged regions counting as content (_find_table_bounds
-  :1194-1318);
+  4-directional, crossing gaps up to a tolerance of blank cells, merged
+  regions counting as content (_find_table_bounds :1194-1318);
+- AUTO gap-tolerance selection: the fill runs at tolerances (0, 1, 2),
+  each candidate is scored by the reference's penalty (severe interior
+  separators, interior blank-line ratio, sparse large tables, real
+  singletons, area-weighted blank ratio, row overlap), and the winner is
+  picked among near-best candidates by the tiebreak chain
+  severe-count → preference 1≻0≻2 → interior ratio → penalty
+  (_select_best_gap_candidate :930-974, weights :936-943, constants
+  :33-35);
 - grid extraction walks the table bounding box, skipping hidden merged
   cells and anchoring rowspan/colspan at each merge's top-left
   (_MergedCellLookup :103-165); empty positions stay as empty cells;
@@ -40,11 +46,20 @@ path carries the equation-injection analog.
 
 from __future__ import annotations
 
-from collections import deque
+from collections import Counter, deque
 
 from . import tables as tbl
 
-GAP_TOLERANCE = 1
+# Auto gap-tolerance selection (reference xlsx_converter.py:33-35): the
+# flood fill runs at every candidate tolerance, each candidate's table
+# set is scored by a blank/separator/singleton penalty, and the winner is
+# picked among near-best candidates (≤ min + margin) by fewest severe
+# separators, then the tolerance preference 1 ≻ 0 ≻ 2, then the interior
+# blank-line ratio, then raw penalty (_select_best_gap_candidate
+# :930-974).
+GAP_CANDIDATES = (0, 1, 2)
+GAP_PREFERENCE = {1: 0, 0: 1, 2: 2}
+GAP_PREFERENCE_MARGIN = 0.15
 # Defensive bounds for hostile payloads (a web-scale job must survive a
 # merge range claiming a billion cells without allocating it): merge
 # ranges clamp to 256×64 cells (≤4096 ranges), a detected region's bbox
@@ -57,12 +72,15 @@ MAX_MERGED_CELLS = 262144
 MAX_REGION_DIM = 512
 
 
-def _sheet_tables(cells: dict, merges: list) -> list[dict]:
-    """Flood-fill DataRegion detection over one sheet.
+def _flood_tables(cells: dict, merges: list, gap_tolerance: int) -> list[dict]:
+    """Flood-fill DataRegion detection over one sheet at a FIXED gap
+    tolerance (reference _find_data_tables_with_gap_raw :1105-1148).
 
     cells: {(r, c): text}; merges: [(r0, c0, r1, c1)] inclusive.
-    Returns [{"anchor": (r, c), "grid": TableGrid, "singleton": str|None}]
-    in reading order.
+    Returns raw (unfiltered) tables in fill order:
+    [{"anchor", "rows", "semantic", "singleton", "nrows", "ncols",
+      "mask"}] where mask is the semantic-content occupancy grid expanded
+    over merge spans (_build_table_content_mask :876-889).
     """
     anchor_span: dict[tuple, tuple] = {}
     merged_pos: set[tuple] = set()
@@ -106,7 +124,7 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
             min_r, max_r = min(min_r, r), max(max_r, r)
             min_c, max_c = min(min_c, c), max(max_c, c)
             for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-                for step in range(1, GAP_TOLERANCE + 2):
+                for step in range(1, gap_tolerance + 2):
                     nr, nc = r + dr * step, c + dc * step
                     if (nr, nc) in table_cells:
                         break  # already ours; don't jump over
@@ -120,8 +138,10 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
         # empty positions kept so the rectangle stays dense ---
         max_r = min(max_r, min_r + MAX_REGION_DIM - 1)
         max_c = min(max_c, min_c + MAX_REGION_DIM - 1)
+        nrows, ncols = max_r - min_r + 1, max_c - min_c + 1
         rows: list[list[tbl.Cell]] = []
         semantic: set[tuple] = set()
+        mask = [[False] * ncols for _ in range(nrows)]
         for ri in range(min_r, max_r + 1):
             row: list[tbl.Cell] = []
             for cj in range(min_c, max_c + 1):
@@ -131,6 +151,12 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
                 text = " ".join(str(cells.get((ri, cj), "")).split())
                 if text:
                     semantic.add((ri, cj))
+                    # semantic content covers its whole merge span
+                    # (_build_table_content_mask expands over row/col span)
+                    for mr in range(ri - min_r, min(ri - min_r + rs, nrows)):
+                        for mc in range(cj - min_c,
+                                        min(cj - min_c + cs, ncols)):
+                            mask[mr][mc] = True
                 row.append(tbl.Cell(text=text, rowspan=rs, colspan=cs,
                                     header=(ri == min_r)))
             rows.append(row)
@@ -140,7 +166,100 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
                 and anchor_span.get((min_r, min_c), (1, 1)) == (1, 1)):
             singleton = cells.get((min_r, min_c), "")
         found.append({"anchor": (min_r, min_c), "rows": rows,
-                      "semantic": semantic, "singleton": singleton})
+                      "semantic": semantic, "singleton": singleton,
+                      "nrows": nrows, "ncols": ncols, "mask": mask})
+    return found
+
+
+def _max_consecutive(flags: list[bool]) -> int:
+    best = cur = 0
+    for f in flags:
+        cur = cur + 1 if f else 0
+        best = max(best, cur)
+    return best
+
+
+def _candidate_summary(tables: list[dict]) -> dict:
+    """Per-candidate quality metrics (reference
+    _summarize_candidate_tables :890-975 over
+    _summarize_table_for_gap_selection :838-874)."""
+    n = len(tables)
+    real_singleton = severe = sparse_large = 0
+    total_area = 0
+    blank_num = 0.0
+    interior_blank = 0
+    interior_possible = 0
+    row_cover: Counter = Counter()
+    for t in tables:
+        nr, nc, mask = t["nrows"], t["ncols"], t["mask"]
+        area = nr * nc
+        content = sum(sum(1 for f in row if f) for row in mask)
+        blank_ratio = 1.0 - content / max(area, 1)
+        # interior = rows/cols excluding the first and last line
+        bl_rows = ([not any(mask[ri]) for ri in range(1, max(nr - 1, 1))]
+                   if nr > 2 else [])
+        bl_cols = ([not any(mask[ri][ci] for ri in range(nr))
+                    for ci in range(1, max(nc - 1, 1))] if nc > 2 else [])
+        total_area += area
+        blank_num += area * blank_ratio
+        interior_blank += sum(bl_rows) + sum(bl_cols)
+        interior_possible += max(nr - 2, 0) + max(nc - 2, 0)
+        for ri in range(t["anchor"][0], t["anchor"][0] + nr):
+            row_cover[ri] += 1
+        if t["singleton"] is not None and t["singleton"] != "":
+            real_singleton += 1
+        if area >= 6 and blank_ratio > 0.35:
+            sparse_large += 1
+        if max(_max_consecutive(bl_rows), _max_consecutive(bl_cols)) >= 2:
+            severe += 1
+    occupied = max(len(row_cover), 1)
+    return {
+        "real_singleton_ratio": real_singleton / max(n, 1),
+        "weighted_blank_ratio": blank_num / max(total_area, 1),
+        "interior_blank_line_ratio": interior_blank / max(interior_possible, 1),
+        "sparse_large_table_ratio": sparse_large / max(n, 1),
+        "severe_separator_count": severe,
+        "row_overlap_excess_ratio":
+            sum(max(0, c - 1) for c in row_cover.values()) / occupied,
+    }
+
+
+def _penalty(s: dict) -> float:
+    # reference penalty weights (:936-943)
+    return (6.0 * s["severe_separator_count"]
+            + 2.5 * s["interior_blank_line_ratio"]
+            + 1.5 * s["sparse_large_table_ratio"]
+            + 1.0 * s["real_singleton_ratio"]
+            + 0.5 * s["weighted_blank_ratio"]
+            + 1.0 * s["row_overlap_excess_ratio"])
+
+
+def _sheet_tables(cells: dict, merges: list) -> list[dict]:
+    """DataRegion detection with auto gap-tolerance selection: flood fill
+    at every candidate tolerance, score, pick near-best by the reference's
+    tiebreak chain, then apply the semantic-subset filter to the winner
+    (_select_best_gap_candidate :930-974; scores are computed on RAW
+    tables, the subset filter applies to the selected candidate's output,
+    exactly the reference's order).
+
+    Returns [{"anchor": (r, c), "grid": TableGrid, "singleton": str|None}]
+    in reading order.
+    """
+    cands = []
+    for gap in GAP_CANDIDATES:
+        raw = _flood_tables(cells, merges, gap)
+        s = _candidate_summary(raw)
+        cands.append({"gap": gap, "raw": raw, "summary": s,
+                      "penalty": _penalty(s)})
+    if not cands or not cands[0]["raw"] and not any(c["raw"] for c in cands):
+        return []
+    min_pen = min(c["penalty"] for c in cands)
+    near = [c for c in cands if c["penalty"] <= min_pen + GAP_PREFERENCE_MARGIN]
+    best = min(near, key=lambda c: (c["summary"]["severe_separator_count"],
+                                    GAP_PREFERENCE[c["gap"]],
+                                    c["summary"]["interior_blank_line_ratio"],
+                                    c["penalty"]))
+    found = best["raw"]
 
     # semantic-subset filter (reference :780-798): strict-subset tables go
     keep = [t for i, t in enumerate(found)

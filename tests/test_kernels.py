@@ -1425,3 +1425,58 @@ def test_html_inline_runs_v2():
     head = paras[2]["content"]["title_content"]
     assert {"content": "leaning", "type": "text",
             "style": ["italic"]} in head
+
+
+def test_xlsx_auto_gap_tolerance_split():
+    """Auto gap-tolerance (r4 directive #3; reference
+    xlsx_converter.py:33-35,930-974): two dense 3x3 blocks separated by
+    one blank row.  Tolerance 1 fuses them (interior-blank-row penalty
+    ~0.49, beyond the 0.15 margin); tolerance 0 scores 0 — the selection
+    must pick 0 and emit TWO tables."""
+    from mineru_spark.kernels.xlsx import extract_xlsx
+    cells = []
+    for rr in range(3):
+        for cc in range(3):
+            cells.append({"r": rr, "c": cc, "v": f"a{rr}{cc}"})
+            cells.append({"r": rr + 4, "c": cc, "v": f"b{rr}{cc}"})
+    blocks, m = extract_xlsx({"sheets": [{"name": "S", "cells": cells}]})
+    tables = [b for b in blocks if b["type"] == "table"]
+    assert len(tables) == 2
+    assert "a00" in tables[0]["text"] and "b00" in tables[1]["text"]
+    assert "a00" not in tables[1]["text"]
+
+
+def test_xlsx_auto_gap_tolerance_bridge():
+    """Label column + blank column + value column: tolerance 0 splits it
+    into two row-overlapping strips (row-overlap penalty 1.0), tolerance
+    1 reads ONE bridged table (~0.79) — near-best then preference 1≻0≻2
+    picks tolerance 1."""
+    from mineru_spark.kernels.xlsx import extract_xlsx
+    cells = []
+    for rr in range(5):
+        cells.append({"r": rr, "c": 0, "v": f"lab{rr}"})
+        cells.append({"r": rr, "c": 2, "v": str(100 + rr)})
+    blocks, m = extract_xlsx({"sheets": [{"name": "S", "cells": cells}]})
+    tables = [b for b in blocks if b["type"] == "table"]
+    assert len(tables) == 1
+    assert "lab0" in tables[0]["text"] and "104" in tables[0]["text"]
+
+
+def test_xlsx_gap_candidate_scoring():
+    """The candidate summary reproduces the reference's metric values on
+    a handcrafted sheet (weights :936-943, summary :838-975)."""
+    from mineru_spark.kernels.xlsx import (_candidate_summary,
+                                           _flood_tables, _penalty)
+    cells = {}
+    for rr in range(3):
+        for cc in range(3):
+            cells[(rr, cc)] = f"a{rr}{cc}"
+            cells[(rr + 4, cc)] = f"b{rr}{cc}"
+    t0 = _flood_tables(cells, [], 0)
+    t1 = _flood_tables(cells, [], 1)
+    assert len(t0) == 2 and len(t1) == 1
+    s0, s1 = _candidate_summary(t0), _candidate_summary(t1)
+    assert _penalty(s0) == 0.0
+    assert s1["interior_blank_line_ratio"] == 1 / 6
+    assert abs(_penalty(s1) - (2.5 / 6 + 0.5 * 3 / 21)) < 1e-12
+    assert s1["severe_separator_count"] == 0
