@@ -1,0 +1,48 @@
+"""Tracked persist registry (r4 directive #6 — unpersist discipline).
+
+Several plans persist small intermediate frames (the extraction run-key
+set, the jaccard shingle base, the legacy finalize branch).  The frames
+are lazy, so the function that persists them cannot unpersist before its
+caller's ACTION runs; left alone, a long-lived session (bench warm-up +
+reps, streaming extract_finalized per micro-batch) accumulates cached
+relations for the lifetime of the SparkContext (round-3 verdict minor
+#2).
+
+Contract:
+
+- a producer calls ``track(tag, df)`` right after ``.persist()``; the
+  previous frame under the same tag is unpersisted first, so even with
+  no cooperating caller at most ONE frame per tag is ever live —
+  re-invocation (next bench rep, next micro-batch) is the cleanup;
+- an action OWNER (run_job after its writes, streaming process_batch at
+  batch end, tests) calls ``release()`` (everything) or ``release(tag)``
+  once its action has consumed the cache, returning the session to zero
+  cached relations.
+
+Unpersist on a still-referenced plan is always safe in Spark — later
+actions just recompute — so eager release never breaks correctness.
+"""
+
+from __future__ import annotations
+
+_LIVE: dict[str, object] = {}
+
+
+def track(tag: str, df):
+    """Register a just-persisted DataFrame under ``tag``, unpersisting
+    any previous frame with the same tag.  Returns ``df``."""
+    release(tag)
+    _LIVE[tag] = df
+    return df
+
+
+def release(tag: str | None = None) -> None:
+    """Unpersist the tracked frame(s): one tag, or all when None."""
+    tags = [tag] if tag is not None else list(_LIVE)
+    for t in tags:
+        df = _LIVE.pop(t, None)
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .datagen.transcripts import conv_length, gen_turn
+from . import cache
 from .kernels.classify import OFFICE_SNIFF_RE, classify_series
 from .kernels.oracle import extract_turn
 
@@ -368,8 +369,12 @@ def extract_finalized(df: DataFrame,
     holds the extraction output (bar the tiny persisted key set), and the
     only shuffle moves the office-run rows themselves."""
     # tiny key frame (3 narrow columns, office-run rows only): persist so
-    # the sniff+window scan runs once, not once per broadcast build
-    keys = _candidate_run_keys(df).persist()
+    # the sniff+window scan runs once, not once per broadcast build.
+    # Tracked (cache.track): re-invocation unpersists the previous run's
+    # keys, and action owners call cache.release() when done — a
+    # long-lived session (bench reps, streaming micro-batches) never
+    # accumulates stale key frames (r4 directive #6).
+    keys = cache.track("extract_keys", _candidate_run_keys(df).persist())
     # run rows are office rows by construction, so the sniff predicate
     # pre-filters the probe side before the join hash (same JVM-side
     # expression the key detection used)
@@ -417,7 +422,9 @@ def finalize_convs(extracted: DataFrame) -> DataFrame:
     from pyspark.sql import Window as W
 
     if extracted.storageLevel == StorageLevel.NONE:
-        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        extracted = cache.track(
+            "finalize_branch",
+            extracted.persist(StorageLevel.MEMORY_AND_DISK))
 
     w = W.partitionBy("conv_id").orderBy("turn_idx")
     # candidate detection on a narrow projection: the window shuffle moves
@@ -501,6 +508,9 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     if per_part:
         spark.createDataFrame(per_part).write.mode("append") \
             .parquet(metrics_path)
+
+    # all actions done — drop every tracked cached frame (key set etc.)
+    cache.release()
 
     # globals derive from the (tiny) per-partition rows — no second scan
     return {"turns": sum(r["turns"] for r in per_part),

@@ -22,6 +22,7 @@ scoring) over the documents/embeddings tables.
 
 from __future__ import annotations
 
+from . import cache
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 
@@ -465,7 +466,8 @@ def q_jaccard_pairs(spark, sf_dir):
     from pyspark import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = cache.track("jaccard_shingles",
+                     _shingles(d).persist(StorageLevel.MEMORY_AND_DISK))
     sig = sh.select(
         "doc_id",
         *[F.array_min(F.transform(
@@ -938,46 +940,88 @@ def _lsh_oracle_sql() -> str:
 
 
 SIMHASH_MAX_HAMMING = 8
-# 9 chunk widths covering the 60-bit signature: hamming ≤ 8 differing bits
-# across 9 chunks → by pigeonhole at least one chunk is bit-identical, so
-# an equi-join on (chunk_idx, chunk_value) finds EVERY qualifying pair —
-# same answer as the all-pairs join, without the cartesian product.
-_SIMHASH_CHUNKS = (7, 7, 7, 7, 7, 7, 6, 6, 6)
+# 10 chunks of 6 bits covering the 60-bit signature: hamming ≤ 8
+# differing bits across 10 chunks → by pigeonhole at least TWO chunks
+# are bit-identical.  That gives two exact join levels:
+#   level 1: equi-join on a single (chunk_idx, chunk_value) — ≥1 clean
+#     shared chunk guarantees recall;
+#   level 2 (hot-bucket escalation): docs whose chunk lands in a bucket
+#     bigger than SIMHASH_MAX_BUCKET re-join on 12-bit chunk-PAIR keys
+#     (45 (i<j) pairs) — ≥2 clean shared chunks guarantee every pair
+#     whose clean chunks are ALL hot still shares a clean pair key, so
+#     recall stays 1 while per-key fan-out drops ~64×.
+_SIMHASH_CHUNK_BITS = 6
+_SIMHASH_N_CHUNKS = 10
+# single-chunk buckets beyond this size escalate to pair keys instead of
+# feeding the quadratic single-chunk self-join (r4 directive #5; the
+# production knob — the analog of LSH_MAX_BUCKET, but exact: hot rows
+# are rerouted, never dropped)
+SIMHASH_MAX_BUCKET = 100
 
 
-def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-duplicate pairs (hamming ≤ 8) over the FULL corpus via
-    pigeonhole banding: explode each 60-bit signature into 9 chunks,
-    shuffle-equi-join on (chunk_idx, chunk_value), verify the true hamming
-    distance, dedupe pairs.  Exact — pigeonhole guarantees recall = 1 —
-    and the oracle cross-checks against DuckDB's brute-force all-pairs.
+def _simhash_chunk_col(ci: int):
+    return (F.shiftright(F.col("simhash"), ci * _SIMHASH_CHUNK_BITS)
+            .bitwiseAND(F.lit((1 << _SIMHASH_CHUNK_BITS) - 1)))
 
-    Scale note: chunk values are 6-7 bits, so at extreme corpus sizes the
-    per-key fan-out grows; the standard fixes (wider multi-chunk keys for
-    smaller radii, AQE skew-join, salting hot chunk values) change the key,
-    not this plan shape."""
-    sig = q_simhash(spark, sf_dir)
-    chunks, off = [], 0
-    for ci, ln in enumerate(_SIMHASH_CHUNKS):
-        chunks.append(F.struct(
-            F.lit(ci).alias("ci"),
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << ln) - 1)).alias("cv")))
-        off += ln
-    ch = (sig.select("doc_id", "simhash",
-                     F.explode(F.array(*chunks)).alias("c"))
-          .select("doc_id", "simhash", "c.ci", "c.cv"))
-    return (ch.alias("a").join(
-                ch.alias("b"),
-                (F.col("a.ci") == F.col("b.ci"))
-                & (F.col("a.cv") == F.col("b.cv"))
+
+def _simhash_pairs_on(keyed, ka: str, kb: str):
+    """Self equi-join on (ka, kb) → verified hamming pairs."""
+    return (keyed.alias("a").join(
+                keyed.alias("b"),
+                (F.col(f"a.{ka}") == F.col(f"b.{ka}"))
+                & (F.col(f"a.{kb}") == F.col(f"b.{kb}"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("da"),
                     F.col("b.doc_id").alias("db"),
                     F.bit_count(F.col("a.simhash").bitwiseXOR(
                         F.col("b.simhash"))).cast("long").alias("hamming"))
-            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-            .dropDuplicates(["da", "db"]))
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs (hamming ≤ 8) over the FULL corpus via
+    two-level pigeonhole banding: explode each 60-bit signature into 10
+    six-bit chunks and equi-join on (chunk_idx, chunk_value) for chunks
+    in buckets ≤ SIMHASH_MAX_BUCKET; docs holding a chunk in a HOT bucket
+    escalate to a join on 12-bit chunk-pair keys (45 per doc), whose
+    buckets are ~64× smaller.  Exact at both levels — ≤8 errors over 10
+    chunks leave ≥2 clean chunks, so a qualifying pair always shares
+    either a cold clean chunk (level 1) or a clean chunk pair (level 2)
+    — and the oracle cross-checks against DuckDB's brute-force all-pairs,
+    so the recall proof is re-verified empirically every round.
+
+    Scale shape: both joins are shuffle equi-joins; the single-chunk
+    fan-out that grew with corpus size is now bounded by construction
+    (hot buckets are rerouted to the finer key, never self-joined and
+    never dropped).  A third level (triples) would bound adversarial
+    12-bit hot keys too; at that point the corpus is byte-duplicate-heavy
+    and exact dedup upstream is the real fix."""
+    sig = q_simhash(spark, sf_dir)
+    chunks = [F.struct(F.lit(ci).alias("ci"),
+                       _simhash_chunk_col(ci).alias("cv"))
+              for ci in range(_SIMHASH_N_CHUNKS)]
+    ch = (sig.select("doc_id", "simhash",
+                     F.explode(F.array(*chunks)).alias("c"))
+          .select("doc_id", "simhash", "c.ci", "c.cv"))
+    sized = ch.join(ch.groupBy("ci", "cv").agg(F.count("*").alias("_n")),
+                    ["ci", "cv"])
+    cold = sized.filter(F.col("_n") <= SIMHASH_MAX_BUCKET)
+    l1 = _simhash_pairs_on(cold, "ci", "cv")
+
+    # escalation: any doc with ≥1 hot chunk re-keys on all 45 chunk pairs
+    hot_docs = (sized.filter(F.col("_n") > SIMHASH_MAX_BUCKET)
+                .select("doc_id", "simhash").distinct())
+    pair_keys = [F.struct(
+        F.lit(i * _SIMHASH_N_CHUNKS + j).alias("pi"),
+        (_simhash_chunk_col(i) * (1 << _SIMHASH_CHUNK_BITS)
+         + _simhash_chunk_col(j)).alias("pv"))
+        for i in range(_SIMHASH_N_CHUNKS)
+        for j in range(i + 1, _SIMHASH_N_CHUNKS)]
+    hp = (hot_docs.select("doc_id", "simhash",
+                          F.explode(F.array(*pair_keys)).alias("p"))
+          .select("doc_id", "simhash", "p.pi", "p.pv"))
+    l2 = _simhash_pairs_on(hp, "pi", "pv")
+    return l1.unionByName(l2).dropDuplicates(["da", "db"])
 
 
 ORACLES["q_lsh_signature"] = _lsh_oracle_sql()

@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import cache
 from ..kernels.classify import OFFICE_SNIFF_RE
 from ..pipeline import (TRANSCRIPT_SCHEMA, extract_finalized,
                         _path_has_data)
@@ -148,6 +149,9 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
         result.write.mode("append").parquet(extracted_path)
         tails.write.mode("overwrite") \
             .parquet(_run_state_path(out_dir, int(epoch_id)))
+        # batch actions complete: release the run-key cache so per-epoch
+        # invocations of extract_finalized never accumulate cached frames
+        cache.release()
         # prune state epochs older than the replay window (previous epoch)
         import shutil
         base = _run_state_path(out_dir)

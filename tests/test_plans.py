@@ -177,3 +177,35 @@ def test_office_sniff_matches_python_classifier(spark):
     for i, p in enumerate(payloads):
         assert got[i] == (classify_payload(p) == "office"), \
             f"sniff mismatch on payload {i}: {p[:40]!r}"
+
+
+def test_simhash_hot_bucket_escalation_exact(spark, monkeypatch):
+    """Forcing every single-chunk bucket hot (cap=0) must reroute ALL
+    docs through the 12-bit chunk-pair escalation join and still produce
+    exactly the default-cap answer — the r4 #5 fan-out mitigation is
+    exact by construction (≥2 clean chunks at hamming ≤ 8 over 10
+    chunks), not a recall trade."""
+    import mineru_spark.queries as q
+
+    base = {(r["da"], r["db"], r["hamming"])
+            for r in q.q_simhash_near_pairs(spark, SF).collect()}
+    monkeypatch.setattr(q, "SIMHASH_MAX_BUCKET", 0)
+    forced = q.q_simhash_near_pairs(spark, SF)
+    plan = _plan(forced)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r["da"], r["db"], r["hamming"]) for r in forced.collect()}
+    assert got == base and base, f"{len(base)} vs {len(got)} pairs"
+
+
+def test_run_job_leaves_no_cached_relations(spark, tmp_path):
+    """Unpersist discipline (r4 directive #6): run_job releases every
+    tracked persisted frame (the run-key set) after its actions, so a
+    long-lived session (bench reps, streaming epochs) never accumulates
+    cached relations."""
+    from mineru_spark.pipeline import run_job, synthesize_transcripts
+
+    spark.catalog.clearCache()
+    run_job(spark, synthesize_transcripts(spark, 12), str(tmp_path / "s"))
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    assert live.size() == 0, f"{live.size()} cached relations leaked"
