@@ -90,13 +90,6 @@ VERTICAL_ASPECT = 3.0     # B5: block h/w ≥ 3 → vertical-text candidate
 VERTICAL_SINGLE = 0.8     # ≥80% single-char lines confirms vertical
 LIST_LINE_RATIO = 0.8     # D1: ≥80% of ≥3 lines carry a list marker
 
-# B12 language guess: first matching keyword set wins (deterministic
-# substitute for the reference's magika call, guess_suffix_or_lang.py:73-85)
-_CODE_LANGS = (
-    ("python", ("def ", "import ", "lambda ", "print(")),
-    ("sql", ("select ", "from ", "where ", "group by")),
-    ("javascript", ("function ", "var ", "const ", "=>")),
-)
 
 
 _PUNCT_CODES = np.array(sorted(ord(c) for c in _PUNCT), dtype=np.uint32)
@@ -588,12 +581,10 @@ def strip_list_markers(lines: list[str]) -> list[str]:
     return [_LIST_MARKER.sub("", ln).strip() for ln in lines if ln.strip()]
 
 
-def guess_code_lang(text: str) -> str:
-    low = text.lower()
-    for lang, keys in _CODE_LANGS:
-        if any(k in low for k in keys):
-            return lang
-    return ""
+# B12 language guess: the shared deterministic token-weight classifier
+# (kernels/langid.py) replaces the old 3-keyword early-exit — same magika
+# stand-in role (reference guess_suffix_or_lang.py:73-85), 8 languages
+from .langid import guess_code_lang  # noqa: F401  (re-export: B12 kernel)
 
 
 _SCRIPT_RANGES = (

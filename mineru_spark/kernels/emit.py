@@ -83,20 +83,31 @@ _LINE_END_HYPHEN_RE = re.compile(r"[A-Za-z]+[-­‐‑⁃]$")
 def merge_lines(lines: list[str]) -> str:
     """Join the text lines of one paragraph block.
 
-    Western text: space-joined, except a word-break hyphen (a letter
-    followed by a hyphen variant at line end, char_utils.py:7-18) merges
-    iff the next line starts lowercase (mkcontent :415-417, :430-445).
-    CJK text: joined with no separator (mkcontent :402-405).
+    The language gate is BLOCK-level, like the reference's
+    ``_merge_para_text`` (detect_lang over the collected block text,
+    pipeline_middle_json_mkcontent.py:305-311; CJK_LANGS membership
+    :402-405 decides the join): the shared deterministic cascade
+    (kernels/langid.lang_of — the same oracle-checked decision
+    q_doc_langid runs in SQL) classifies the whole paragraph once.
+
+    CJK blocks (zh/ja/ko): lines join with no separator.
+    Western/und blocks: space-joined, except a word-break hyphen (a
+    letter followed by a hyphen variant at line end, char_utils.py:7-18)
+    merges iff the next line starts lowercase (mkcontent :415-417,
+    :430-445).
     """
+    from .langid import CJK_LANGS, lang_of
+
     lines = [ln for ln in (s.strip() for s in lines) if ln]
     if not lines:
         return ""
+    cjk_block = lang_of(" ".join(lines)) in CJK_LANGS
     out = lines[0]
     for nxt in lines[1:]:
-        if _LINE_END_HYPHEN_RE.search(out) and nxt[:1].islower():
-            out = out[:-1] + nxt
-        elif is_cjk_text(out[-8:]) and is_cjk_text(nxt[:8]):
+        if cjk_block:
             out = out + nxt
+        elif _LINE_END_HYPHEN_RE.search(out) and nxt[:1].islower():
+            out = out[:-1] + nxt
         else:
             out = out + " " + nxt
     return out

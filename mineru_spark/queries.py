@@ -308,49 +308,54 @@ def q_doc_quality(spark, sf_dir):
 
 # language-ID profiles: marker stopwords per language (n-gram/stopword
 # heuristic — the training-data op; scripts checked first)
-_LANG_PROFILES = (
-    ("en", ("the", "and", "of", "to", "in")),
-    ("de", ("der", "die", "und", "das", "ist")),
-    ("fr", ("le", "la", "les", "et", "est")),
-    ("es", ("el", "los", "las", "y", "es")),
-)
+# ONE language-ID decision shared by this oracle-checked query, the
+# markdown emitter's M2 paragraph join (emit.merge_lines), and their
+# DuckDB oracle — constants live in kernels/langid.py (r4 directive #8)
+from .kernels.langid import LANG_PROFILES as _LANG_PROFILES  # noqa: E402
+from .kernels.langid import SCRIPT_RULES as _SCRIPT_RULES  # noqa: E402
 
 
 def q_doc_langid(spark, sf_dir):
     """Language identification (training-data op): script-class character
-    ratios decide CJK/Cyrillic outright; Latin text votes by
+    ratios decide ko/ja/zh/ru outright (cascade order — kana outranks the
+    unified-CJK test because Japanese mixes both); Latin text votes by
     language-marker stopword hits with a fixed priority tie-break.
     Deterministic and SQL-expressible, so DuckDB verifies the full
-    decision function.  (The documents table's `lang` METADATA is not
-    derivable from its synthetic English-vocab text — the operator
-    honestly predicts from the text itself.)"""
+    decision function — the SAME cascade emit.merge_lines runs per
+    paragraph for the M2 CJK join (kernels/langid.lang_of), so the md
+    spacing rule is itself oracle-checked here.  (The documents table's
+    `lang` METADATA is not derivable from its synthetic English-vocab
+    text — the operator honestly predicts from the text itself.)"""
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.trim("text"), " +")
     total = F.greatest(F.length(F.regexp_replace("text", " ", "")),
                        F.lit(1)).cast("double")
-    cjk = F.length(F.regexp_replace(
-        "text", "[^一-鿿]", "")).cast("double") / total
-    cyr = F.length(F.regexp_replace(
-        "text", "[^Ѐ-ӿ]", "")).cast("double") / total
+    ratios = {lang: F.length(F.regexp_replace(
+        "text", f"[^{cls}]", "")).cast("double") / total
+        for lang, cls, _thr in _SCRIPT_RULES}
+
     def _hits(ws):
         # single-arg lambda (a default arg would make Spark treat it as an
         # (element, index) higher-order function)
         return F.size(F.filter(words, lambda w: w.isin(*ws)))
 
     hits = {lang: _hits(ws) for lang, ws in _LANG_PROFILES}
-    best = F.when(cjk > 0.3, F.lit("zh")).when(cyr > 0.3, F.lit("ru"))
-    cond = None
+    best = None
+    for lang, _cls, thr in _SCRIPT_RULES:
+        cond = ratios[lang] > thr
+        best = F.when(cond, F.lit(lang)) if best is None \
+            else best.when(cond, F.lit(lang))
+    cond = best
     for lang, _ in _LANG_PROFILES:
         c = hits[lang]
         others = [hits[o] for o, _ in _LANG_PROFILES if o != lang]
         expr = (c > 0)
         for o in others:
             expr = expr & (c >= o)
-        cond = best.when(expr, F.lit(lang)) if cond is None \
-            else cond.when(expr, F.lit(lang))
+        cond = cond.when(expr, F.lit(lang))
     pred = cond.otherwise(F.lit("und"))
     return d.select("doc_id", pred.alias("pred_lang"),
-                    F.round(cjk, 6).alias("cjk_ratio"),
+                    F.round(ratios["zh"], 6).alias("cjk_ratio"),
                     *[hits[lang].cast("long").alias(f"hits_{lang}")
                       for lang, _ in _LANG_PROFILES])
 
@@ -1108,30 +1113,29 @@ def _langid_oracle_sql() -> str:
                   f" ' +'), x -> x IN ('" + "','".join(ws) + "'))) AS BIGINT)")
            for lang, ws in _LANG_PROFILES}
     prio = [lang for lang, _ in _LANG_PROFILES]
-    branches = []
+    branches = [f"WHEN n_{lang} / total > {thr} THEN '{lang}'"
+                for lang, _cls, thr in _SCRIPT_RULES]
     for lang in prio:
         conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{o}"
                                      for o in prio if o != lang]
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    scripts = ",\n                 ".join(
+        f"CAST(length(regexp_replace(text, '[^{cls}]', '', 'g'))"
+        f" AS DOUBLE) AS n_{lang}" for lang, cls, _thr in _SCRIPT_RULES)
     return f"""
         WITH base AS (
           SELECT doc_id, text,
                  CAST(GREATEST(length(replace(text, ' ', '')), 1) AS DOUBLE)
                    AS total,
-                 CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
-                   AS DOUBLE) AS n_cjk,
-                 CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
-                   AS DOUBLE) AS n_cyr,
+                 {scripts},
                  {', '.join(f"{sql} AS h_{lang}"
                             for lang, sql in hit.items())}
           FROM documents
         )
         SELECT doc_id,
-               CASE WHEN n_cjk / total > 0.3 THEN 'zh'
-                    WHEN n_cyr / total > 0.3 THEN 'ru'
-                    {' '.join(branches)}
+               CASE {' '.join(branches)}
                     ELSE 'und' END AS pred_lang,
-               ROUND(n_cjk / total, 6) AS cjk_ratio,
+               ROUND(n_zh / total, 6) AS cjk_ratio,
                {', '.join(f"h_{lang} AS hits_{lang}" for lang in prio)}
         FROM base
     """

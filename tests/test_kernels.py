@@ -1480,3 +1480,70 @@ def test_xlsx_gap_candidate_scoring():
     assert s1["interior_blank_line_ratio"] == 1 / 6
     assert abs(_penalty(s1) - (2.5 / 6 + 0.5 * 3 / 21)) < 1e-12
     assert s1["severe_separator_count"] == 0
+
+
+def test_langid_decision_cascade():
+    """Shared language-ID cascade (r4 directive #8): script ratios decide
+    ko/ja/zh/ru, stopword votes decide Latin languages, zero evidence →
+    'und'.  This is the SAME function emit.merge_lines gates the M2 CJK
+    join on and q_doc_langid runs as SQL (oracle-checked)."""
+    from mineru_spark.kernels.langid import lang_of
+
+    assert lang_of("数据管道处理文档的系统") == "zh"
+    assert lang_of("これはテストです") == "ja"          # kana outranks CJK
+    assert lang_of("데이터 파이프라인 시스템") == "ko"
+    assert lang_of("Это тестовая строка") == "ru"
+    assert lang_of("the cat and the dog of the house") == "en"
+    assert lang_of("der Hund und die Katze ist da") == "de"
+    assert lang_of("le chat et la maison est grande") == "fr"
+    assert lang_of("el perro y los gatos es grande") == "es"
+    assert lang_of("zxcv qwerty asdf") == "und"
+    assert lang_of("") == "und"
+
+
+def test_merge_lines_block_level_cjk():
+    """M2 join is block-level like the reference's detect_lang gate
+    (pipeline_middle_json_mkcontent.py:305-311, CJK_LANGS :221): a
+    majority-CJK paragraph joins ALL its line boundaries without a
+    separator, including a trailing Latin fragment."""
+    from mineru_spark.kernels import emit
+
+    assert emit.merge_lines(["数据管道分析系统的文档",
+                             "with spark"]) == "数据管道分析系统的文档with spark"
+    # majority-Latin stays western-joined even with a CJK fragment
+    assert emit.merge_lines(["the analysis of the pipeline system",
+                             "数据"]) == "the analysis of the pipeline system 数据"
+
+
+def test_guess_code_lang_token_classifier():
+    """B12 (r4 directive #7): the token-weight classifier identifies ≥5
+    languages deterministically and returns '' when unsure (the magika
+    stand-in's DEFAULT_LANG fallback, guess_suffix_or_lang.py:73-85)."""
+    from mineru_spark.kernels.langid import guess_code_lang
+
+    assert guess_code_lang(
+        "def load(path):\n    return None if not path else open(path)"
+    ) == "python"
+    assert guess_code_lang(
+        "SELECT a, b FROM t WHERE x > 1 GROUP BY a HAVING count(*) > 2"
+    ) == "sql"
+    assert guess_code_lang(
+        "const f = (x) => { console.log(typeof x); };"
+    ) == "javascript"
+    assert guess_code_lang(
+        "public static void main(String[] args) { System.out.println(1); }"
+    ) == "java"
+    assert guess_code_lang(
+        '#include <stdio.h>\nint main() { printf("hi"); return 0; }'
+    ) == "c"
+    assert guess_code_lang(
+        'func main() {\n  defer f.Close()\n  if err != nil { fmt.Println(err) }\n}'
+    ) == "go"
+    assert guess_code_lang(
+        'pub fn run() { let mut v = Vec::new(); println!("{}", 1); }'
+    ) == "rust"
+    assert guess_code_lang(
+        '#!/bin/bash\nif [ -f "$1" ]; then echo ok; fi'
+    ) == "shell"
+    assert guess_code_lang("just some prose with words") == ""
+    assert guess_code_lang("") == ""
