@@ -376,7 +376,12 @@ def _fallback_captions(raw: list[dict]) -> None:
             slot = CAPTION_LABELS.get(prev["label"])
             if not slot or slot[1] != "caption":
                 continue
-            if nxt["label"] not in ("table", "image"):
+            # the caption KIND must match the visual directly below —
+            # an image_caption above a table must not promote the
+            # fragment to image_caption (the attach loop would route it
+            # to a faraway image); the reference pairs the fragment with
+            # the specific visual block (ADVICE r4 low #4)
+            if nxt["label"] != slot[0]:
                 continue
             cb, rb, vb = prev["_raw"], r["_raw"], nxt["_raw"]
             ch = max(cb[3] - cb[1], 1.0)

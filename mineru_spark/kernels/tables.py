@@ -252,40 +252,56 @@ def _row_meta(grid_or_rows) -> list[dict]:
     TableMergeState row metrics, reference table_merge.py:95-160 /
     :385-399 / :484-550, recast on the occupancy algebra):
 
-      carried   cells continued into this row by a rowspan from above
+      carried   positions continued into this row by a rowspan from above
       actual    sum of this row's anchor colspans (no carry)
       eff       carried + actual (effective columns)
-      segments  rendered segments: carried placeholders + anchors
-                (colspan counts as ONE segment, :484-550)
+      segments  rendered VISUAL segments: consecutive columns from the
+                same source cell are ONE segment — an anchor's colspan is
+                not expanded, and a carried rowspan cell with colspan>1
+                is one segment, not one per occupied column (reference
+                calculate_row_rendered_segments, table_merge.py:541-565:
+                distinct consecutive source markers)
     """
     rows = (grid_or_rows.rows if isinstance(grid_or_rows, TableGrid)
             else grid_or_rows)
     out = []
-    occupied: dict[tuple[int, int], bool] = {}
+    # source-cell marker per occupied position, so carried runs collapse
+    # to one segment per source (the reference's visual-source scan)
+    occupied: dict[tuple[int, int], tuple] = {}
     for r, row in enumerate(rows):
         c = 0
         carried = 0
-        while occupied.get((r, c)):
-            carried += 1
-            c += 1
-        actual = 0
-        for cell in row:
-            while occupied.get((r, c)):
+        segments = 0
+        prev = None
+
+        def eat_carried(c, carried, segments, prev):
+            while (m := occupied.get((r, c))) is not None:
                 carried += 1
+                if m != prev:
+                    segments += 1
+                prev = m
                 c += 1
+            return c, carried, segments, prev
+
+        actual = 0
+        c, carried, segments, prev = eat_carried(c, carried, segments, prev)
+        for idx, cell in enumerate(row):
+            c, carried, segments, prev = eat_carried(c, carried, segments,
+                                                     prev)
+            marker = (r, idx)
             for dr in range(cell.rowspan):
                 for dc in range(cell.colspan):
-                    occupied[(r + dr, c + dc)] = True
+                    occupied[(r + dr, c + dc)] = marker
             actual += cell.colspan
+            segments += 1  # anchor = one segment, colspan not expanded
+            prev = marker
             c += cell.colspan
-        while occupied.get((r, c)):
-            carried += 1
-            c += 1
+        c, carried, segments, prev = eat_carried(c, carried, segments, prev)
         out.append({
             "carried": carried,
             "actual": actual,
             "eff": carried + actual,
-            "segments": carried + len(row),
+            "segments": segments,
             "colspans": tuple(cell.colspan for cell in row),
             "rowspans": tuple(cell.rowspan for cell in row),
             "texts": tuple(" ".join(cell.text.split()).lower()

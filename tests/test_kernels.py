@@ -857,6 +857,18 @@ def test_b10_inline_caption_fragment():
     assert img2["caption"] == ["Figure 1:"]
     assert any(b["type"] == "text" for b in blocks2)
 
+    # KIND mismatch (ADVICE r4 low #4): an image_caption above a TABLE
+    # must not promote the fragment — the attach loop would route an
+    # image_caption to a faraway image instead of the adjacent visual
+    layout_tbl = [
+        {"bbox": [45, 195, 150, 215], "label": "image_caption", "index": 0},
+        {"bbox": [155, 195, 300, 215], "label": "text", "index": 1},
+        {"bbox": [45, 230, 300, 330], "label": "table", "index": 2},
+    ]
+    blocks3, _, _ = extract_pdf(_page(cap + frag, layout_tbl))
+    assert any(b["type"] == "text" and "extra" in b.get("text", "")
+               for b in blocks3), "fragment must stay text on kind mismatch"
+
 
 def test_b10_stacked_table_caption_cluster():
     """B10 stacked fallback (:226-305): a single-line text fragment BELOW
@@ -1547,3 +1559,25 @@ def test_guess_code_lang_token_classifier():
     ) == "shell"
     assert guess_code_lang("just some prose with words") == ""
     assert guess_code_lang("") == ""
+
+
+def test_row_meta_segments_merge_carried_spans():
+    """A carried cell with rowspan>1 AND colspan>1 renders as ONE visual
+    segment in the continued row, not one per occupied column (reference
+    calculate_row_rendered_segments, table_merge.py:541-565: distinct
+    consecutive source markers).  ADVICE r4 low #2."""
+    html = ('<table>'
+            '<tr><td rowspan="2" colspan="2">wide-tall</td><td>x</td></tr>'
+            '<tr><td>y</td></tr>'
+            '<tr><td>a</td><td>b</td><td>c</td></tr></table>')
+    grids = tbl.parse_tables(html)
+    meta = tbl._row_meta(grids[0])
+    # row 0: two anchors (the 2x2 cell + x) = 2 segments
+    assert meta[0]["segments"] == 2
+    # row 1: the carried 2-wide cell is ONE segment + anchor y = 2
+    # (the old per-position count said 3)
+    assert meta[1]["segments"] == 2
+    assert meta[1]["carried"] == 2          # positions, unchanged
+    assert meta[1]["eff"] == 3
+    # row 2: three anchors
+    assert meta[2]["segments"] == 3
