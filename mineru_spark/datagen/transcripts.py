@@ -850,9 +850,20 @@ def _gen_docx(rng: random.Random) -> str:
         else:
             runs = []
             for _k in range(rng.randint(1, 4)):
-                runs.append({"text": _sentence(rng, 3, 8, special=True) + ".",
-                             "bold": rng.random() < 0.2,
-                             "italic": rng.random() < 0.15})
+                run = {"text": _sentence(rng, 3, 8, special=True) + ".",
+                       "bold": rng.random() < 0.2,
+                       "italic": rng.random() < 0.15}
+                # full style chain (r4): underline/strikethrough render
+                # as HTML tags (reference complex styles), super/sub as
+                # <sup>/<sub>; all land in v2 style lists
+                sd = rng.random()
+                if sd < 0.06:
+                    run["underline"] = True
+                elif sd < 0.1:
+                    run["strikethrough"] = True
+                elif sd < 0.13:
+                    run["script"] = "super" if sd < 0.115 else "sub"
+                runs.append(run)
             # OMML inline math run (oMath2Latex analog: latex on the run)
             if rng.random() < 0.15:
                 runs.append({"math": rng.choice(

@@ -15,7 +15,9 @@ of styled paragraphs with inline runs:
                   |"TOC",
          "num": {"id": int, "ilvl": int, "ordered": bool},   # optional
          "runs": [{"text": "...", "bold": false, "italic": false,
-                   "hidden": false, "link": "https://..."?}
+                   "underline": false, "strikethrough": false,
+                   "script": "super"|"sub"?, "hidden": false,
+                   "link": "https://..."?}
                   | {"math": "latex"}]}
       | {"style": "Table",
          "rows": [[{"text": "...", "rowspan": 1, "colspan": 1,
@@ -77,16 +79,62 @@ def _escape_link_url(url: str) -> str:
     return str(url).strip().replace("(", "%28").replace(")", "%29")
 
 
-def _styled_md(text: str, bold: bool, italic: bool, *, link: bool = False) -> str:
+# pure-markdown wrapper per style SET (reference
+# OFFICE_MARKDOWN_STYLE_WRAPPERS, inline_renderer.py:29-34); any other
+# combination renders with the HTML tag nesting of _apply_html_style
+# (:91-117) — the reference switches such blocks to HTML inline syntax,
+# we apply the same tags at run granularity
+_MD_STYLE_WRAPPERS = {
+    frozenset({"bold"}): "**",
+    frozenset({"italic"}): "*",
+    frozenset({"strikethrough"}): "~~",
+    frozenset({"bold", "italic"}): "***",
+}
+
+
+def _run_styles(r: dict) -> tuple[str, ...]:
+    """Ordered style names of a run (reference formatting_to_style_str,
+    office_rich_text.py:44-62; script 'super'/'sub' → super/subscript)."""
+    styles = []
+    for k in ("bold", "italic", "underline", "strikethrough"):
+        if r.get(k):
+            styles.append(k)
+    if r.get("script") == "super":
+        styles.append("superscript")
+    elif r.get("script") == "sub":
+        styles.append("subscript")
+    return tuple(styles)
+
+
+def _apply_styles(t: str, styles: tuple[str, ...]) -> str:
+    if not styles or not t:
+        return t
+    key = frozenset(styles)
+    wrapper = _MD_STYLE_WRAPPERS.get(key)
+    if wrapper:
+        return f"{wrapper}{t}{wrapper}"
+    # HTML nesting, innermost first (inline_renderer.py:91-117)
+    if "superscript" in key:
+        t = f"<sup>{t}</sup>"
+    elif "subscript" in key:
+        t = f"<sub>{t}</sub>"
+    if "underline" in key:
+        t = f"<u>{t}</u>"
+    if "bold" in key:
+        t = f"<strong>{t}</strong>"
+    if "italic" in key:
+        t = f"<em>{t}</em>"
+    if "strikethrough" in key:
+        t = f"<s>{t}</s>"
+    return t
+
+
+def _styled_md(text: str, styles: tuple[str, ...], *, link: bool = False) -> str:
     t = (_escape_link_label(text) if link
          else emit.escape_markdown(emit.normalize_text(text)))
     if not t:
         return ""
-    if bold:
-        t = f"**{t}**"
-    if italic:
-        t = f"*{t}*"
-    return t
+    return _apply_styles(t, styles)
 
 
 def _render_runs(runs: list) -> tuple[str, list[tuple]]:
@@ -137,8 +185,7 @@ def _render_runs(runs: list) -> tuple[str, list[tuple]]:
                 j += 1
             label_md = " ".join(
                 s for s in (_styled_md(str(g.get("text", "")),
-                                       bool(g.get("bold")),
-                                       bool(g.get("italic")), link=True)
+                                       _run_styles(g), link=True)
                             for g in group) if s)
             label_plain = " ".join(
                 s for s in (emit.normalize_text(str(g.get("text", "")))
@@ -148,15 +195,22 @@ def _render_runs(runs: list) -> tuple[str, list[tuple]]:
                 records.append(("hyperlink", label_plain, str(link).strip()))
             i = j
             continue
-        t = _styled_md(str(r.get("text", "")), bool(r.get("bold")),
-                       bool(r.get("italic")))
+        styles = _run_styles(r)
+        t = _styled_md(str(r.get("text", "")), styles)
         if t:
             parts.append(t)
             plain = emit.normalize_text(str(r.get("text", "")))
-            bold, italic = bool(r.get("bold")), bool(r.get("italic"))
-            rtype = ("bold_italic" if bold and italic else
-                     "bold" if bold else "italic" if italic else "text")
-            records.append((rtype, plain))
+            sset = frozenset(styles)
+            if not styles:
+                records.append(("text", plain))
+            elif sset == {"bold", "italic"}:
+                records.append(("bold_italic", plain))
+            elif sset in ({"bold"}, {"italic"}):
+                records.append((styles[0], plain))
+            else:
+                # full style chain → generic styled record with the
+                # ordered style list (v2 text run with style=[...])
+                records.append(("styled", plain, list(styles)))
         i += 1
     return " ".join(parts), records
 

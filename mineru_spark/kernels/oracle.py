@@ -117,6 +117,15 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                     out.append({"content": label, "type": "hyperlink",
                                 "url": url})
                 continue
+            if rec[0] == "styled":
+                # ("styled", content, [styles...]): full style chain
+                # (underline/strikethrough/super/subscript combos)
+                _, content, styles = rec
+                content = emit.normalize_text(content)
+                if content:
+                    out.append({"content": content, "type": "text",
+                                "style": list(styles)})
+                continue
             typ, content = rec
             style = _V2_RUN_STYLE.get(typ)
             vt = "text" if style else _V2_RUN_TYPE.get(typ, "text")
@@ -247,10 +256,13 @@ def _middle_json(blocks: list[dict], route: str) -> str:
                 item["lines"] = b["_lines"]
             elif b.get("_runs"):
                 # geometry-free converters (office/html) keep typed runs;
-                # 3-field hyperlink records carry their url
+                # 3-field records carry their url (hyperlink) or style
+                # list (styled)
                 item["spans"] = [
                     {"type": r[0], "content": r[1],
-                     **({"url": r[2]} if len(r) > 2 else {})}
+                     **({} if len(r) < 3 else
+                        {"url": r[2]} if r[0] == "hyperlink" else
+                        {"style": list(r[2])})}
                     for r in b["_runs"]]
         pages.setdefault(b["page_idx"], []).append(item)
     info = [{"page_idx": p, "para_blocks": pages.get(p, []),

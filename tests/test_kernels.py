@@ -1581,3 +1581,34 @@ def test_row_meta_segments_merge_carried_spans():
     assert meta[1]["eff"] == 3
     # row 2: three anchors
     assert meta[2]["segments"] == 3
+
+
+def test_docx_full_style_chain():
+    """Underline/strikethrough/super/subscript runs (r4 style-chain
+    depth): pure md-expressible sets use the reference's wrappers
+    (OFFICE_MARKDOWN_STYLE_WRAPPERS, inline_renderer.py:29-34), complex
+    sets nest HTML tags in the reference's order (:91-117), and v2
+    records carry the ordered style list."""
+    import json
+    payload = {"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [
+            {"text": "gone", "strikethrough": True},
+            {"text": "both", "bold": True, "italic": True},
+            {"text": "under", "underline": True},
+            {"text": "x2", "script": "super"},
+            {"text": "h2o", "script": "sub"},
+            {"text": "bu", "bold": True, "underline": True}]},
+    ]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["md"] == ("~~gone~~ ***both*** <u>under</u> <sup>x2</sup> "
+                         "<sub>h2o</sub> <strong><u>bu</u></strong>")
+    v2 = json.loads(out["content_list_v2"])
+    para = v2[0][0]["content"]["paragraph_content"]
+    assert {"content": "gone", "type": "text",
+            "style": ["strikethrough"]} in para
+    assert {"content": "under", "type": "text",
+            "style": ["underline"]} in para
+    assert {"content": "x2", "type": "text",
+            "style": ["superscript"]} in para
+    assert {"content": "bu", "type": "text",
+            "style": ["bold", "underline"]} in para
