@@ -1032,6 +1032,19 @@ def _gen_pptx(rng: random.Random) -> str:
                          "kind": "body",
                          "text": _sentence(rng, 4, 8) + "."},
                     ]})
+            elif r < 0.8:
+                # styled/hyperlink body runs through the shared office
+                # run machinery (reference routes pptx runs through the
+                # same office_rich_text helpers as docx)
+                runs = [{"text": _sentence(rng, 3, 6) + "."},
+                        {"text": _sentence(rng, 1, 3),
+                         "bold": rng.random() < 0.5,
+                         "italic": rng.random() < 0.3}]
+                if rng.random() < 0.4:
+                    runs.append({"text": _sentence(rng, 1, 2),
+                                 "link": f"https://example.org/s/{sidx}"})
+                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                               "kind": "body", "text": "", "runs": runs})
             else:
                 lines = "\n".join(_sentence(rng, 4, 8) + "."
                                    for _ in range(rng.randint(1, 3)))

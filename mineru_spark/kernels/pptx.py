@@ -13,7 +13,8 @@ fragments:
          "notes": ["speaker note", ...],                      # optional
          "shapes": [
             {"bbox": [x0,y0,x1,y1], "kind": "title"|"body"|"bullets",
-             "text": "..."},
+             "text": "...",
+             "runs": [docx-style run dicts]?},   # body: styled/link runs
             {"bbox": [...], "kind": "table", "html": "<table>…"},
             {"kind": "group", "offset": [dx,dy], "scale": [sx,sy],
              "shapes": [...]}]}]}
@@ -85,7 +86,8 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                                    "page_idx": sidx, "bbox": nb, "level": 1})
                 continue
             text = str(sp.get("text", "")).strip()
-            if not text:
+            rich = (kind == "body" and isinstance(sp.get("runs"), list))
+            if not text and not rich:
                 continue
             if kind == "title":
                 btype, level = "title", 2
@@ -96,8 +98,21 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
             else:
                 btype, level = "text", 1
                 text = emit.merge_lines(text.split("\n"))
-            blocks.append({"type": btype, "text": text, "page_idx": sidx,
-                           "bbox": nb, "level": level})
+            rec = {"type": btype, "text": text, "page_idx": sidx,
+                   "bbox": nb, "level": level}
+            if rich:
+                # styled/hyperlink runs through the SHARED office run
+                # machinery (the reference routes pptx runs through the
+                # same office_rich_text helpers as docx,
+                # pptx_converter.py:570 _build_paragraph_rich_text +
+                # :1009-1028 hyperlink tag; office_rich_text.py:180-228)
+                from .docx import _render_runs
+                rtext, rrecs = _render_runs(sp["runs"])
+                if rtext:
+                    rec.update(text=rtext, pre_rendered=True, _runs=rrecs)
+                elif not text:
+                    continue
+            blocks.append(rec)
         # speaker notes AFTER the slide's shapes (reference :206, :548-582)
         notes = slide.get("notes")
         if isinstance(notes, str):

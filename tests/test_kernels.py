@@ -1612,3 +1612,30 @@ def test_docx_full_style_chain():
             "style": ["superscript"]} in para
     assert {"content": "bu", "type": "text",
             "style": ["bold", "underline"]} in para
+
+
+def test_pptx_rich_body_runs():
+    """PPTX body shapes route styled/hyperlink runs through the shared
+    office run machinery (reference _build_paragraph_rich_text,
+    pptx_converter.py:570, over the same office_rich_text helpers as
+    DOCX): md gets the styled/link rendering, v2 gets typed records."""
+    import json
+    payload = {"kind": "pptx_shapes", "slides": [
+        {"slide_idx": 0, "size": [960, 540], "shapes": [
+            {"bbox": [80, 30, 880, 80], "kind": "title", "text": "Deck"},
+            {"bbox": [80, 120, 460, 400], "kind": "body", "text": "",
+             "runs": [{"text": "plain bit."},
+                      {"text": "hot", "bold": True},
+                      {"text": "docs", "link": "https://ex.org/d"}]},
+        ]}]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["route"] == "pptx"
+    assert "plain bit. **hot** [docs](https://ex.org/d)" in out["md"]
+    v2 = json.loads(out["content_list_v2"])
+    para = [b for pg in v2 for b in pg
+            if b["type"] == "paragraph"][0]["content"]["paragraph_content"]
+    assert {"content": "hot", "type": "text", "style": ["bold"]} in para \
+        or ("bold", "hot") in [(r.get("style", [None])[0], r["content"])
+                               for r in para if r.get("style")]
+    assert {"content": "docs", "type": "hyperlink",
+            "url": "https://ex.org/d"} in para
