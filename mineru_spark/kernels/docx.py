@@ -58,11 +58,12 @@ _STYLE_HEADING = {"Heading1": 1, "Heading2": 2, "Heading3": 3}
 
 def _valid_link_target(target) -> bool:
     """Reference is_valid_hyperlink_target (office_rich_text.py:172-178):
-    non-None, non-blank, and not the self-referential '.'."""
-    if target is None:
+    non-None, non-blank, and not the self-referential '.'.  Hostile
+    payloads: only STRING targets qualify — a dict/list in the link slot
+    must degrade to plain text, not stringify into a URL."""
+    if not isinstance(target, str):
         return False
-    s = str(target)
-    return bool(s and s.strip() and s != ".")
+    return bool(target and target.strip() and target != ".")
 
 
 def _escape_link_label(text: str) -> str:
@@ -166,7 +167,8 @@ def _render_runs(runs: list) -> tuple[str, list[tuple]]:
             i += 1
             continue  # webHidden: TOC page-number field runs
         if "math" in r:
-            m = str(r.get("math", "")).strip()
+            m = r.get("math")
+            m = m.strip() if isinstance(m, str) else ""
             if m:
                 parts.append(f"${m}$")
                 records.append(("inline_equation", m))

@@ -1639,3 +1639,16 @@ def test_pptx_rich_body_runs():
                                for r in para if r.get("style")]
     assert {"content": "docs", "type": "hyperlink",
             "url": "https://ex.org/d"} in para
+
+
+def test_docx_hostile_run_payloads():
+    """Hostile run fields degrade, never raise and never leak non-string
+    link targets into []() syntax (job-level never-raise guarantee)."""
+    import json
+    p = {"kind": "docx_runs", "paras": [{"style": "Normal", "runs": [
+        {"text": 5, "link": {"a": 1}}, {"link": None, "text": "x"},
+        {"math": None}, {"text": "z", "link": ["arr"]},
+        {"text": "y", "script": 42}, "junk", None]}]}
+    out = extract_turn(json.dumps(p), "file_reader")
+    assert out["route"] == "docx"
+    assert out["md"] == "5 x z y"
