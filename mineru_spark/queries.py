@@ -1234,6 +1234,117 @@ ORACLES["q_doc_repetition"] = """
 RELATIONAL_QUERIES["q_doc_repetition"] = q_doc_repetition
 
 
+DECON_N = 8         # decontamination n-gram width (The-Pile-style 13-gram
+                    # rule scaled to the synthetic doc length; the width is
+                    # a literal, not a plan property)
+DECON_EVAL_MOD = 50  # deterministic eval split: doc_id % 50 == 0
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval decontamination (training-data op): flag training
+    documents sharing any word 8-gram with the held-out eval split (the
+    GPT-3/Pile n-gram overlap rule).  Per train doc: distinct-gram count,
+    contaminated-gram count, overlap ratio, flag.
+
+    Scale shape: the eval split is SMALL by construction at any corpus
+    size, so its distinct-gram set broadcasts — the only shuffle is the
+    per-doc gram aggregation; no train×eval pair join ever forms.  At
+    10^12 docs the eval grams become a materialized bloom/set table and
+    the join key is unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (d.select("doc_id", F.split(F.trim("text"), " +").alias("w"))
+             .select("doc_id", F.explode(F.array_distinct(F.expr(
+                 f"CASE WHEN size(w) < {DECON_N} THEN array() "
+                 f"ELSE transform(sequence(0, size(w) - {DECON_N}), "
+                 f"i -> concat_ws(' ', slice(w, i + 1, {DECON_N}))) END"
+             ))).alias("g")))
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    train = grams.filter(~is_eval)
+    totals = train.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"))
+    hits = (train.join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("_hits")))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("_hits", F.lit(0)).cast("long")
+                    .alias("n_contaminated"),
+                    F.round(F.coalesce("_hits", F.lit(0)).cast("double")
+                            / F.col("n_grams"), 6)
+                    .alias("contamination_ratio"),
+                    (F.coalesce("_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+ORACLES["q_decontaminate"] = f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - {DECON_N} + 2),
+               i -> array_to_string(w[i:i + {DECON_N} - 1], ' ')))) AS g
+      FROM words WHERE len(w) >= {DECON_N}
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ), train AS (
+      SELECT * FROM grams WHERE doc_id % {DECON_EVAL_MOD} != 0
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM train GROUP BY doc_id
+    ), hit AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_cont
+      FROM train t JOIN ev e USING (g) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams,
+           COALESCE(n_cont, 0) AS n_contaminated,
+           ROUND(CAST(COALESCE(n_cont, 0) AS DOUBLE) / n_grams, 6)
+             AS contamination_ratio,
+           COALESCE(n_cont, 0) > 0 AS contaminated
+    FROM tot LEFT JOIN hit USING (doc_id)
+"""
+RELATIONAL_QUERIES["q_decontaminate"] = q_decontaminate
+
+
+SAMPLE_PER_STRATUM = 20  # deterministic per-language sample size
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data op): up to K
+    documents per language stratum, selected by md5(doc_id) rank — the
+    distributed, replayable analog of per-group reservoir sampling (the
+    hash IS the reservoir priority, so any re-run or incremental batch
+    picks the same sample).  One window shuffle keyed by the stratum;
+    state per key is the stratum's rows, never global."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(pri, "doc_id")
+    return (d.select("doc_id", "lang", "n_chars",
+                     pri.alias("pri"),
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+            .select("doc_id", "lang", "n_chars",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+ORACLES["q_stratified_sample"] = f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+RELATIONAL_QUERIES["q_stratified_sample"] = q_stratified_sample
+
+
 COS_NEAR_MIN = 0.25  # near-dup cosine threshold on the isotropic synthetic
                      # embeddings (top-pair cosines ≈ 0.3; a production 0.9
                      # threshold only changes the literal)

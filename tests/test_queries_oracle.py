@@ -14,6 +14,7 @@ FAST_QUERIES = [
     "q01_pricing_summary", "q03_top_orders", "q_sessionize_events",
     "q_asof_prior_view", "q_value_band_join", "q_set_ops",
     "q_exact_dedup", "q_minhash_lsh_buckets", "q_embed_cosine_topk",
+    "q_decontaminate", "q_stratified_sample",
     "x_docwrap_roundtrip",
 ]
 
