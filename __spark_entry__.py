@@ -118,6 +118,16 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "mime", "decode_ok"))
 
 
+def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means final assignment (iterative algorithm; oracle =
+    independent Python reimplementation with exact-decimal centroid sums,
+    golden.ensure_golden_kmeans)."""
+    from mineru_spark.golden import ensure_golden_kmeans
+    from mineru_spark.simsearch import kmeans_assign
+    ensure_golden_kmeans(_oracle_sf_dir(sf_dir))
+    return kmeans_assign(spark, sf_dir)
+
+
 def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (scale path; brute-force baseline is the
     oracle-checked q_embed_cosine_topk).  Oracle = independent numpy
@@ -149,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["x_fingerprint_pairs"] = x_fingerprint_pairs
     out["x_media_features"] = x_media_features
     out["x_ann_topk"] = x_ann_topk
+    out["x_kmeans"] = x_kmeans
     return out
 
 
@@ -160,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
                                      ensure_golden_docwrap,
                                      ensure_golden_extract,
                                      ensure_golden_fingerprints,
+                                     ensure_golden_kmeans,
                                      ensure_golden_media, golden_path)
     from mineru_spark.textops import FP_MAX_DF
 
@@ -175,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
             ensure_golden_docwrap(sf01)
             ensure_golden_fingerprints(sf01)
             ensure_golden_ann(sf01, k=10, radius=2)
+            ensure_golden_kmeans(sf01)
     except Exception:
         pass  # each query function also ensures its own golden
 
@@ -224,4 +237,7 @@ def oracle_sql() -> dict[str, str]:
     out["x_ann_topk"] = f"""
         SELECT vec_id, label, cos
         FROM read_parquet('{golden_path("golden_ann")}')"""
+    out["x_kmeans"] = f"""
+        SELECT vec_id, cent, dist2
+        FROM read_parquet('{golden_path("golden_kmeans")}')"""
     return out

@@ -315,3 +315,75 @@ def ensure_golden_ann(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     })
     _write_atomic(table, path)
     return path
+
+
+def ensure_golden_kmeans(sf_dir: str, sf: float = ORACLE_SF) -> str:
+    """Independent Python re-implementation of simsearch.kmeans_assign:
+    identical init (vec_id 1..K), identical left-fold squared-L2 order,
+    identical 9-dp HALF_UP rounding before the argmin, identical EXACT
+    decimal centroid sums (decimal addition is associative, so Spark's
+    partition order cannot diverge) and identical mean quantization.
+    Every double op is plain Python float (IEEE 754, same op order →
+    same bits as the JVM expression)."""
+    path = golden_path("golden_kmeans", sf)
+    if os.path.exists(path):
+        return path
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .simsearch import KMEANS_ITERS, KMEANS_K
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vec_ids = pdf["vec_id"].to_numpy()
+    mat = [list(map(float, v)) for v in pdf["embedding"]]
+    q9 = Decimal("1e-9")
+    q15 = Decimal("1e-15")
+
+    def dists(x, cents):
+        out = []
+        for c in cents:
+            acc = 0.0
+            for a, b in zip(x, c):
+                acc = acc + (a - b) * (a - b)
+            out.append(float(Decimal(repr(acc)).quantize(
+                q9, rounding=ROUND_HALF_UP)))
+        return out
+
+    def assign(x, cents):
+        d = dists(x, cents)
+        m = min(d)
+        return d.index(m), m
+
+    cents = [mat[int(np.flatnonzero(vec_ids == i)[0])]
+             for i in range(1, KMEANS_K + 1)]
+    for _ in range(KMEANS_ITERS):
+        sums = [[Decimal(0)] * len(mat[0]) for _ in range(KMEANS_K)]
+        counts = [0] * KMEANS_K
+        for x in mat:
+            ci, _ = assign(x, cents)
+            counts[ci] += 1
+            for j, v in enumerate(x):
+                sums[ci][j] += Decimal(repr(v)).quantize(
+                    q15, rounding=ROUND_HALF_UP)
+        new_cents = []
+        for ci in range(KMEANS_K):
+            if not counts[ci]:
+                new_cents.append(cents[ci])
+                continue
+            n = Decimal(counts[ci])
+            new_cents.append([
+                float((s / n).quantize(q9, rounding=ROUND_HALF_UP))
+                for s in sums[ci]])
+        cents = new_cents
+    rows = [(int(vid),) + assign(x, cents)
+            for vid, x in zip(vec_ids, mat)]
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cent": pa.array([r[1] for r in rows], pa.int64()),
+        "dist2": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _write_atomic(table, path)
+    return path

@@ -149,3 +149,105 @@ def brute_topk_ids(spark: SparkSession, sf_dir: str, k: int = 10,
     ids = [int(pdf["vec_id"].iloc[i]) for i in order
            if int(pdf["vec_id"].iloc[i]) != query_vec_id]
     return ids[:k]
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's iterations) — embedding clustering for corpus curation
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_init(spark, sf_dir: str) -> list[list[float]]:
+    """Deterministic init: the vectors of vec_id 1..K (the same
+    fixed-sample discipline as the IVF coarse quantizer — both engines
+    derive identical seeds from the data itself)."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= KMEANS_K))
+            .orderBy("vec_id").collect())
+    return [[float(v) for v in r["embedding"]] for r in rows]
+
+
+def _kmeans_dist_cols(cents: list[list[float]]):
+    """Squared-L2 distance to each centroid as a LEFT-FOLD aggregate
+    (fixed element order → bit-identical to the golden's Python loop),
+    rounded to 9 dp before the argmin so both engines compare identical
+    decimals."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for ci, c in enumerate(cents):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        diff2 = F.zip_with("embedding", arr,
+                           lambda x, w: (x.cast("double") - w)
+                           * (x.cast("double") - w))
+        cols.append(F.round(F.aggregate(diff2, F.lit(0.0),
+                                        lambda acc, v: acc + v), 9)
+                    .alias(f"d{ci}"))
+    return cols
+
+
+def _kmeans_assign_col(k: int):
+    from pyspark.sql import functions as F
+
+    gmin = F.least(*[F.col(f"d{ci}") for ci in range(k)])
+    cent = None
+    for ci in range(k):
+        branch = F.when(F.col(f"d{ci}") == gmin, F.lit(ci))
+        cent = branch if cent is None else cent.when(
+            F.col(f"d{ci}") == gmin, F.lit(ci))
+    # CASE evaluates in order → first matching centroid wins ties
+    return cent.cast("long").alias("cent")
+
+
+def kmeans_assign(spark, sf_dir: str):
+    """Lloyd's k-means over the embedding table (training-data op:
+    cluster-balanced curation / dedup-by-cluster), KMEANS_ITERS update
+    rounds from the deterministic init, returning the final
+    (vec_id, cent, dist2) assignment.
+
+    Scale shape per iteration: one narrow partial+final aggregation —
+    K×DIM decimal sums + a count per centroid (a few KB) — collected to
+    the driver; the embeddings are scanned per iteration and nothing fat
+    is cached or collected.  Centroid sums use decimal(30,15): decimal
+    addition is EXACT, hence associative, so the result is independent
+    of partition order — the property that makes the cross-engine hash
+    gate possible (float sums differ in the last ulp per fold order).
+    The golden (golden.ensure_golden_kmeans) mirrors every fold order
+    and rounding rule in plain Python and must match bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _kmeans_init(spark, sf_dir)
+    q9 = Decimal("1e-9")
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select("vec_id", "embedding",
+                            *_kmeans_dist_cols(cents)) \
+            .select("vec_id", "embedding", _kmeans_assign_col(len(cents)))
+        sums = (assigned.groupBy("cent")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("embedding")[i].cast("double")
+                             .cast("decimal(30,15)")).alias(f"s{i}")
+                       for i in range(DIM)])
+                .collect())
+        by_cent = {int(r["cent"]): r for r in sums}
+        new_cents = []
+        for ci in range(len(cents)):
+            r = by_cent.get(ci)
+            if r is None or not r["n"]:
+                new_cents.append(cents[ci])  # empty cluster keeps its seed
+                continue
+            n = Decimal(int(r["n"]))
+            new_cents.append([
+                float((Decimal(r[f"s{i}"]) / n).quantize(q9, ROUND_HALF_UP))
+                for i in range(DIM)])
+        cents = new_cents
+    return (e.select("vec_id", "embedding", *_kmeans_dist_cols(cents))
+            .select("vec_id", _kmeans_assign_col(len(cents)),
+                    F.least(*[F.col(f"d{ci}") for ci in range(len(cents))])
+                    .alias("dist2")))

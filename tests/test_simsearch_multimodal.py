@@ -94,3 +94,21 @@ def test_multimodal_decode_failure_degrades(spark):
     df = spark.createDataFrame(bad, schema=MEDIA_SCHEMA)
     got = extract_features(df).toPandas()
     assert list(got.decode_ok) == [False, False]
+
+
+def test_kmeans_deterministic_and_balanced(spark):
+    """Lloyd's k-means: deterministic across runs (decimal centroid sums
+    are exact → partition-order independent), every vector assigned,
+    dist2 nonneg; the sf0.01 hash gate (x_kmeans vs the independent
+    Python golden) is the full value check."""
+    from mineru_spark.simsearch import KMEANS_K, kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r["vec_id"], r["cent"], r["dist2"])
+         for r in kmeans_assign(spark, sf).collect()}
+    b = {(r["vec_id"], r["cent"], r["dist2"])
+         for r in kmeans_assign(spark, sf).collect()}
+    assert a == b and a
+    cents = {c for _, c, _ in a}
+    assert cents <= set(range(KMEANS_K))
+    assert all(d >= 0 for _, _, d in a)
