@@ -1345,6 +1345,134 @@ ORACLES["q_stratified_sample"] = f"""
 RELATIONAL_QUERIES["q_stratified_sample"] = q_stratified_sample
 
 
+# cleaning-pass thresholds (C4/Gopher-style; fixed literals shared with
+# the oracle SQL)
+CLEAN_MIN_WORDS = 5
+CLEAN_MAX_WORD_LEN = 40
+CLEAN_MAX_PUNCT = 0.3
+CLEAN_MAX_DUP_BIGRAM = 0.5
+
+
+def q_clean_filter(spark, sf_dir):
+    """The composed cleaning PASS a training pipeline runs (training-data
+    op): every document gets keep/drop + the FIRST matching reason in a
+    fixed cascade — duplicate (not the min-doc_id keeper of its content
+    hash), too_few_words, long_word, high_punct, repetitive (dup-bigram
+    ratio), lang_und (no script/stopword evidence, the q_doc_langid
+    'und' outcome) — composing the oracle-checked signal family into the
+    actual filter decision.
+
+    Scale shape: one narrow window shuffle keyed by content hash (the
+    dedup rank) + per-row expressions; no joins.  Reason literals and
+    thresholds are shared with the DuckDB oracle."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), " +")
+    nwords = F.size(w)
+    nchars = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(
+        "text", r"""[^.,;:!?'"()\[\]{}-]""", "")).cast("double") / nchars
+    maxw = F.array_max(F.transform(w, F.length))
+    bigrams = F.expr("CASE WHEN size(w) < 2 THEN array() ELSE "
+                     "transform(sequence(0, size(w) - 2), "
+                     "i -> concat_ws(' ', w[i], w[i+1])) END")
+    dup_bg = (F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double")
+              / F.greatest(F.size(bigrams), F.lit(1)))
+    # language evidence: any script ratio over threshold OR any stopword
+    # hit (== q_doc_langid pred != 'und', same shared constants)
+    total = F.greatest(F.length(F.regexp_replace("text", " ", "")),
+                       F.lit(1)).cast("double")
+    script_ev = None
+    for lang, cls, thr in _SCRIPT_RULES:
+        c = (F.length(F.regexp_replace("text", f"[^{cls}]", ""))
+             .cast("double") / total) > thr
+        script_ev = c if script_ev is None else (script_ev | c)
+    stop_ev = None
+    for _lang, ws in _LANG_PROFILES:
+        c = F.size(F.filter(w, lambda x: x.isin(*ws))) > 0
+        stop_ev = c if stop_ev is None else (stop_ev | c)
+    has_lang = script_ev | stop_ev
+
+    dup_rank = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id"))
+    base = d.select("doc_id", w.alias("w"), nwords.alias("nw"),
+                    F.round(punct, 6).alias("punct"),
+                    maxw.alias("maxw"),
+                    F.round(dup_bg, 6).alias("dupbg"),
+                    has_lang.alias("has_lang"),
+                    dup_rank.alias("dup_rank"))
+    reason = (F.when(F.col("dup_rank") > 1, F.lit("duplicate"))
+              .when(F.col("nw") < CLEAN_MIN_WORDS, F.lit("too_few_words"))
+              .when(F.col("maxw") > CLEAN_MAX_WORD_LEN, F.lit("long_word"))
+              .when(F.col("punct") > CLEAN_MAX_PUNCT, F.lit("high_punct"))
+              .when(F.col("dupbg") > CLEAN_MAX_DUP_BIGRAM,
+                    F.lit("repetitive"))
+              .when(~F.col("has_lang"), F.lit("lang_und"))
+              .otherwise(F.lit("ok")))
+    return base.select("doc_id", reason.alias("reason"),
+                       (reason == "ok").alias("keep"))
+
+
+def _clean_filter_oracle_sql() -> str:
+    script_ev = " OR ".join(
+        f"(CAST(length(regexp_replace(text, '[^{cls}]', '', 'g')) AS DOUBLE)"
+        f" / total) > {thr}" for _lang, cls, thr in _SCRIPT_RULES)
+    stop_ev = " OR ".join(
+        "len(list_filter(w, x -> x IN ('" + "','".join(ws) + "'))) > 0"
+        for _lang, ws in _LANG_PROFILES)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), ' +') AS w,
+                 CAST(GREATEST(length(text), 1) AS DOUBLE) AS nchars,
+                 CAST(GREATEST(length(replace(text, ' ', '')), 1) AS DOUBLE)
+                   AS total,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS dup_rank
+          FROM documents
+        ), feat AS (
+          SELECT doc_id, w, total, dup_rank,
+                 len(w) AS nw,
+                 ROUND(CAST(length(regexp_replace(text,
+                   '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                   / nchars, 6) AS punct,
+                 list_aggregate(list_transform(w, x -> length(x)), 'max')
+                   AS maxw,
+                 ROUND(1.0 - CAST(len(list_distinct(
+                   CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                        ELSE list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i + 1])
+                   END)) AS DOUBLE)
+                   / GREATEST(CASE WHEN len(w) < 2 THEN 0
+                              ELSE len(w) - 1 END, 1), 6) AS dupbg,
+                 ({script_ev} OR {stop_ev}) AS has_lang,
+                 text
+          FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN dup_rank > 1 THEN 'duplicate'
+                    WHEN nw < {CLEAN_MIN_WORDS} THEN 'too_few_words'
+                    WHEN maxw > {CLEAN_MAX_WORD_LEN} THEN 'long_word'
+                    WHEN punct > {CLEAN_MAX_PUNCT} THEN 'high_punct'
+                    WHEN dupbg > {CLEAN_MAX_DUP_BIGRAM} THEN 'repetitive'
+                    WHEN NOT has_lang THEN 'lang_und'
+                    ELSE 'ok' END AS reason,
+               (CASE WHEN dup_rank > 1 THEN 'duplicate'
+                    WHEN nw < {CLEAN_MIN_WORDS} THEN 'too_few_words'
+                    WHEN maxw > {CLEAN_MAX_WORD_LEN} THEN 'long_word'
+                    WHEN punct > {CLEAN_MAX_PUNCT} THEN 'high_punct'
+                    WHEN dupbg > {CLEAN_MAX_DUP_BIGRAM} THEN 'repetitive'
+                    WHEN NOT has_lang THEN 'lang_und'
+                    ELSE 'ok' END) = 'ok' AS keep
+        FROM feat
+    """
+
+
+ORACLES["q_clean_filter"] = _clean_filter_oracle_sql()
+RELATIONAL_QUERIES["q_clean_filter"] = q_clean_filter
+
+
 COS_NEAR_MIN = 0.25  # near-dup cosine threshold on the isotropic synthetic
                      # embeddings (top-pair cosines ≈ 0.3; a production 0.9
                      # threshold only changes the literal)

@@ -97,3 +97,38 @@ def test_golden_builders_cold_cache(tmp_path, monkeypatch):
     assert rows == (50, 50)
     # idempotent: second call returns the cached file
     assert g.ensure_golden_media(50) == path
+
+
+def test_clean_filter_all_reasons(spark, tmp_path):
+    """Every reason of the cleaning cascade fires and both engines agree
+    on crafted documents (the sf0.01 corpus only exercises ok/lang_und)."""
+    import mineru_spark.queries as q
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            "the cat and the dog went to the house",        # ok
+            "the cat and the dog went to the house",        # duplicate
+            "the tiny one",                                  # too_few_words
+            "the word " + "x" * 50 + " is the longest one here",  # long_word
+            "the end. .. ,, !! ?? ;; :: () [] {} -- .. ,,",  # high_punct
+            "the cat sat " + "on it " * 20 + "the end",      # repetitive
+            "zz qq ww rr tt yy uu ii oo pp",                 # lang_und
+        ],
+        "lang": ["en"] * 7, "source": ["t"] * 7,
+    })
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    got = {r["doc_id"]: (r["reason"], r["keep"])
+           for r in q.q_clean_filter(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    want = {int(r[0]): (r[1], bool(r[2]))
+            for r in con.sql(q.ORACLES["q_clean_filter"]).fetchall()}
+    assert got == want
+    assert [got[i][0] for i in range(1, 8)] == [
+        "ok", "duplicate", "too_few_words", "long_word", "high_punct",
+        "repetitive", "lang_und"]
