@@ -118,6 +118,19 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "mime", "decode_ok"))
 
 
+def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header probe over binary media payloads: REAL byte
+    parsing (PNG IHDR / JPEG SOF / WAV RIFF / MP4 mvhd) + metadata
+    validation; oracle = single-process run of the same prober
+    (golden.ensure_golden_probe)."""
+    from mineru_spark.golden import ORACLE_SF, ensure_golden_probe
+    from mineru_spark.multimodal import probe_features, synthesize_media
+    n = max(50, _n_convs_for(sf_dir) // 4)
+    from mineru_spark.datagen.transcripts import n_convs_for_sf
+    ensure_golden_probe(max(50, n_convs_for_sf(ORACLE_SF) // 4))
+    return probe_features(synthesize_media(spark, n))
+
+
 def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means final assignment (iterative algorithm; oracle =
     independent Python reimplementation with exact-decimal centroid sums,
@@ -160,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["x_media_features"] = x_media_features
     out["x_ann_topk"] = x_ann_topk
     out["x_kmeans"] = x_kmeans
+    out["x_media_probe"] = x_media_probe
     return out
 
 
@@ -240,4 +254,8 @@ def oracle_sql() -> dict[str, str]:
     out["x_kmeans"] = f"""
         SELECT vec_id, cent, dist2
         FROM read_parquet('{golden_path("golden_kmeans")}')"""
+    out["x_media_probe"] = f"""
+        SELECT media_id, mime_sniffed, width, height, duration_ms,
+               meta_match
+        FROM read_parquet('{golden_path("golden_probe")}')"""
     return out

@@ -233,13 +233,11 @@ def ensure_golden_media(n: int, sf: float = ORACLE_SF) -> str:
         return path
     import pyarrow as pa
 
-    from .multimodal import decode_media
+    from .multimodal import build_payload, decode_media
 
     rows = []
     for i in range(n):
-        h = hashlib.sha256(f"media-{i}".encode()).digest()
-        mime = ("image/png", "audio/wav", "video/mp4")[i % 3]
-        payload = h * (8 + i % 4)
+        mime, payload, _w, _h, _d = build_payload(i)
         try:
             decode_media(payload, mime)
             ok = True
@@ -251,6 +249,38 @@ def ensure_golden_media(n: int, sf: float = ORACLE_SF) -> str:
         "media_id": pa.array(cols[0], pa.int64()),
         "mime": pa.array(cols[1], pa.string()),
         "decode_ok": pa.array(cols[2], pa.bool_()),
+    })
+    _write_atomic(table, path)
+    return path
+
+
+def ensure_golden_probe(n: int, sf: float = ORACLE_SF) -> str:
+    """Single-process run of the container-header prober over the shared
+    build_payload rows; the driver gate then verifies the DISTRIBUTED
+    mapInPandas probe reproduces it row-for-row."""
+    path = golden_path("golden_probe", sf)
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+
+    from .multimodal import build_payload, probe_media
+
+    rows = []
+    for i in range(n):
+        mime, payload, w, h, dur = build_payload(i)
+        p = probe_media(payload)
+        match = (p["mime"] == mime and p["width"] == w
+                 and p["height"] == h and p["duration_ms"] == dur)
+        rows.append((i, p["mime"], p["width"], p["height"],
+                     p["duration_ms"], match))
+    cols = list(zip(*rows))
+    table = pa.table({
+        "media_id": pa.array(cols[0], pa.int64()),
+        "mime_sniffed": pa.array(cols[1], pa.string()),
+        "width": pa.array(cols[2], pa.int32()),
+        "height": pa.array(cols[3], pa.int32()),
+        "duration_ms": pa.array(cols[4], pa.int32()),
+        "meta_match": pa.array(cols[5], pa.bool_()),
     })
     _write_atomic(table, path)
     return path

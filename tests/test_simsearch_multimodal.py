@@ -112,3 +112,38 @@ def test_kmeans_deterministic_and_balanced(spark):
     cents = {c for _, c, _ in a}
     assert cents <= set(range(KMEANS_K))
     assert all(d >= 0 for _, _, d in a)
+
+
+def test_media_probe_parses_real_containers():
+    """The header prober does GENUINE byte parsing: PNG IHDR dims, JPEG
+    SOF dims, WAV RIFF duration from byte-rate + data size, MP4 mvhd
+    duration from timescale; hostile/truncated bytes degrade to None
+    fields and never raise."""
+    from mineru_spark.multimodal import (_jpeg_bytes, _mp4_bytes,
+                                         _png_bytes, _wav_bytes,
+                                         probe_media)
+
+    p = probe_media(_png_bytes(320, 200, b"x" * 64))
+    assert (p["mime"], p["width"], p["height"]) == ("image/png", 320, 200)
+    p = probe_media(_jpeg_bytes(640, 480, b"y" * 64))
+    assert (p["mime"], p["width"], p["height"]) == ("image/jpeg", 640, 480)
+    p = probe_media(_wav_bytes(2500, b"z" * 64))
+    assert (p["mime"], p["duration_ms"]) == ("audio/wav", 2500)
+    p = probe_media(_mp4_bytes(7250, b"w" * 64))
+    assert (p["mime"], p["duration_ms"]) == ("video/mp4", 7250)
+    # hostile inputs: no raise, None mime / partial fields
+    for bad in (b"", None, b"garbage", b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,
+                b"RIFF\x00\x00\x00\x00WAVE", b"\xff\xd8\xff"):
+        probe_media(bad)  # must not raise
+    assert probe_media(b"garbage")["mime"] is None
+
+
+def test_media_probe_validation_flags_corruption(spark):
+    """meta_match is False exactly for the corrupted rows (payload
+    truncated by build_payload every 23rd row) — the upstream-metadata
+    validation an ingest pipeline runs."""
+    from mineru_spark.multimodal import probe_features, synthesize_media
+
+    rows = probe_features(synthesize_media(spark, 100)).collect()
+    bad = {r["media_id"] for r in rows if not r["meta_match"]}
+    assert bad == {i for i in range(100) if i % 23 == 11}
