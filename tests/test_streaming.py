@@ -31,9 +31,14 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
     # them the way the batch path does
     hdr = "<tr><th>k</th><th>v</th></tr>"
     row = "<tr><td>r{0}</td><td>x{0}</td></tr>"
+    # continuation turns 1 and 3 carry LEADING WHITESPACE before <table>
+    # — the streaming _split_open_tails sniff must still hold them back
+    # and merge across the trigger (r4 directive #1, streaming half)
+    ws = {1: "\n\t", 3: " " * 1200}
     straddle = [
         ("zz-straddle", i, "tool",
-         f"<table>{hdr if i == 0 else ''}{row.format(i)}</table>",
+         ws.get(i, "")
+         + f"<table>{hdr if i == 0 else ''}{row.format(i)}</table>",
          "file_reader", datetime(2025, 1, 1, 0, 0, i))
         for i in range(4)
     ]
