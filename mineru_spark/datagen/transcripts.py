@@ -161,9 +161,12 @@ def _gen_html(rng: random.Random) -> str:
             for _ in range(rng.randint(2, 3))
         )
         table = f"<table><tr>{hdr}</tr>{rows}</table>"
+    figure = (f'<img src="https://example.org/img/{rng.randint(1, 999)}.png" '
+              'alt="fig">' if rng.random() < 0.2 else "")
     article = (
         f"<h1>{_sentence(rng, 3, 6).title()}</h1>"
         + paras[0]
+        + figure
         + f"<h2>{_sentence(rng, 2, 4).title()}</h2>"
         + "".join(paras[1:])
         + quote
@@ -895,6 +898,21 @@ def _gen_docx(rng: random.Random) -> str:
                                  "italic": rng.random() < 0.3})
                 runs.append({"text": _sentence(rng, 2, 4) + "."})
             paras.append({"style": "Normal", "runs": runs})
+            # occasional inline picture: image-run paragraph (reference
+            # picture refs -> IMAGE blocks); sometimes image-only
+            if rng.random() < 0.12:
+                import base64 as _b64
+                import hashlib as _hl
+                blob = _hl.sha256(
+                    f"docximg-{rng.randint(0, 9999)}".encode()).digest() * 3
+                img = {"image": {"data_b64":
+                                 _b64.b64encode(blob).decode(),
+                                 "rel_id": f"rId{rng.randint(1, 9)}"}}
+                if rng.random() < 0.5:
+                    paras.append({"style": "Normal", "runs": [img]})
+                else:
+                    paras.append({"style": "Normal", "runs": [
+                        {"text": _sentence(rng, 2, 4) + "."}, img]})
     # ~30%: a table (reference renders DOCX tables via its mammoth-HTML
     # path with vMerge/gridSpan resolved, docx_converter.py:960-1122; the
     # payload carries the post-XML cell rows).  Header row + occasional
@@ -1032,7 +1050,15 @@ def _gen_pptx(rng: random.Random) -> str:
                          "kind": "body",
                          "text": _sentence(rng, 4, 8) + "."},
                     ]})
-            elif r < 0.8:
+            elif r < 0.75:
+                import base64 as _b64
+                import hashlib as _hl
+                blob = _hl.sha256(
+                    f"pptimg-{sidx}-{rng.randint(0, 999)}".encode()).digest() * 2
+                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                               "kind": "image",
+                               "data_b64": _b64.b64encode(blob).decode()})
+            elif r < 0.85:
                 # styled/hyperlink body runs through the shared office
                 # run machinery (reference routes pptx runs through the
                 # same office_rich_text helpers as docx)

@@ -18,7 +18,8 @@ of styled paragraphs with inline runs:
                    "underline": false, "strikethrough": false,
                    "script": "super"|"sub"?, "hidden": false,
                    "link": "https://..."?}
-                  | {"math": "latex"}]}
+                  | {"math": "latex"}
+                  | {"image": {"data_b64": "...", "rel_id": "rId7"?}}]}
       | {"style": "Table",
          "rows": [[{"text": "...", "rowspan": 1, "colspan": 1,
                     "header": false, "math": "latex"?}, ...], ...]}]}
@@ -278,6 +279,44 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                            "pre_rendered": True})
             pending_toc = []
 
+    def image_blocks(runs: list) -> list[dict]:
+        """Image runs of one paragraph → image blocks appended after the
+        paragraph's text block (reference collects the paragraph's
+        picture refs and appends one IMAGE block per unique rel id,
+        docx_converter.py:1605-1663 seen_rel_ids + BlockType.IMAGE).
+        img_path is the sha256 of the image BYTES (the content term of
+        the crop-sink naming; no raster decode in scope), invalid base64
+        degrades to no block."""
+        import base64
+        import hashlib as _hl
+
+        out: list[dict] = []
+        seen: set = set()
+        for r in runs:
+            if not isinstance(r, dict) or "image" not in r:
+                continue
+            img = r["image"]
+            if not isinstance(img, dict):
+                continue
+            rel = img.get("rel_id")
+            if rel is not None and rel in seen:
+                continue  # one block per relationship id
+            if rel is not None:
+                seen.add(rel)
+            try:
+                data = base64.b64decode(str(img.get("data_b64", "")),
+                                        validate=True)
+            except Exception:
+                continue
+            if not data:
+                continue
+            out.append({"type": "image",
+                        "img_path": "images/"
+                        f"{_hl.sha256(data).hexdigest()}.jpg",
+                        "text": "", "page_idx": 0, "bbox": [0, 0, 0, 0],
+                        "level": 1})
+        return out
+
     for p in paras:
         if not isinstance(p, dict):
             continue
@@ -294,12 +333,19 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                                "level": 1})
                 tables_parsed += 1
             continue
-        text, recs = _render_runs(p.get("runs") or [])
+        runs_payload = p.get("runs") or []
+        text, recs = _render_runs(runs_payload)
+        imgs = image_blocks(runs_payload)
         if not text:
+            if imgs:
+                flush_list()
+                flush_toc()
+                blocks.extend(imgs)
             continue
         if style == "TOC":
             flush_list()
             pending_toc.append(text)
+            blocks.extend(imgs)
             continue
         flush_toc()
         if style == "ListParagraph":
@@ -318,6 +364,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                     f"{indent}{counters[(numid, ilvl)]}. {text}")
             else:
                 pending_items.append(f"{indent}- {text}")
+            blocks.extend(imgs)
             continue
         flush_list()
         if style in _STYLE_HEADING:
@@ -332,6 +379,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             blocks.append({"type": "text", "text": text, "page_idx": 0,
                            "bbox": [0, 0, 0, 0], "level": 1,
                            "pre_rendered": True, "_runs": recs})
+        blocks.extend(imgs)
     flush_list()
     flush_toc()
     return blocks, {"blocks_classified": len(blocks),

@@ -174,6 +174,7 @@ class Block:
     marked: bool = False  # list items already carry markers/indentation
     ordered: bool = False
     runs: list = None     # typed inline records when structure exists
+    src: str = ""         # image blocks: the source reference
 
 
 def _list_items(node: _Node, depth: int, ordered: bool) -> list[str]:
@@ -287,6 +288,18 @@ def _collect_blocks(node: _Node, out: list[Block], dropped: list[int],
             if txt.strip():
                 pending.append((txt, ch.tag == "a"))
             continue
+        if ch.tag == "img":
+            # block-level content image: keep the source reference as the
+            # image path (main-content extractors keep content images;
+            # the boilerplate rules above already dropped nav/ad
+            # containers wholesale)
+            _flush_loose(pending, out, dropped)
+            src = str(ch.attrs.get("src", "")).strip()
+            if src:
+                b = Block("image", "")
+                b.src = src
+                out.append(b)
+            continue
         _flush_loose(pending, out, dropped)
         if ch.tag in _DROP_TAGS:
             dropped[0] += 1
@@ -378,6 +391,8 @@ def extract_html(payload: str) -> tuple[list[dict], dict]:
             continue
         rec = {"type": b.btype, "text": b.text, "page_idx": 0,
                "bbox": [0, 0, 0, 0], "level": b.level}
+        if b.btype == "image":
+            rec["img_path"] = b.src
         if b.runs:
             rec["_runs"] = b.runs
         if b.btype == "list" and b.marked:

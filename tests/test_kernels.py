@@ -1652,3 +1652,44 @@ def test_docx_hostile_run_payloads():
     out = extract_turn(json.dumps(p), "file_reader")
     assert out["route"] == "docx"
     assert out["md"] == "5 x z y"
+
+
+def test_office_and_html_image_blocks():
+    """Inline images across the office/html routes: docx image runs
+    (deduped per rel_id, sha256-of-bytes path — reference picture refs →
+    IMAGE blocks, docx_converter.py:1605-1663), pptx picture shapes, and
+    html content <img> (source kept as the path); invalid base64
+    degrades to no block."""
+    import base64
+    import hashlib
+    import json
+
+    blob = b"fake-image-bytes" * 4
+    b64 = base64.b64encode(blob).decode()
+    want = f"images/{hashlib.sha256(blob).hexdigest()}.jpg"
+
+    docx = {"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [
+            {"text": "before."},
+            {"image": {"data_b64": b64, "rel_id": "rId1"}},
+            {"image": {"data_b64": b64, "rel_id": "rId1"}},  # dup rel id
+            {"image": {"data_b64": "!!!notb64"}}]},          # degrades
+    ]}
+    out = extract_turn(json.dumps(docx), "file_reader")
+    assert out["md"].count(f"![]({want})") == 1
+    cl = json.loads(out["content_list"])
+    assert [b for b in cl if b["type"] == "image"][0]["img_path"] == want
+
+    pptx = {"kind": "pptx_shapes", "slides": [
+        {"slide_idx": 0, "size": [960, 540], "shapes": [
+            {"bbox": [80, 30, 880, 80], "kind": "title", "text": "T"},
+            {"bbox": [80, 120, 460, 400], "kind": "image",
+             "data_b64": b64}]}]}
+    out = extract_turn(json.dumps(pptx), "file_reader")
+    assert f"![]({want})" in out["md"]
+
+    html = ('<html><body><article><p>some text here</p>'
+            '<img src="https://x.org/p.png" alt="f"><p>more text</p>'
+            '</article></body></html>')
+    out = extract_turn(html, "browser")
+    assert "![](https://x.org/p.png)" in out["md"]
