@@ -49,6 +49,7 @@ SCRIPT_RULES = (
 )
 _SCRIPT_RX = tuple((lang, re.compile(f"[{cls}]"), thr)
                    for lang, cls, thr in SCRIPT_RULES)
+_PROFILE_SETS = tuple((lang, frozenset(ws)) for lang, ws in LANG_PROFILES)
 
 CJK_LANGS = {"zh", "ja", "ko"}  # reference CJK_LANGS (mkcontent :221)
 
@@ -58,14 +59,18 @@ def lang_of(text: str) -> str:
     Spark/SQL expression tree (tests/test_queries_oracle.py parity)."""
     if not text:
         return "und"
-    dense = text.replace(" ", "")
-    total = max(len(dense), 1)
-    for lang, rx, thr in _SCRIPT_RX:
-        if len(rx.findall(dense)) / total > thr:
-            return lang
+    # fast path: every script class starts at U+0370, so pure-ASCII text
+    # (the overwhelming majority in the hot merge path) skips all four
+    # script regexes — C-speed isascii() instead of 4 full scans
+    if not text.isascii():
+        dense = text.replace(" ", "")
+        total = max(len(dense), 1)
+        for lang, rx, thr in _SCRIPT_RX:
+            if len(rx.findall(dense)) / total > thr:
+                return lang
     words = text.strip().split()
-    hits = [(sum(1 for w in words if w in set(ws)), i, lang)
-            for i, (lang, ws) in enumerate(LANG_PROFILES)]
+    hits = [(sum(1 for w in words if w in ws), i, lang)
+            for i, (lang, ws) in enumerate(_PROFILE_SETS)]
     best = max(hits, key=lambda h: (h[0], -h[1]))
     return best[2] if best[0] > 0 else "und"
 

@@ -209,3 +209,36 @@ def test_run_job_leaves_no_cached_relations(spark, tmp_path):
     run_job(spark, synthesize_transcripts(spark, 12), str(tmp_path / "s"))
     live = spark.sparkContext._jsc.getPersistentRDDs()
     assert live.size() == 0, f"{live.size()} cached relations leaked"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must broadcast — a shuffle join against the
+    train grams would move the whole corpus's grams for a tiny build
+    side; and no pair join may exist anywhere in the plan."""
+    import mineru_spark.queries as q
+
+    plan = _plan(q.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_clean_filter_single_window_shuffle(spark):
+    """The composed cleaning pass shuffles ONCE (the content-hash dup
+    window); everything else is per-row expressions — no joins."""
+    import mineru_spark.queries as q
+
+    plan = _plan(q.q_clean_filter(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_kmeans_final_assignment_is_map_only(spark):
+    """The returned k-means assignment plan is scan → project (distance
+    expressions are codegen'd fold aggregates over the array column):
+    no Exchange, no Python."""
+    from mineru_spark.simsearch import kmeans_assign
+
+    plan = _plan(kmeans_assign(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
