@@ -64,7 +64,12 @@ def _valid_link_target(target) -> bool:
     must degrade to plain text, not stringify into a URL."""
     if not isinstance(target, str):
         return False
-    return bool(target and target.strip() and target != ".")
+    t = target.strip()
+    # compare the STRIPPED target to '.' — the url renderer strips too,
+    # so ' . ' must degrade like '.' (reference compares unstripped, but
+    # its renderer does not strip either; ours does, so validity and
+    # rendering must agree)
+    return bool(t and t != ".")
 
 
 def _escape_link_label(text: str) -> str:
@@ -256,12 +261,15 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     pending_ordered = False
     pending_numid = None
     pending_toc: list[str] = []
+    # images from list/TOC paragraphs wait for their block to flush so
+    # they land AFTER it, like the Normal-paragraph path
+    pending_imgs: list[dict] = []
     # per-(numId, ilvl) counters survive list interruptions (Word
     # continues numbering within a numId; reference cache :101)
     counters: dict[tuple, int] = {}
 
     def flush_list():
-        nonlocal pending_items, pending_numid
+        nonlocal pending_items, pending_numid, pending_imgs
         if pending_items:
             blocks.append({"type": "list", "text": "\n".join(pending_items),
                            "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
@@ -270,26 +278,27 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                            else "unordered"})
             pending_items = []
             pending_numid = None
+        blocks.extend(pending_imgs)
+        pending_imgs = []
 
     def flush_toc():
-        nonlocal pending_toc
+        nonlocal pending_toc, pending_imgs
         if pending_toc:
             blocks.append({"type": "index", "text": "\n".join(pending_toc),
                            "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
                            "pre_rendered": True})
             pending_toc = []
+            blocks.extend(pending_imgs)
+            pending_imgs = []
 
     def image_blocks(runs: list) -> list[dict]:
         """Image runs of one paragraph → image blocks appended after the
-        paragraph's text block (reference collects the paragraph's
-        picture refs and appends one IMAGE block per unique rel id,
-        docx_converter.py:1605-1663 seen_rel_ids + BlockType.IMAGE).
-        img_path is the sha256 of the image BYTES (the content term of
-        the crop-sink naming; no raster decode in scope), invalid base64
-        degrades to no block."""
-        import base64
-        import hashlib as _hl
-
+        paragraph's (possibly pending) block (reference collects the
+        paragraph's picture refs and appends one IMAGE block per unique
+        rel id, docx_converter.py:1605-1663 seen_rel_ids +
+        BlockType.IMAGE).  Construction is the shared
+        emit.office_image_block (sha256-of-bytes path, strict-base64
+        degrade) used by the pptx route too."""
         out: list[dict] = []
         seen: set = set()
         for r in runs:
@@ -303,18 +312,9 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 continue  # one block per relationship id
             if rel is not None:
                 seen.add(rel)
-            try:
-                data = base64.b64decode(str(img.get("data_b64", "")),
-                                        validate=True)
-            except Exception:
-                continue
-            if not data:
-                continue
-            out.append({"type": "image",
-                        "img_path": "images/"
-                        f"{_hl.sha256(data).hexdigest()}.jpg",
-                        "text": "", "page_idx": 0, "bbox": [0, 0, 0, 0],
-                        "level": 1})
+            blk = emit.office_image_block(img.get("data_b64"))
+            if blk is not None:
+                out.append(blk)
         return out
 
     for p in paras:
@@ -345,7 +345,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         if style == "TOC":
             flush_list()
             pending_toc.append(text)
-            blocks.extend(imgs)
+            pending_imgs.extend(imgs)
             continue
         flush_toc()
         if style == "ListParagraph":
@@ -364,7 +364,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                     f"{indent}{counters[(numid, ilvl)]}. {text}")
             else:
                 pending_items.append(f"{indent}- {text}")
-            blocks.extend(imgs)
+            pending_imgs.extend(imgs)
             continue
         flush_list()
         if style in _STYLE_HEADING:

@@ -227,3 +227,24 @@ def render_block(b: dict) -> str:
 def join_pages(page_mds: list[str]) -> str:
     """Pages joined by blank line (reference mkcontent :1005-1006)."""
     return "\n\n".join(m for m in page_mds if m)
+
+
+def office_image_block(data_b64, page_idx: int = 0,
+                       bbox: list | None = None) -> dict | None:
+    """Shared office picture → image block: decode base64 strictly,
+    sha256-of-bytes path (the content term of the crop-sink naming; no
+    raster decode in scope), invalid/empty data degrades to None.  One
+    definition so the docx and pptx routes cannot drift."""
+    import base64
+    import hashlib
+
+    try:
+        data = base64.b64decode(str(data_b64 or ""), validate=True)
+    except Exception:
+        return None
+    if not data:
+        return None
+    return {"type": "image",
+            "img_path": f"images/{hashlib.sha256(data).hexdigest()}.jpg",
+            "text": "", "page_idx": page_idx,
+            "bbox": bbox or [0, 0, 0, 0], "level": 1}

@@ -50,6 +50,10 @@ SCRIPT_RULES = (
 _SCRIPT_RX = tuple((lang, re.compile(f"[{cls}]"), thr)
                    for lang, cls, thr in SCRIPT_RULES)
 _PROFILE_SETS = tuple((lang, frozenset(ws)) for lang, ws in LANG_PROFILES)
+# the SQL twin splits trim(text) on ' +' (SPACES only, runs collapsed);
+# str.split() would split on all Unicode whitespace and diverge — e.g.
+# 'et\nest' is ONE token to the SQL and must be one token here
+_WORD_SPLIT = re.compile(" +")
 
 CJK_LANGS = {"zh", "ja", "ko"}  # reference CJK_LANGS (mkcontent :221)
 
@@ -68,7 +72,7 @@ def lang_of(text: str) -> str:
         for lang, rx, thr in _SCRIPT_RX:
             if len(rx.findall(dense)) / total > thr:
                 return lang
-    words = text.strip().split()
+    words = _WORD_SPLIT.split(text.strip())
     hits = [(sum(1 for w in words if w in ws), i, lang)
             for i, (lang, ws) in enumerate(_PROFILE_SETS)]
     best = max(hits, key=lambda h: (h[0], -h[1]))

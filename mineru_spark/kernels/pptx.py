@@ -86,24 +86,14 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                                    "page_idx": sidx, "bbox": nb, "level": 1})
                 continue
             if kind == "image":
-                # picture shape → image block, sha256-of-bytes path (the
-                # reference serializes the picture part to a media block,
-                # pptx path shares the office image contract); bad base64
-                # degrades to no block
-                import base64
-                import hashlib as _hl
-                try:
-                    data = base64.b64decode(str(sp.get("data_b64", "")),
-                                            validate=True)
-                except Exception:
-                    data = b""
-                if data:
-                    blocks.append({
-                        "type": "image",
-                        "img_path": "images/"
-                        f"{_hl.sha256(data).hexdigest()}.jpg",
-                        "text": "", "page_idx": sidx, "bbox": nb,
-                        "level": 1})
+                # picture shape → image block via the SHARED office
+                # image contract (emit.office_image_block: strict base64,
+                # sha256-of-bytes path, degrade on bad data) — one
+                # definition with the docx route
+                blk = emit.office_image_block(sp.get("data_b64"),
+                                              page_idx=sidx, bbox=nb)
+                if blk is not None:
+                    blocks.append(blk)
                 continue
             text = str(sp.get("text", "")).strip()
             rich = (kind == "body" and isinstance(sp.get("runs"), list))

@@ -251,7 +251,7 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
         s = _candidate_summary(raw)
         cands.append({"gap": gap, "raw": raw, "summary": s,
                       "penalty": _penalty(s)})
-    if not cands or not cands[0]["raw"] and not any(c["raw"] for c in cands):
+    if not any(c["raw"] for c in cands):
         return []
     min_pen = min(c["penalty"] for c in cands)
     near = [c for c in cands if c["penalty"] <= min_pen + GAP_PREFERENCE_MARGIN]

@@ -295,17 +295,19 @@ def probe_features(media: DataFrame) -> DataFrame:
     def run(batches):
         for pdf in batches:
             rows = {k.name: [] for k in schema.fields}
-            for _, r in pdf.iterrows():
-                p = probe_media(r["payload"])
-                match = (p["mime"] == r["mime"]
-                         and p["width"] == (None if pd.isna(r["width"])
-                                            else int(r["width"]))
-                         and p["height"] == (None if pd.isna(r["height"])
-                                             else int(r["height"]))
-                         and p["duration_ms"] == (
-                             None if pd.isna(r["duration_ms"])
-                             else int(r["duration_ms"])))
-                rows["media_id"].append(int(r["media_id"]))
+            # column zip, not iterrows — iterrows builds a Series per row
+            # (10-100x slower) in the distributed hot path
+            for mid, mime, w, h, dur, payload in zip(
+                    pdf["media_id"], pdf["mime"], pdf["width"],
+                    pdf["height"], pdf["duration_ms"], pdf["payload"]):
+                p = probe_media(payload)
+                match = (p["mime"] == mime
+                         and p["width"] == (None if pd.isna(w) else int(w))
+                         and p["height"] == (None if pd.isna(h)
+                                             else int(h))
+                         and p["duration_ms"] == (None if pd.isna(dur)
+                                                  else int(dur)))
+                rows["media_id"].append(int(mid))
                 rows["mime_sniffed"].append(p["mime"])
                 rows["width"].append(p["width"])
                 rows["height"].append(p["height"])

@@ -1693,3 +1693,39 @@ def test_office_and_html_image_blocks():
             '</article></body></html>')
     out = extract_turn(html, "browser")
     assert "![](https://x.org/p.png)" in out["md"]
+
+
+def test_langid_split_matches_sql_twin():
+    """lang_of tokenizes on SPACE runs only, like the SQL twin's
+    split(trim(text), ' +') — newline/tab-joined stopwords are ONE token
+    to both engines (code-review r4 fix)."""
+    from mineru_spark.kernels.langid import lang_of
+
+    assert lang_of("et\nest\nle") == "und"          # one token, no hits
+    assert lang_of("le chat et la maison est la") == "fr"
+
+
+def test_docx_list_images_follow_their_list():
+    """An image run inside a list paragraph lands AFTER the flushed list
+    block, like the Normal-paragraph path (code-review r4 fix)."""
+    import base64
+    from mineru_spark.kernels.docx import extract_docx
+
+    b64 = base64.b64encode(b"img-bytes").decode()
+    p = {"paras": [
+        {"style": "ListParagraph",
+         "runs": [{"text": "item one"}, {"image": {"data_b64": b64}}]},
+        {"style": "ListParagraph", "runs": [{"text": "item two"}]},
+        {"style": "Normal", "runs": [{"text": "after"}]},
+    ]}
+    blocks, _ = extract_docx(p)
+    assert [b["type"] for b in blocks] == ["list", "image", "text"]
+
+
+def test_docx_whitespace_padded_dot_link_degrades():
+    """' . ' is as invalid a link target as '.' — validity and the URL
+    renderer must agree on stripping (code-review r4 fix)."""
+    import json
+    p = {"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [{"text": "x", "link": " . "}]}]}
+    assert extract_turn(json.dumps(p), "file_reader")["md"] == "x"
