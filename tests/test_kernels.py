@@ -1729,3 +1729,13 @@ def test_docx_whitespace_padded_dot_link_degrades():
     p = {"kind": "docx_runs", "paras": [
         {"style": "Normal", "runs": [{"text": "x", "link": " . "}]}]}
     assert extract_turn(json.dumps(p), "file_reader")["md"] == "x"
+
+
+def test_fast_median_matches_numpy_exactly():
+    import numpy as np
+    from mineru_spark.kernels.charstream import _median
+
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        a = rng.normal(size=int(rng.integers(1, 50)))
+        assert _median(a) == float(np.median(a))
