@@ -24,6 +24,17 @@ from __future__ import annotations
 
 import json
 
+# Arrow/Rust JSON parser when present (bundled transitively in this
+# environment; NOT a hard dependency — stdlib fallback keeps the kernel
+# self-contained).  Parse side only: every json.dumps stays stdlib so
+# output encodings are byte-stable regardless of which parser ran.
+try:
+    from orjson import loads as _json_loads
+    _JSON_ERRORS = (ValueError, TypeError)
+except ImportError:  # pragma: no cover - depends on environment
+    _json_loads = json.loads
+    _JSON_ERRORS = (json.JSONDecodeError, TypeError)
+
 from . import charstream, emit, html_extract, pptx as pptx_kernel
 from . import docx as docx_kernel
 from . import tables as tbl
@@ -317,8 +328,8 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         blocks, metrics = [], dict(_ZERO_METRICS)
     elif route == "pdf":
         try:
-            payload = json.loads(text)
-        except (json.JSONDecodeError, TypeError):
+            payload = _json_loads(text)
+        except _JSON_ERRORS:
             payload = {"pages": []}
         blocks, spans, metrics = charstream.extract_pdf(payload)
         route = "pdf_ocr" if metrics["ocr_fallback"] else "pdf_txt"
@@ -331,16 +342,16 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
                 "spans": spans, "metrics": metrics}
     elif route == "pptx":
         try:
-            payload = json.loads(text)
-        except (json.JSONDecodeError, TypeError):
+            payload = _json_loads(text)
+        except _JSON_ERRORS:
             payload = {}
         blocks, extra = pptx_kernel.extract_pptx(payload)
         metrics = dict(_ZERO_METRICS)
         metrics.update(extra)
     elif route == "docx":
         try:
-            payload = json.loads(text)
-        except (json.JSONDecodeError, TypeError):
+            payload = _json_loads(text)
+        except _JSON_ERRORS:
             payload = {}
         blocks, extra = docx_kernel.extract_docx(payload)
         metrics = dict(_ZERO_METRICS)
@@ -348,8 +359,8 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
     elif route == "xlsx":
         from . import xlsx as xlsx_kernel
         try:
-            payload = json.loads(text)
-        except (json.JSONDecodeError, TypeError):
+            payload = _json_loads(text)
+        except _JSON_ERRORS:
             payload = {}
         blocks, extra = xlsx_kernel.extract_xlsx(payload)
         metrics = dict(_ZERO_METRICS)
