@@ -975,8 +975,13 @@ def _gen_xlsx(rng: random.Random) -> str:
             for c in range(ncols):
                 if (r0 + 1 + r, c0 + c) == hole_at:
                     continue
-                cells.append({"r": r0 + 1 + r, "c": c0 + c,
-                              "v": _sentence(rng, 1, 3)})
+                cell = {"r": r0 + 1 + r, "c": c0 + c,
+                        "v": _sentence(rng, 1, 3)}
+                if rng.random() < 0.06:
+                    # cell hyperlink → <a href> wrap in the table HTML
+                    cell["link"] = \
+                        f"https://example.org/cell/{rng.randint(1, 99)}"
+                cells.append(cell)
         if rng.random() < 0.3:
             # isolated note cell, > gap+1 away → its own singleton region
             cells.append({"r": r0 + nrows + 4, "c": c0,

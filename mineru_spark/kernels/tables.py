@@ -23,6 +23,10 @@ class Cell:
     rowspan: int = 1
     colspan: int = 1
     header: bool = False
+    link: str = ""   # cell hyperlink target: renders as <a href> around
+                     # the escaped text (reference _cell_value_to_html
+                     # wrap, xlsx_converter.py:1544-1553); never part of
+                     # the text the merge/header comparisons see
 
 
 @dataclass
@@ -170,7 +174,8 @@ def _normalize(rows: list[list[Cell]]) -> TableGrid:
             for dr in range(rs):
                 for dc in range(cs):
                     occupied[(r + dr, c + dc)] = True
-            arow.append(Cell(cell.text, rs, cs, cell.header))
+            arow.append(Cell(cell.text, rs, cs, cell.header,
+                             cell.link))
             c += cs
         ncols = max(ncols, c)
         anchors.append(arow)
@@ -198,7 +203,10 @@ def render_table_html(grid: TableGrid) -> str:
                 attrs += f' rowspan="{cell.rowspan}"'
             if cell.colspan > 1:
                 attrs += f' colspan="{cell.colspan}"'
-            parts.append(f"<{tag}{attrs}>{html_escape(cell.text)}</{tag}>")
+            inner = html_escape(cell.text)
+            if cell.link:
+                inner = f'<a href="{html_escape(cell.link)}">{inner}</a>'
+            parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
         parts.append("</tr>")
     parts.append("</table>")
     return "".join(parts)

@@ -72,16 +72,20 @@ MAX_MERGED_CELLS = 262144
 MAX_REGION_DIM = 512
 
 
-def _flood_tables(cells: dict, merges: list, gap_tolerance: int) -> list[dict]:
+def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
+                  links: dict | None = None) -> list[dict]:
     """Flood-fill DataRegion detection over one sheet at a FIXED gap
     tolerance (reference _find_data_tables_with_gap_raw :1105-1148).
 
-    cells: {(r, c): text}; merges: [(r0, c0, r1, c1)] inclusive.
+    cells: {(r, c): text}; merges: [(r0, c0, r1, c1)] inclusive;
+    links: {(r, c): url} cell hyperlink targets (reference
+    _get_cell_hyperlink_target → <a href> wrap, :1524-1553).
     Returns raw (unfiltered) tables in fill order:
     [{"anchor", "rows", "semantic", "singleton", "nrows", "ncols",
       "mask"}] where mask is the semantic-content occupancy grid expanded
     over merge spans (_build_table_content_mask :876-889).
     """
+    links = links or {}
     anchor_span: dict[tuple, tuple] = {}
     merged_pos: set[tuple] = set()
     hidden_pos: set[tuple] = set()
@@ -158,7 +162,8 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int) -> list[dict]:
                                         min(cj - min_c + cs, ncols)):
                             mask[mr][mc] = True
                 row.append(tbl.Cell(text=text, rowspan=rs, colspan=cs,
-                                    header=(ri == min_r)))
+                                    header=(ri == min_r),
+                                    link=links.get((ri, cj), "")))
             rows.append(row)
 
         singleton = None
@@ -234,7 +239,8 @@ def _penalty(s: dict) -> float:
             + 1.0 * s["row_overlap_excess_ratio"])
 
 
-def _sheet_tables(cells: dict, merges: list) -> list[dict]:
+def _sheet_tables(cells: dict, merges: list,
+                  links: dict | None = None) -> list[dict]:
     """DataRegion detection with auto gap-tolerance selection: flood fill
     at every candidate tolerance, score, pick near-best by the reference's
     tiebreak chain, then apply the semantic-subset filter to the winner
@@ -247,7 +253,7 @@ def _sheet_tables(cells: dict, merges: list) -> list[dict]:
     """
     cands = []
     for gap in GAP_CANDIDATES:
-        raw = _flood_tables(cells, merges, gap)
+        raw = _flood_tables(cells, merges, gap, links)
         s = _candidate_summary(raw)
         cands.append({"gap": gap, "raw": raw, "summary": s,
                       "penalty": _penalty(s)})
@@ -287,6 +293,7 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
             continue
         name = str(sheet.get("name", f"Sheet{page_idx + 1}"))
         cells: dict[tuple, str] = {}
+        links: dict[tuple, str] = {}
         for cell in sheet.get("cells") or []:
             if not isinstance(cell, dict):
                 continue
@@ -294,9 +301,17 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
             if v is None or str(v) == "":
                 continue
             try:
-                cells[(int(cell["r"]), int(cell["c"]))] = str(v)
+                pos = (int(cell["r"]), int(cell["c"]))
             except (KeyError, TypeError, ValueError):
                 continue
+            cells[pos] = str(v)
+            # cell hyperlink target (reference _get_cell_hyperlink_target
+            # → sanitize → <a href> wrap, xlsx_converter.py:1524-1553);
+            # only string targets qualify, like the run-level rule
+            link = cell.get("link")
+            if isinstance(link, str) and link.strip() \
+                    and link.strip() != ".":
+                links[pos] = link.strip()
         merges = []
         for m in sheet.get("merges") or []:
             if (isinstance(m, (list, tuple)) and len(m) == 4
@@ -305,7 +320,7 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
                     and len(merges) < MAX_MERGES):
                 merges.append(tuple(m))
         page: list[dict] = []
-        for t in _sheet_tables(cells, merges):
+        for t in _sheet_tables(cells, merges, links):
             if t["singleton"] is not None:
                 page.append({"type": "text",
                              "text": " ".join(t["singleton"].split()),

@@ -1739,3 +1739,24 @@ def test_fast_median_matches_numpy_exactly():
     for _ in range(500):
         a = rng.normal(size=int(rng.integers(1, 50)))
         assert _median(a) == float(np.median(a))
+
+
+def test_xlsx_cell_hyperlinks():
+    """Cell-level hyperlinks wrap the ESCAPED cell text in <a href> in
+    the canonical table HTML (reference _cell_value_to_html,
+    xlsx_converter.py:1524-1553); invalid targets ('.', blank,
+    non-string) degrade to plain cells, and the link survives grid
+    normalization (rowspan carry)."""
+    import json
+    p = {"kind": "xlsx_cells", "sheets": [{"name": "S", "cells": [
+        {"r": 0, "c": 0, "v": "k"}, {"r": 0, "c": 1, "v": "v"},
+        {"r": 1, "c": 0, "v": "a<b", "link": "https://x.org/?a=1&b=2"},
+        {"r": 1, "c": 1, "v": "dot", "link": "."},
+        {"r": 2, "c": 0, "v": "tall", "link": "https://x.org/t"},
+        {"r": 2, "c": 1, "v": "plain", "link": 7},
+    ], "merges": [[2, 0, 3, 0]]}]}
+    out = extract_turn(json.dumps(p), "file_reader")
+    md = out["md"]
+    assert '<td><a href="https://x.org/?a=1&amp;b=2">a&lt;b</a></td>' in md
+    assert "<td>dot</td>" in md and "<td>plain</td>" in md
+    assert '<td rowspan="2"><a href="https://x.org/t">tall</a></td>' in md
