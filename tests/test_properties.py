@@ -188,3 +188,61 @@ def test_pdf_payload_shaped_fuzz(chars, layout):
     b = extract_turn(payload, "pdf_reader")
     assert isinstance(a["md"], str)
     assert a["md"] == b["md"] and a["middle"] == b["middle"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x3200), max_size=40),
+       st.sampled_from(["<table><tr><td>x</td></tr></table>", "<TABLE>",
+                        "<tab", "plain", "", "{\"kind\": \"docx_runs\"}"]))
+def test_office_sniff_regex_matches_classifier(prefix, payload):
+    """The JVM sniff regex and the Python classifier agree on ANY
+    prefix+payload combination — the r4 #1 parity, as a property (the
+    regex is evaluated with Python's re here; the Spark-side equivalence
+    is pinned by test_plans.test_office_sniff_matches_python_classifier)."""
+    import re
+
+    from mineru_spark.kernels.classify import (OFFICE_SNIFF_RE,
+                                               classify_payload)
+
+    text = prefix + payload
+    jvm = re.match(OFFICE_SNIFF_RE.replace("(?i)", ""), text,
+                   re.IGNORECASE) is not None
+    assert jvm == (classify_payload(text) == "office")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_probe_media_never_raises(data):
+    from mineru_spark.multimodal import probe_media
+
+    out = probe_media(data)
+    assert set(out) == {"mime", "width", "height", "duration_ms"}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.dictionaries(
+    st.sampled_from(["text", "bold", "italic", "underline",
+                     "strikethrough", "script", "hidden", "link", "math",
+                     "image"]),
+    st.none() | st.booleans() | st.integers() | st.text(max_size=10)
+    | st.dictionaries(st.sampled_from(["data_b64", "rel_id"]),
+                      st.text(max_size=8), max_size=2),
+    max_size=5), max_size=6))
+def test_docx_runs_fuzz_never_raises(runs):
+    from mineru_spark.kernels.docx import extract_docx
+
+    blocks, metrics = extract_docx({"paras": [
+        {"style": "Normal", "runs": runs},
+        {"style": "ListParagraph", "runs": runs},
+        {"style": "TOC", "runs": runs}]})
+    assert all("type" in b for b in blocks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120))
+def test_lang_of_total_and_deterministic(text):
+    from mineru_spark.kernels.langid import lang_of
+
+    out = lang_of(text)
+    assert out == lang_of(text)
+    assert out in {"ko", "ja", "zh", "ru", "en", "de", "fr", "es", "und"}
