@@ -977,10 +977,22 @@ def _gen_xlsx(rng: random.Random) -> str:
                     continue
                 cell = {"r": r0 + 1 + r, "c": c0 + c,
                         "v": _sentence(rng, 1, 3)}
-                if rng.random() < 0.06:
+                rr = rng.random()
+                if rr < 0.06:
                     # cell hyperlink → <a href> wrap in the table HTML
                     cell["link"] = \
                         f"https://example.org/cell/{rng.randint(1, 99)}"
+                elif rr < 0.12:
+                    # rich styled runs → nested inline font tags
+                    a, b = cell["v"].split(" ", 1) if " " in cell["v"] \
+                        else (cell["v"], "")
+                    runs = [{"text": a + (" " if b else ""),
+                             "bold": rng.random() < 0.5}]
+                    if b:
+                        runs.append({"text": b,
+                                     "italic": rng.random() < 0.5,
+                                     "underline": rng.random() < 0.3})
+                    cell["runs"] = runs
                 cells.append(cell)
         if rng.random() < 0.3:
             # isolated note cell, > gap+1 away → its own singleton region

@@ -27,6 +27,11 @@ class Cell:
                      # the escaped text (reference _cell_value_to_html
                      # wrap, xlsx_converter.py:1544-1553); never part of
                      # the text the merge/header comparisons see
+    rich: list = None  # styled segments [(text, (styles...))]: rendered
+                       # as nested inline font tags (reference
+                       # _apply_inline_font_tags, :1474-1496 — sup/sub
+                       # innermost, then s, u, em, strong); cell.text
+                       # stays the PLAIN join for merge/header compares
 
 
 @dataclass
@@ -175,7 +180,7 @@ def _normalize(rows: list[list[Cell]]) -> TableGrid:
                 for dc in range(cs):
                     occupied[(r + dr, c + dc)] = True
             arow.append(Cell(cell.text, rs, cs, cell.header,
-                             cell.link))
+                             cell.link, cell.rich))
             c += cs
         ncols = max(ncols, c)
         anchors.append(arow)
@@ -186,6 +191,34 @@ def _normalize(rows: list[list[Cell]]) -> TableGrid:
             if r + cell.rowspan > nrows:
                 cell.rowspan = nrows - r
     return TableGrid(rows=anchors, ncols=ncols)
+
+
+_RICH_TAGS = (("superscript", "sup"), ("subscript", "sub"),
+              ("strikethrough", "s"), ("underline", "u"),
+              ("italic", "em"), ("bold", "strong"))
+
+
+def _render_rich_segments(segments: list) -> str:
+    """Styled cell segments → inline HTML with the reference's nesting
+    order (_apply_inline_font_tags, xlsx_converter.py:1474-1496: script
+    innermost, strong outermost); text escaped per segment."""
+    parts = []
+    for text, styles in segments:
+        t = html_escape(text)
+        if not t:
+            continue
+        # boundary spaces stay OUTSIDE the tags (a styled run's edge
+        # space is layout, not styled content)
+        lead = t[:len(t) - len(t.lstrip(" "))]
+        trail = t[len(t.rstrip(" ")):]
+        core = t[len(lead):len(t) - len(trail)]
+        sset = set(styles)
+        if core:
+            for name, tag in _RICH_TAGS:
+                if name in sset:
+                    core = f"<{tag}>{core}</{tag}>"
+        parts.append(f"{lead}{core}{trail}")
+    return "".join(parts)
 
 
 def render_table_html(grid: TableGrid) -> str:
@@ -203,7 +236,8 @@ def render_table_html(grid: TableGrid) -> str:
                 attrs += f' rowspan="{cell.rowspan}"'
             if cell.colspan > 1:
                 attrs += f' colspan="{cell.colspan}"'
-            inner = html_escape(cell.text)
+            inner = (_render_rich_segments(cell.rich) if cell.rich
+                     else html_escape(cell.text))
             if cell.link:
                 inner = f'<a href="{html_escape(cell.link)}">{inner}</a>'
             parts.append(f"<{tag}{attrs}>{inner}</{tag}>")

@@ -72,8 +72,39 @@ MAX_MERGED_CELLS = 262144
 MAX_REGION_DIM = 512
 
 
+def _rich_segments(runs) -> list | None:
+    """Cell "runs" payload → [(text, (styles...))] segments via the
+    shared office style vocabulary (docx._run_styles); None when the
+    payload has no usable styled content."""
+    if not isinstance(runs, list):
+        return None
+    from .docx import _run_styles
+
+    segs = []
+    styled = False
+    prev_trailing_ws = False
+    for r in runs:
+        if not isinstance(r, dict):
+            continue
+        raw = str(r.get("text", ""))
+        text = " ".join(raw.split())
+        if not text:
+            prev_trailing_ws = prev_trailing_ws or bool(raw)
+            continue
+        # run-boundary whitespace survives as ONE space on the following
+        # segment (inner whitespace collapses like the plain cell text)
+        if segs and (prev_trailing_ws or raw[:1].isspace()):
+            text = " " + text
+        prev_trailing_ws = raw[-1:].isspace()
+        styles = _run_styles(r)
+        styled = styled or bool(styles)
+        segs.append((text, styles))
+    return segs if segs and styled else None
+
+
 def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
-                  links: dict | None = None) -> list[dict]:
+                  links: dict | None = None,
+                  rich: dict | None = None) -> list[dict]:
     """Flood-fill DataRegion detection over one sheet at a FIXED gap
     tolerance (reference _find_data_tables_with_gap_raw :1105-1148).
 
@@ -86,6 +117,7 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
     over merge spans (_build_table_content_mask :876-889).
     """
     links = links or {}
+    rich = rich or {}
     anchor_span: dict[tuple, tuple] = {}
     merged_pos: set[tuple] = set()
     hidden_pos: set[tuple] = set()
@@ -163,7 +195,8 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
                             mask[mr][mc] = True
                 row.append(tbl.Cell(text=text, rowspan=rs, colspan=cs,
                                     header=(ri == min_r),
-                                    link=links.get((ri, cj), "")))
+                                    link=links.get((ri, cj), ""),
+                                    rich=rich.get((ri, cj))))
             rows.append(row)
 
         singleton = None
@@ -240,7 +273,8 @@ def _penalty(s: dict) -> float:
 
 
 def _sheet_tables(cells: dict, merges: list,
-                  links: dict | None = None) -> list[dict]:
+                  links: dict | None = None,
+                  rich: dict | None = None) -> list[dict]:
     """DataRegion detection with auto gap-tolerance selection: flood fill
     at every candidate tolerance, score, pick near-best by the reference's
     tiebreak chain, then apply the semantic-subset filter to the winner
@@ -253,7 +287,7 @@ def _sheet_tables(cells: dict, merges: list,
     """
     cands = []
     for gap in GAP_CANDIDATES:
-        raw = _flood_tables(cells, merges, gap, links)
+        raw = _flood_tables(cells, merges, gap, links, rich)
         s = _candidate_summary(raw)
         cands.append({"gap": gap, "raw": raw, "summary": s,
                       "penalty": _penalty(s)})
@@ -294,12 +328,18 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
         name = str(sheet.get("name", f"Sheet{page_idx + 1}"))
         cells: dict[tuple, str] = {}
         links: dict[tuple, str] = {}
+        rich: dict[tuple, list] = {}
         for cell in sheet.get("cells") or []:
             if not isinstance(cell, dict):
                 continue
             v = cell.get("v")
+            segs = _rich_segments(cell.get("runs"))
             if v is None or str(v) == "":
-                continue
+                # runs-only cell: the plain value IS the segments' join
+                # (the reference derives both views from one cell value)
+                if not segs:
+                    continue
+                v = "".join(t for t, _st in segs)
             try:
                 pos = (int(cell["r"]), int(cell["c"]))
             except (KeyError, TypeError, ValueError):
@@ -312,6 +352,12 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
             if isinstance(link, str) and link.strip() \
                     and link.strip() != ".":
                 links[pos] = link.strip()
+            # rich styled segments (reference CellRichText parts →
+            # inline font tags, xlsx_converter.py:1529-1546): the plain
+            # text above stays the compare/merge key, the render uses
+            # the segments
+            if segs:
+                rich[pos] = segs
         merges = []
         for m in sheet.get("merges") or []:
             if (isinstance(m, (list, tuple)) and len(m) == 4
@@ -320,7 +366,7 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
                     and len(merges) < MAX_MERGES):
                 merges.append(tuple(m))
         page: list[dict] = []
-        for t in _sheet_tables(cells, merges, links):
+        for t in _sheet_tables(cells, merges, links, rich):
             if t["singleton"] is not None:
                 page.append({"type": "text",
                              "text": " ".join(t["singleton"].split()),

@@ -1760,3 +1760,26 @@ def test_xlsx_cell_hyperlinks():
     assert '<td><a href="https://x.org/?a=1&amp;b=2">a&lt;b</a></td>' in md
     assert "<td>dot</td>" in md and "<td>plain</td>" in md
     assert '<td rowspan="2"><a href="https://x.org/t">tall</a></td>' in md
+
+
+def test_xlsx_rich_cell_runs():
+    """Styled cell runs render as nested inline font tags in the
+    canonical table HTML with the reference's nesting order
+    (_apply_inline_font_tags, xlsx_converter.py:1474-1496: script
+    innermost, strong outermost), boundary spaces outside the tags, and
+    a runs-only cell derives its plain value from the segments."""
+    import json
+    p = {"kind": "xlsx_cells", "sheets": [{"name": "S", "cells": [
+        {"r": 0, "c": 0, "v": "metric"}, {"r": 0, "c": 1, "v": "delta"},
+        {"r": 1, "c": 0, "v": "rev"},
+        {"r": 1, "c": 1, "runs": [
+            {"text": "up "},
+            {"text": "12%", "bold": True, "underline": True}]},
+        {"r": 2, "c": 0, "v": "note"},
+        {"r": 2, "c": 1, "v": "x2", "runs": [
+            {"text": "x"}, {"text": "2", "script": "super"}]},
+    ]}]}
+    out = extract_turn(json.dumps(p), "file_reader")
+    md = out["md"]
+    assert "<td>up <strong><u>12%</u></strong></td>" in md
+    assert "<td>x<sup>2</sup></td>" in md
