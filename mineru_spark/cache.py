@@ -1,7 +1,7 @@
 """Tracked persist registry (r4 directive #6 — unpersist discipline).
 
 Several plans persist small intermediate frames (the extraction run-key
-set, the jaccard shingle base, the legacy finalize branch).  The frames
+set, the jaccard shingle base).  The frames
 are lazy, so the function that persists them cannot unpersist before its
 caller's ACTION runs; left alone, a long-lived session (bench warm-up +
 reps, streaming extract_finalized per micro-batch) accumulates cached
@@ -15,9 +15,11 @@ Contract:
   no cooperating caller at most ONE frame per tag is ever live —
   re-invocation (next bench rep, next micro-batch) is the cleanup;
 - an action OWNER (run_job after its writes, streaming process_batch at
-  batch end, tests) calls ``release()`` (everything) or ``release(tag)``
-  once its action has consumed the cache, returning the session to zero
-  cached relations.
+  batch end, tests) calls ``release(tag)`` for the tags IT owns once its
+  action has consumed the cache; the no-arg ``release()`` is reserved
+  for session teardown — per-job use would evict unrelated live caches
+  (e.g. a concurrent query's jaccard shingle base), a silent perf
+  regression (r4 ADVICE).
 
 Unpersist on a still-referenced plan is always safe in Spark — later
 actions just recompute — so eager release never breaks correctness.

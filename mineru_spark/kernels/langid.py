@@ -72,7 +72,10 @@ def lang_of(text: str) -> str:
         for lang, rx, thr in _SCRIPT_RX:
             if len(rx.findall(dense)) / total > thr:
                 return lang
-    words = _WORD_SPLIT.split(text.strip())
+    # strip SPACES only — the SQL twins use trim()/TRIM which strip the
+    # space character, not all Unicode whitespace; '\nthe' must stay one
+    # (non-matching) token in both engines (r4 ADVICE parity fix)
+    words = _WORD_SPLIT.split(text.strip(" "))
     hits = [(sum(1 for w in words if w in ws), i, lang)
             for i, (lang, ws) in enumerate(_PROFILE_SETS)]
     best = max(hits, key=lambda h: (h[0], -h[1]))

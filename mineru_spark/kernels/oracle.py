@@ -24,16 +24,71 @@ from __future__ import annotations
 
 import json
 
-# Arrow/Rust JSON parser when present (bundled transitively in this
-# environment; NOT a hard dependency — stdlib fallback keeps the kernel
-# self-contained).  Parse side only: every json.dumps stays stdlib so
-# output encodings are byte-stable regardless of which parser ran.
+# Rust JSON parser when present (bundled transitively in this
+# environment; NOT a hard dependency).  Parse side only: every json.dumps
+# stays stdlib so output encodings are byte-stable regardless of which
+# parser ran.  PARSER PARITY (r5 ADVICE fix): stdlib json.loads accepts
+# input orjson treats differently — NaN/Infinity literals and
+# overflow-to-inf float literals (orjson raises), lone-surrogate escapes
+# (orjson raises), and arbitrary-precision integers (orjson keeps 64-bit
+# ints exact and parses anything wider as a LOSSY double) — so the same
+# payload would extract differently on a stdlib-only node, golden-hash
+# drift the in-process parity gate cannot see.  The pinned behavior is
+# orjson's (measured on the bundled 3.8.3); the stdlib fallback below
+# reproduces it bit-for-bit, so both environments parse OR degrade
+# identically (on the common RFC 8259 subset the decoders already
+# agree).
+_JSON_ERRORS = (ValueError, TypeError)
+
+# orjson's exact-integer window: i64 min .. u64 max
+_I64_MIN, _U64_MAX = -(1 << 63), (1 << 64) - 1
+
+
+def _reject_constant(_name):  # NaN / Infinity / -Infinity literals
+    raise ValueError("non-strict JSON constant")
+
+
+def _finite_float(s: str) -> float:
+    f = float(s)
+    if f != f or f in (float("inf"), float("-inf")):
+        # stdlib silently overflows '1e400' to inf; orjson raises
+        raise ValueError("number is infinity when parsed as double")
+    return f
+
+
+def _orjsonify(o):
+    """Post-transform to orjson semantics: ints outside the 64-bit
+    window become doubles (orjson's lossy wide-int parse; reject if even
+    the double overflows), strings with lone surrogates are rejected."""
+    if isinstance(o, int) and not isinstance(o, bool):
+        if _I64_MIN <= o <= _U64_MAX:
+            return o
+        f = float(o)  # OverflowError propagates = reject, like orjson
+        if f in (float("inf"), float("-inf")):
+            raise ValueError("integer overflows double")
+        return f
+    if isinstance(o, str):
+        try:
+            o.encode("utf-8")
+        except UnicodeEncodeError:
+            raise ValueError("lone surrogate in string") from None
+        return o
+    if isinstance(o, list):
+        return [_orjsonify(v) for v in o]
+    if isinstance(o, dict):
+        return {_orjsonify(k): _orjsonify(v) for k, v in o.items()}
+    return o
+
+
+def _strict_loads_stdlib(s):
+    return _orjsonify(json.loads(s, parse_constant=_reject_constant,
+                                 parse_float=_finite_float))
+
+
 try:
     from orjson import loads as _json_loads
-    _JSON_ERRORS = (ValueError, TypeError)
 except ImportError:  # pragma: no cover - depends on environment
-    _json_loads = json.loads
-    _JSON_ERRORS = (json.JSONDecodeError, TypeError)
+    _json_loads = _strict_loads_stdlib
 
 from . import charstream, emit, html_extract, pptx as pptx_kernel
 from . import docx as docx_kernel

@@ -237,43 +237,6 @@ def extract(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
 # Conversation-level finalize (D2: cross-turn table merge)
 # ---------------------------------------------------------------------------
 
-def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One conversation in, finalized conversation out.  Column-oriented:
-    the turn dicts are built from column lists and the result frame is
-    assembled fresh — per-cell ``.loc`` writes on wide string columns were
-    the dominant cost of the grouped stage (measured ~28 ms/conv, ~10× the
-    rebuild)."""
-    from .kernels.oracle import finalize_conv, _METRIC_KEYS
-
-    pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-    metric_lists = {k: pdf[k].tolist() for k in _METRIC_KEYS}
-    outs = [
-        {"turn_idx": int(ti), "route": rt, "md": md, "md_nlp": mn,
-         "content_list": cl, "content_list_v2": c2, "middle": mi,
-         "metrics": {k: int(metric_lists[k][i]) for k in _METRIC_KEYS}}
-        for i, (ti, rt, md, mn, cl, c2, mi) in enumerate(zip(
-            pdf["turn_idx"], pdf["route"], pdf["md"], pdf["md_nlp"],
-            pdf["content_list"], pdf["content_list_v2"], pdf["middle"]))
-    ]
-    finalize_conv(outs)
-    res = pd.DataFrame({
-        "conv_id": pdf["conv_id"],
-        "turn_idx": pdf["turn_idx"].astype("int32"),
-        "ts": pdf["ts"],
-        "route": pdf["route"],
-        "md": [o["md"] for o in outs],
-        "md_nlp": [o["md_nlp"] for o in outs],
-        "content_list": [o["content_list"] for o in outs],
-        "content_list_v2": [o["content_list_v2"] for o in outs],
-        "middle": [o["middle"] for o in outs],
-        "spans": pdf["spans"],
-    })
-    for k in _METRIC_COLS:
-        res[k] = pd.Series([o["metrics"][k] for o in outs],
-                           dtype="int32")
-    return res
-
-
 def _candidate_run_keys(df: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, _run) keys of every turn inside a maximal run
     of ≥2 ADJACENT office turns, detected from the RAW transcripts —
@@ -361,11 +324,12 @@ def extract_finalized(df: DataFrame,
       office runs: raw rows group by (conv_id, run) and extract+finalize
           run in ONE fused Python stage (_extract_finalize_conv).
 
-    This replaces persist-and-branch over the extraction OUTPUT
-    (finalize_convs below): output rows are ~5× the input payload, so
-    caching + three cache scans of them cost more than two extra input
-    scans, and the fused candidate stage skips the second Arrow round-trip
-    entirely.  At 10^12 turns the win is bigger — no executor storage
+    This replaced the round-2/3 persist-and-branch over the extraction
+    OUTPUT (legacy `finalize_convs`, deleted in r5 per the round-4
+    verdict — duplicate cross-turn semantics were a drift risk): output
+    rows are ~5× the input payload, so caching + three cache scans of
+    them cost more than two extra input scans, and the fused candidate
+    stage skips the second Arrow round-trip entirely.  At 10^12 turns the win is bigger — no executor storage
     holds the extraction output (bar the tiny persisted key set), and the
     only shuffle moves the office-run rows themselves."""
     # tiny key frame (3 narrow columns, office-run rows only): persist so
@@ -397,49 +361,6 @@ def extract_finalized(df: DataFrame,
             .groupBy("conv_id", "_run")
             .applyInPandas(_extract_finalize_conv, schema=EXTRACT_SCHEMA))
     return rest.unionByName(cand)
-
-
-def finalize_convs(extracted: DataFrame) -> DataFrame:
-    """Grouped conv-level pass for the cross-turn operators (currently the
-    continuation-table merge).  Only conversations that contain ≥2
-    adjacent office turns are shuffled into groups — everything else
-    passes through untouched — so the grouped stage moves a small fraction
-    of the data (the reference's table merge is likewise gated,
-    runtime_utils.py:10-26).  The candidate filter is computed with a
-    window (lag on route) and broadcast back as a semi/anti join key set.
-
-    The input fans into THREE consumers (candidate window, left-semi
-    probe, left-anti probe), so it is persisted (MEMORY_AND_DISK) before
-    branching — without this every branch re-runs the upstream extraction
-    kernel and the hottest stage executes ~4×, not once
-    (tests/test_plans.py asserts the single-execution invariant with an
-    accumulator).  Callers that manage the cache themselves (run_job,
-    bench.py) persist before calling and unpersist after their action; the
-    at-scale alternative — write the extraction output first, finalize as
-    a keys-driven second job over the sink — is the run_job shape's
-    documented evolution (SCALE.md §1)."""
-    from pyspark import StorageLevel
-    from pyspark.sql import Window as W
-
-    if extracted.storageLevel == StorageLevel.NONE:
-        extracted = cache.track(
-            "finalize_branch",
-            extracted.persist(StorageLevel.MEMORY_AND_DISK))
-
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
-    # candidate detection on a narrow projection: the window shuffle moves
-    # (conv_id, turn_idx, route) only — never the payload columns
-    narrow = extracted.select("conv_id", "turn_idx", "route") \
-        .filter(F.col("route") == "office")
-    cand_convs = (narrow
-                  .withColumn("_prev_idx", F.lag("turn_idx").over(w))
-                  .filter(F.col("turn_idx") == F.col("_prev_idx") + 1)
-                  .select("conv_id").distinct())
-    cand = extracted.join(F.broadcast(cand_convs), "conv_id", "left_semi")
-    rest = extracted.join(F.broadcast(cand_convs), "conv_id", "left_anti")
-    updated = cand.groupBy("conv_id").applyInPandas(
-        _finalize_group, schema=extracted.schema)
-    return updated.unionByName(rest)
 
 
 # ---------------------------------------------------------------------------
@@ -509,8 +430,11 @@ def run_job(spark: SparkSession, transcripts: DataFrame, out_dir: str,
         spark.createDataFrame(per_part).write.mode("append") \
             .parquet(metrics_path)
 
-    # all actions done — drop every tracked cached frame (key set etc.)
-    cache.release()
+    # all actions done — drop the tags THIS job owns (r4 ADVICE: the
+    # no-arg form would also evict unrelated live caches, e.g. a
+    # concurrent query's jaccard_shingles, a silent perf regression;
+    # no-arg release is reserved for session teardown)
+    cache.release("extract_keys")
 
     # globals derive from the (tiny) per-partition rows — no second scan
     return {"turns": sum(r["turns"] for r in per_part),

@@ -151,7 +151,9 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
             .parquet(_run_state_path(out_dir, int(epoch_id)))
         # batch actions complete: release the run-key cache so per-epoch
         # invocations of extract_finalized never accumulate cached frames
-        cache.release()
+        # (tag-scoped: a concurrent query's caches in the same session
+        # must survive the epoch — r4 ADVICE)
+        cache.release("extract_keys")
         # prune state epochs older than the replay window (previous epoch)
         import shutil
         base = _run_state_path(out_dir)

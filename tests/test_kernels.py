@@ -1703,6 +1703,50 @@ def test_langid_split_matches_sql_twin():
 
     assert lang_of("et\nest\nle") == "und"          # one token, no hits
     assert lang_of("le chat et la maison est la") == "fr"
+    # r5 ADVICE fix: Python str.strip() strips ALL Unicode whitespace but
+    # the SQL twins trim() only spaces — '\nthe ...' must keep its leading
+    # newline glued to the first token in BOTH engines
+    assert lang_of("\nthe cat and dog in the box") == \
+        lang_of("Xthe cat and dog in the box")  # '\nthe'/'Xthe' both miss
+    assert lang_of("  the and of to  ") == "en"  # spaces still stripped
+
+
+def test_oracle_json_fallback_matches_orjson():
+    """The stdlib JSON fallback must behave bit-for-bit like orjson —
+    reject NaN/Infinity literals, overflow-to-inf floats and lone
+    surrogates; parse >64-bit integers as LOSSY doubles — so the same
+    payload parses or degrades identically on stdlib-only and orjson
+    nodes (r5 ADVICE fix — cross-environment golden-hash stability)."""
+    import pytest
+
+    from mineru_spark.kernels.oracle import _strict_loads_stdlib
+
+    bads = ('{"a": NaN}', '{"a": Infinity}', '[-Infinity]',
+            '{"f": 1e400}',                      # double overflow
+            '{"s": "\\ud800"}')                  # lone surrogate
+    for bad in bads:
+        with pytest.raises((ValueError, TypeError)):
+            _strict_loads_stdlib(bad)
+    oks = (
+        # full 64-bit window exact; outside it lossy double, like orjson
+        '{"n": 18446744073709551615, "m": -9223372036854775808}',
+        '{"big": 18446744073709551616, "neg": -9223372036854775809}',
+        '{"s": "\\ud83d\\ude00", "f": 1.5, "b": true, "x": null}',
+    )
+    parsed = [_strict_loads_stdlib(s) for s in oks]
+    assert parsed[0]["n"] == 2**64 - 1 and isinstance(parsed[0]["n"], int)
+    assert isinstance(parsed[1]["big"], float)   # lossy wide-int parse
+    assert parsed[2]["s"] == "😀"
+    try:
+        import orjson
+    except ImportError:
+        pass
+    else:
+        for s, p in zip(oks, parsed):
+            assert orjson.loads(s) == p
+        for bad in bads:
+            with pytest.raises((ValueError, TypeError)):
+                orjson.loads(bad)  # JSONDecodeError subclasses ValueError
 
 
 def test_docx_list_images_follow_their_list():

@@ -92,58 +92,6 @@ def test_extract_finalized_is_single_fused_pass(spark):
     spark.catalog.clearCache()
 
 
-def test_finalize_runs_extraction_once(spark):
-    """finalize_convs fans the extracted frame into three consumers
-    (candidate window, semi probe, anti probe); it must persist before
-    branching so the extraction kernel executes exactly ONCE per row.
-    Round-2 review measured ~3.8× recompute without the persist — this
-    accumulator gate pins the single-execution invariant."""
-    from mineru_spark.pipeline import (EXTRACT_SCHEMA, _extract_batch,
-                                       finalize_convs,
-                                       synthesize_transcripts)
-
-    src = synthesize_transcripts(spark, 12)
-    n_turns = src.count()
-    acc = spark.sparkContext.accumulator(0)
-
-    def counting(batches):
-        for out in _extract_batch(batches):
-            acc.add(len(out))
-            yield out
-
-    ext = src.select("conv_id", "turn_idx", "ts", "text", "tool") \
-        .mapInPandas(counting, schema=EXTRACT_SCHEMA)
-    fin = finalize_convs(ext)
-    fin.write.format("noop").mode("overwrite").save()
-    assert acc.value == n_turns, \
-        f"extraction kernel ran {acc.value / n_turns:.1f}x per row"
-    assert "InMemoryTableScan" in _plan(fin)
-    spark.catalog.clearCache()
-
-
-def test_finalize_shuffles_narrow_projection_only(spark):
-    """finalize_convs' candidate-detection window moves only
-    (conv_id, turn_idx, route) — payload columns never enter that
-    exchange."""
-    from mineru_spark.pipeline import (extract, finalize_convs,
-                                      synthesize_transcripts)
-
-    plan = _plan(finalize_convs(extract(synthesize_transcripts(spark, 4))))
-    # the plan has (a) the gated applyInPandas exchange that moves full
-    # rows for CANDIDATE conversations only, and (b) the candidate-
-    # detection window exchange, whose cached scan must carry only the
-    # narrow (conv_id, turn_idx, route) projection — payload columns are
-    # pruned THROUGH the persisted relation (InMemoryTableScan column
-    # pruning), never entering that exchange
-    segs = plan.split("Exchange hashpartitioning(conv_id")
-    assert len(segs) >= 3  # grouped stage + narrow window stage
-    narrow = [ln for ln in plan.splitlines()
-              if "InMemoryTableScan" in ln and "route#" in ln
-              and "md#" not in ln]
-    assert narrow, "no payload-free cached scan feeding the window"
-    spark.catalog.clearCache()
-
-
 def test_office_sniff_matches_python_classifier(spark):
     """The JVM run-key sniff (OFFICE_SNIFF_RE rlike) must agree with
     classify_payload row-for-row, including adversarial leading
