@@ -816,6 +816,111 @@ def _gen_pdf(rng: random.Random) -> str:
 # DOCX styled-run fragments (O1: linear paragraph walk, style chain)
 # ---------------------------------------------------------------------------
 
+def _gen_chart(rng: random.Random) -> dict:
+    """Parsed-chart payload (post-XML ChartSpec analog; reference
+    office_chart.py:180-283): category/date/scatter/bubble series with
+    the edge cases the renderer must pin — missing series names
+    (→ SeriesN), ragged value lengths (short columns pad with ''),
+    integral floats (→ int strings), date-serial categories (both
+    epochs), multi-level categories (' / ' join), shared vs distinct
+    scatter X, HTML-hostile strings, and the no-series workbook
+    fallback (including the fully-unparsable chart that renders '')."""
+    d = rng.random()
+    if d < 0.30:  # category chart
+        ncat = rng.randint(3, 5)
+        multi = rng.random() < 0.2
+        cats = [[f"G{i // 2 + 1}", _words(rng, 1)[0].title()] if multi
+                else _sentence(rng, 1, 2).title() for i in range(ncat)]
+        nser = rng.randint(1, 3)
+        series = []
+        for si in range(nser):
+            vals = [float(rng.randint(1, 500)) if rng.random() < 0.7
+                    else round(rng.uniform(0.5, 99.5), 2)
+                    for _ in range(ncat)]
+            if rng.random() < 0.15 and len(vals) > 1:
+                vals = vals[:-1]  # ragged: short column pads with ''
+            s = {"vals": vals}
+            if si == 0 or rng.random() < 0.7:
+                s["cats"] = cats
+            if rng.random() < 0.75:
+                s["name"] = _words(rng, 1)[0].title() + \
+                    (" & co <x>" if rng.random() < 0.1 else "")
+            series.append(s)
+        spec = {"plot_kind": "category", "series": series}
+        if rng.random() < 0.6:
+            spec["cat_axis_title"] = _words(rng, 1)[0].title()
+        if rng.random() < 0.4:
+            spec["val_axis_title"] = _words(rng, 1)[0].title()
+        return spec
+    if d < 0.45:  # date-axis chart (Excel serials, both epochs)
+        base = rng.randint(43831, 45500)
+        cats = [base + 30 * i + (0.5 if rng.random() < 0.15 else 0)
+                for i in range(rng.randint(3, 5))]
+        series = [{"cats": cats,
+                   "vals": [rng.randint(10, 900) for _ in cats],
+                   "name": f"{_words(rng, 1)[0].title()} {si + 1}"}
+                  for si in range(rng.randint(1, 2))]
+        return {"plot_kind": "date", "series": series,
+                "date_1904": rng.random() < 0.25,
+                "cat_axis_title": "Date" if rng.random() < 0.5 else ""}
+    if d < 0.62:  # scatter
+        npt = rng.randint(3, 6)
+        shared = rng.random() < 0.5
+        xs0 = [round(rng.uniform(0, 50), 1) for _ in range(npt)]
+        series = []
+        for si in range(rng.randint(1, 3)):
+            xs = xs0 if shared else \
+                [round(rng.uniform(0, 50), 1) for _ in range(npt)]
+            s = {"xs": list(xs),
+                 "vals": [round(rng.uniform(-5, 105), 2)
+                          for _ in range(npt)]}
+            if rng.random() < 0.7:
+                s["name"] = _words(rng, 1)[0].title()
+            series.append(s)
+        spec = {"plot_kind": "scatter", "series": series}
+        if rng.random() < 0.5:
+            spec["x_axis_title"] = _words(rng, 1)[0].title()
+        return spec
+    if d < 0.72:  # bubble
+        npt = rng.randint(3, 5)
+        shared = rng.random() < 0.5
+        xs0 = [float(rng.randint(1, 40)) for _ in range(npt)]
+        series = []
+        for si in range(rng.randint(1, 2)):
+            xs = xs0 if shared else \
+                [float(rng.randint(1, 40)) for _ in range(npt)]
+            series.append({"xs": list(xs),
+                           "vals": [rng.randint(5, 95) for _ in range(npt)],
+                           "sizes": [round(rng.uniform(0.5, 9.5), 1)
+                                     for _ in range(npt)],
+                           "name": _words(rng, 1)[0].title()})
+        return {"plot_kind": "bubble", "series": series,
+                "x_axis_title": "X" if rng.random() < 0.5 else ""}
+    if d < 0.82:  # scatter series missing its X vector → render '' →
+        # workbook fallback chain (office_chart.py:166-177)
+        return {"plot_kind": "scatter",
+                "series": [{"vals": [1, 2, 3]}],
+                "workbook": [[f"col{j}" for j in range(3)]] +
+                            [[_sentence(rng, 1, 2), rng.randint(1, 99),
+                              float(rng.randint(1, 9))]
+                             for _ in range(rng.randint(2, 4))]}
+    if d < 0.94:  # no parsable series → embedded-workbook table, with
+        # the trim semantics exercised (leading/trailing empty rows,
+        # trailing empty cells, interior gaps kept)
+        body = [[_sentence(rng, 1, 2), rng.randint(1, 999), ""]
+                if rng.random() < 0.3 else
+                [_sentence(rng, 1, 2), rng.randint(1, 999),
+                 round(rng.uniform(0, 9), 1)]
+                for _ in range(rng.randint(2, 4))]
+        rows = [["", "", ""],
+                ["Item", "Count", "Score", "", ""]] + body + [["", ""]]
+        return {"plot_kind": rng.choice(("category", "unknownChart")),
+                "series": [], "workbook": rows}
+    # fully unparsable: no series, no workbook → '' (docx keeps the
+    # typed empty block, pptx drops it)
+    return {"plot_kind": "category", "series": []}
+
+
 def _gen_docx(rng: random.Random) -> str:
     paras = []
     # ~25%: a TOC at the top — entry text + a HIDDEN page-number field run
@@ -942,6 +1047,11 @@ def _gen_docx(rng: random.Random) -> str:
                 c += adv
             rows.append(row)
         paras.append({"style": "Table", "rows": rows})
+    # ~20%: a DrawingML chart paragraph (reference _handle_drawingml,
+    # docx_converter.py:3345-3411; r5 directive #1) — the block is kept
+    # even when the chart renders empty
+    if rng.random() < 0.2:
+        paras.append({"style": "Chart", "chart": _gen_chart(rng)})
     return json.dumps({"kind": "docx_runs", "paras": paras},
                       ensure_ascii=False)
 
@@ -1075,7 +1185,13 @@ def _gen_pptx(rng: random.Random) -> str:
                 shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
                                "kind": "image",
                                "data_b64": _b64.b64encode(blob).decode()})
-            elif r < 0.85:
+            elif r < 0.82:
+                # chart graphic frame (reference _handle_chart,
+                # pptx_converter.py:689-720; r5 directive #1)
+                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                               "kind": "chart",
+                               "chart": _gen_chart(rng)})
+            elif r < 0.9:
                 # styled/hyperlink body runs through the shared office
                 # run machinery (reference routes pptx runs through the
                 # same office_rich_text helpers as docx)

@@ -321,6 +321,24 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         if not isinstance(p, dict):
             continue
         style = str(p.get("style", "Normal"))
+        if style == "Chart":
+            # DrawingML chart at paragraph position (reference
+            # _handle_drawingml, docx_converter.py:3345-3411): the chart
+            # block is appended BEFORE extraction is attempted, so a
+            # chart whose series/workbook cannot be parsed still yields
+            # a typed block with empty content — only a para with no
+            # chart element at all (non-dict payload) appends nothing
+            # (:3365-3369 `if chart is None: continue`).
+            spec = p.get("chart")
+            if isinstance(spec, dict):
+                flush_list()
+                flush_toc()
+                from . import charts
+                blocks.append({"type": "chart",
+                               "text": charts.chart_to_html(spec),
+                               "page_idx": 0, "bbox": [0, 0, 0, 0],
+                               "level": 1})
+            continue
         if style == "Table":
             flush_list()
             flush_toc()

@@ -197,6 +197,15 @@ def render_block(b: dict) -> str:
     if t == "code":
         lang = b.get("lang", "")
         return f"```{lang}\n{text}\n```" if text else ""
+    if t == "chart":
+        # chart body renders its HTML data table inline, then captions —
+        # the office builder's MM_MD branch order (output_builders.py:
+        # 410-425); empty content (unparsable chart — the docx route
+        # keeps the typed block) contributes nothing to md
+        segs = ([text] if text else []) + \
+            [escape_markdown(normalize_text(c))
+             for c in b.get("caption", []) if c]
+        return "\n\n".join(segs)
     if t in ("table", "image"):
         segs = [escape_markdown(normalize_text(c))
                 for c in b.get("caption", []) if c]

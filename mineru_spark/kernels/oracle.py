@@ -132,6 +132,14 @@ def _content_list_json(blocks: list[dict]) -> str:
                                      for c in b.get("caption", [])]
             item["image_footnote"] = [emit.normalize_text(f)
                                       for f in b.get("footnote", [])]
+        elif b["type"] == "chart":
+            # office chart item (reference make_blocks_to_content_list
+            # chart branch, output_builders.py:500-524): html content +
+            # empty img_path (no raster in scope) + caption list
+            item["img_path"] = ""
+            item["content"] = b["text"]
+            item["chart_caption"] = [emit.normalize_text(c)
+                                     for c in b.get("caption", [])]
         elif b["type"] == "equation":
             item["text"] = b["text"]
             item["text_format"] = "latex"
@@ -232,6 +240,16 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                                           for r in runs(c)],
                         "image_footnote": [r for f in b.get("footnote", [])
                                            for r in runs(f)]}}
+        elif t == "chart":
+            # ContentTypeV2.CHART shape (reference
+            # make_blocks_to_content_list_v2 chart branch,
+            # output_builders.py:632-647)
+            item = {"type": "chart",
+                    "content": {
+                        "image_source": {"path": ""},
+                        "content": text,
+                        "chart_caption": [r for c in b.get("caption", [])
+                                          for r in runs(c)]}}
         elif t == "table":
             nest = 2 if text.count("<table") > 1 else 1
             complex_ = ("colspan" in text or "rowspan" in text or nest > 1)
@@ -299,9 +317,14 @@ def _middle_json(blocks: list[dict], route: str) -> str:
             item["text"] = b["text"]
             dpages.setdefault(b["page_idx"], []).append(item)
             continue
-        if b["type"] in ("table", "image"):
+        if b["type"] in ("table", "image", "chart"):
             if b["type"] == "table":
                 item["html"] = b["text"]
+            if b["type"] == "chart":
+                # chart body span carries its html as 'content'
+                # (reference CHART_BODY span, get_body_data
+                # output_builders.py:690-691)
+                item["content"] = b["text"]
             if b["type"] == "image" and b.get("img_path"):
                 item["img_path"] = b["img_path"]
             item["caption"] = [emit.normalize_text(c)
@@ -344,7 +367,10 @@ def _md_nlp(blocks: list[dict]) -> str:
     :968-1011): image blocks are dropped from the text-only rendering."""
     pages: dict[int, list[str]] = {}
     for b in blocks:
-        if b["type"] == "image":
+        if b["type"] in ("image", "chart"):
+            # NLP_MD drops visual bodies; charts skip like images
+            # (reference office builder NLP_MD branch,
+            # output_builders.py:411-412 `continue`)
             continue
         seg = emit.render_block(b)
         if seg:
@@ -435,7 +461,7 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         segs = [emit.render_block(b) for b in blocks]
         md = "\n\n".join(s for s in segs if s)
         for b in blocks:
-            if b["type"] != "table":
+            if b["type"] not in ("table", "chart"):
                 spans.append({"page_idx": b["page_idx"],
                               "bbox": [float(v) for v in b["bbox"]],
                               "type": b["type"],

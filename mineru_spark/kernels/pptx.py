@@ -85,6 +85,20 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                                    "text": tbl.render_table_html(grids[0]),
                                    "page_idx": sidx, "bbox": nb, "level": 1})
                 continue
+            if kind == "chart":
+                # graph frame shape (reference _handle_chart,
+                # pptx_converter.py:689-720): unlike the docx route the
+                # block is appended ONLY when the render is non-empty
+                # (:712-713 `if not chart_html: return`)
+                from . import charts
+                spec = sp.get("chart")
+                html = charts.chart_to_html(spec) \
+                    if isinstance(spec, dict) else ""
+                if html:
+                    blocks.append({"type": "chart", "text": html,
+                                   "page_idx": sidx, "bbox": nb,
+                                   "level": 1})
+                continue
             if kind == "image":
                 # picture shape → image block via the SHARED office
                 # image contract (emit.office_image_block: strict base64,

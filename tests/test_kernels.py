@@ -1827,3 +1827,191 @@ def test_xlsx_rich_cell_runs():
     md = out["md"]
     assert "<td>up <strong><u>12%</u></strong></td>" in md
     assert "<td>x<sup>2</sup></td>" in md
+
+
+# ---------------------------------------------------------------------------
+# O-chart: OOXML chart → HTML data table (r5 directive #1)
+# ---------------------------------------------------------------------------
+
+def test_chart_category_exact_html():
+    """Category chart: [cat-axis title] + one column per series, series
+    name fallback SeriesN, integral floats → int strings, ragged value
+    columns pad with '', HTML-hostile text escaped (reference
+    office_chart.py:314-341, :755-762, :925-946, :966-989)."""
+    from mineru_spark.kernels.charts import chart_to_html
+
+    spec = {"plot_kind": "category", "cat_axis_title": "Quarter",
+            "series": [
+                {"cats": ["Q1", "Q2", "Q3"], "vals": [10.0, 20.5, 30],
+                 "name": "A & B <x>"},
+                {"vals": [1.0, 2.0]},                 # no name, ragged
+            ]}
+    assert chart_to_html(spec) == (
+        "<table><thead><tr><th>Quarter</th><th>A &amp; B &lt;x&gt;</th>"
+        "<th>Series2</th></tr></thead><tbody>"
+        "<tr><td>Q1</td><td>10</td><td>1</td></tr>"
+        "<tr><td>Q2</td><td>20.5</td><td>2</td></tr>"
+        "<tr><td>Q3</td><td>30</td><td></td></tr>"
+        "</tbody></table>")
+
+
+def test_chart_multilevel_categories_join():
+    """multiLvlStrRef category levels join with ' / ', empty parts
+    skipped (reference office_chart.py:649-680)."""
+    from mineru_spark.kernels.charts import chart_to_html
+
+    spec = {"plot_kind": "category",
+            "series": [{"cats": [["2023", "Q1"], ["2023", ""], ["", "Q3"]],
+                        "vals": [1, 2, 3], "name": "S"}]}
+    html = chart_to_html(spec)
+    assert "<td>2023 / Q1</td>" in html
+    assert "<td>2023</td>" in html      # empty level part skipped
+    assert "<td>Q3</td>" in html
+
+
+def test_chart_date_axis_serials():
+    """Date-axis categories are Excel serials → ISO: Windows epoch with
+    the Lotus 1900 window (serial 1 = 1900-01-01, 60 = phantom Feb 29 →
+    Feb 28, 61 = 1900-03-01), midday fractions render as datetimes, the
+    1904 flag switches to the Mac epoch (reference office_chart.py:
+    904-922; openpyxl from_excel semantics)."""
+    from mineru_spark.kernels.charts import chart_to_html
+
+    spec = {"plot_kind": "date",
+            "series": [{"cats": [1, 60, 61, 45000, 45000.5],
+                        "vals": [1, 2, 3, 4, 5], "name": "S"}]}
+    html = chart_to_html(spec)
+    for iso in ("1900-01-01", "1900-02-28", "1900-03-01",
+                "2023-03-15", "2023-03-15 12:00:00"):
+        assert f"<td>{iso}</td>" in html, (iso, html)
+    mac = chart_to_html({"plot_kind": "date", "date_1904": True,
+                         "series": [{"cats": [0, 366],
+                                     "vals": [1, 2], "name": "S"}]})
+    assert "<td>1904-01-01</td>" in mac and "<td>1905-01-01</td>" in mac
+    # numeric STRINGS convert too (cached-XML form, :886-901)
+    cached = chart_to_html({"plot_kind": "date",
+                            "series": [{"cats": ["45000", "n/a"],
+                                        "vals": [1, 2], "name": "S"}]})
+    assert "<td>2023-03-15</td>" in cached and "<td>n/a</td>" in cached
+
+
+def test_chart_scatter_shared_vs_distinct_x():
+    """Scatter: equal normalized X sequences collapse to ONE X column;
+    otherwise per-series '{name} X'/'{name} Y' pairs (reference
+    office_chart.py:766-816)."""
+    from mineru_spark.kernels.charts import chart_to_html
+
+    shared = {"plot_kind": "scatter", "x_axis_title": "T",
+              "series": [{"xs": [1, 2], "vals": [3, 4], "name": "A"},
+                         {"xs": [1.0, 2.0], "vals": [5, 6], "name": "B"}]}
+    html = chart_to_html(shared)   # 1 vs 1.0 normalize equal
+    assert html.startswith(
+        "<table><thead><tr><th>T</th><th>A</th><th>B</th>")
+    assert "<tr><td>1</td><td>3</td><td>5</td></tr>" in html
+
+    distinct = {"plot_kind": "scatter",
+                "series": [{"xs": [1, 2], "vals": [3, 4], "name": "A"},
+                           {"xs": [9, 8], "vals": [5, 6], "name": "B"}]}
+    html2 = chart_to_html(distinct)
+    assert "<th>A X</th><th>A Y</th><th>B X</th><th>B Y</th>" in html2
+    # a series missing its X vector kills the scatter render entirely
+    assert chart_to_html({"plot_kind": "scatter",
+                          "series": [{"vals": [1, 2]}]}) == ""
+
+
+def test_chart_bubble_tables():
+    """Bubble: shared-X → [X, name, 'name size'] columns; distinct →
+    per-series X/Y/size triples (reference office_chart.py:819-870)."""
+    from mineru_spark.kernels.charts import chart_to_html
+
+    shared = {"plot_kind": "bubble", "x_axis_title": "X",
+              "series": [{"xs": [1, 2], "vals": [3, 4], "sizes": [5, 6],
+                          "name": "A"}]}
+    html = chart_to_html(shared)
+    assert "<th>X</th><th>A</th><th>A size</th>" in html
+    distinct = {"plot_kind": "bubble",
+                "series": [
+                    {"xs": [1], "vals": [2], "sizes": [3], "name": "A"},
+                    {"xs": [9], "vals": [8], "sizes": [7], "name": "B"}]}
+    html2 = chart_to_html(distinct)
+    assert ("<th>A X</th><th>A Y</th><th>A size</th>"
+            "<th>B X</th><th>B Y</th><th>B size</th>") in html2
+
+
+def test_chart_workbook_fallback_trim():
+    """No parsable series → embedded-workbook table: leading/trailing
+    empty rows dropped, trailing empty cells trimmed, interior gaps
+    kept, rows padded to uniform width, first band row = header
+    (reference office_chart.py:65-156)."""
+    from mineru_spark.kernels.charts import chart_to_html
+
+    spec = {"plot_kind": "category", "series": [],
+            "workbook": [["", ""],
+                         ["Item", "N", "", ""],
+                         ["a", 1, 2.0],
+                         ["b", "", 3],
+                         ["", ""]]}
+    assert chart_to_html(spec) == (
+        "<table><thead><tr><th>Item</th><th>N</th><th></th></tr></thead>"
+        "<tbody><tr><td>a</td><td>1</td><td>2</td></tr>"
+        "<tr><td>b</td><td></td><td>3</td></tr></tbody></table>")
+    # series that render empty ALSO chain to the workbook (:166-177)
+    chained = {"plot_kind": "scatter", "series": [{"vals": [1]}],
+               "workbook": [["H"], ["v"]]}
+    assert chart_to_html(chained) == (
+        "<table><thead><tr><th>H</th></tr></thead>"
+        "<tbody><tr><td>v</td></tr></tbody></table>")
+    # nothing anywhere → ''
+    assert chart_to_html({"plot_kind": "category", "series": []}) == ""
+    assert chart_to_html(None) == ""
+    assert chart_to_html({"plot_kind": "category",
+                          "series": "garbage", "workbook": 7}) == ""
+
+
+def test_chart_blocks_through_docx_and_pptx_routes():
+    """DOCX keeps the typed chart block even when it renders empty
+    (reference appends before parsing, docx_converter.py:3371-3375);
+    PPTX appends only non-empty (pptx_converter.py:712-713).  All five
+    encodings carry the block: md inlines the html, md_nlp drops it,
+    content_list/v2/middle keep typed content."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    chart = {"plot_kind": "category",
+             "series": [{"cats": ["a"], "vals": [1], "name": "S"}]}
+    docx = json.dumps({"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [{"text": "before"}]},
+        {"style": "Chart", "chart": chart},
+        {"style": "Chart", "chart": {"plot_kind": "category",
+                                     "series": []}},   # renders ''
+        {"style": "Normal", "runs": [{"text": "after"}]}]})
+    out = extract_turn(docx, "file_reader")
+    assert out["route"] == "docx"
+    assert "<table><thead><tr><th></th><th>S</th>" in out["md"]
+    assert "<table" not in out["md_nlp"]          # NLP_MD drops charts
+    cl = json.loads(out["content_list"])
+    charts_cl = [b for b in cl if b["type"] == "chart"]
+    assert len(charts_cl) == 2                    # empty block KEPT
+    assert charts_cl[0]["content"].startswith("<table>")
+    assert charts_cl[0]["img_path"] == "" and charts_cl[1]["content"] == ""
+    v2 = json.loads(out["content_list_v2"])
+    v2charts = [b for p in v2 for b in p if b["type"] == "chart"]
+    assert len(v2charts) == 2
+    assert v2charts[0]["content"]["content"].startswith("<table>")
+    assert v2charts[0]["content"]["image_source"] == {"path": ""}
+    mid = json.loads(out["middle"])
+    midcharts = [b for pg in mid["pdf_info"] for b in pg["para_blocks"]
+                 if b["type"] == "chart"]
+    assert len(midcharts) == 2 and midcharts[0]["content"].startswith("<t")
+
+    pptx = json.dumps({"kind": "pptx_shapes", "slides": [
+        {"slide_idx": 0, "size": [960, 540], "shapes": [
+            {"bbox": [10, 10, 400, 200], "kind": "chart", "chart": chart},
+            {"bbox": [10, 300, 400, 500], "kind": "chart",
+             "chart": {"plot_kind": "category", "series": []}}]}]})
+    out2 = extract_turn(pptx, "file_reader")
+    assert out2["route"] == "pptx"
+    cl2 = json.loads(out2["content_list"])
+    assert len([b for b in cl2 if b["type"] == "chart"]) == 1  # empty DROPPED
+    assert "<table><thead>" in out2["md"]
