@@ -1052,8 +1052,65 @@ def _gen_docx(rng: random.Random) -> str:
     # even when the chart renders empty
     if rng.random() < 0.2:
         paras.append({"style": "Chart", "chart": _gen_chart(rng)})
-    return json.dumps({"kind": "docx_runs", "paras": paras},
-                      ensure_ascii=False)
+    # ~12%: textbox paragraph group anchored mid-document (r5 directive
+    # #4; reference docx_converter.py:839-889): containers with
+    # position-sorted paras, a duplicate (text,pos) pair that must
+    # dedupe, and a position-less para that must sort last
+    if rng.random() < 0.12:
+        conts = []
+        for _c in range(rng.randint(1, 2)):
+            tps = [{"pos": round(rng.uniform(0.0, 400.0), 1),
+                    "runs": [{"text": _sentence(rng, 2, 5) + ".",
+                              "bold": rng.random() < 0.2}]}
+                   for _k in range(rng.randint(2, 3))]
+            if rng.random() < 0.3:
+                tps.append({"pos": tps[0]["pos"],
+                            "runs": list(tps[0]["runs"])})  # dup → dedupe
+            if rng.random() < 0.3:
+                tps.append({"runs": [{"text": _sentence(rng, 2, 4)}]})
+            conts.append({"paras": tps})
+        paras.insert(rng.randint(1, len(paras)),
+                     {"style": "Textbox", "containers": conts})
+    doc: dict = {"kind": "docx_runs", "paras": paras}
+    # ~25%: section headers/footers through the B9 discard contract (r5
+    # directive #3; reference _add_header_footer docx_converter.py:
+    # 3260-3321): odd/even + first-page variants, pure-digit page-number
+    # footers that must filter, duplicate variant text that must dedupe
+    if rng.random() < 0.25:
+        doc["odd_even_pages"] = rng.random() < 0.4
+        secs = []
+        for _s in range(2 if rng.random() < 0.15 else 1):
+            hdr_text = _sentence(rng, 2, 4).title()
+            hdrs = [{"variant": "default",
+                     "paras": [[{"text": hdr_text}]]}]
+            if rng.random() < 0.5:
+                hdrs.append({"variant": "even",
+                             "paras": [[{"text":
+                                         _sentence(rng, 2, 4).title()}]]})
+            if rng.random() < 0.4:
+                hdrs.append({"variant": "first",
+                             "paras": [[{"text":
+                                         _sentence(rng, 2, 3).title()}]]})
+            if rng.random() < 0.3:  # same text again → dedupes
+                hdrs.append({"variant": "default",
+                             "paras": [[{"text": hdr_text}]]})
+            fd = rng.random()
+            if fd < 0.35:
+                # bare page number → isdigit filter drops it
+                fparas = [[{"text": str(rng.randint(1, 99))}]]
+            elif fd < 0.55:
+                # footer with a hyperlink run (full run machinery)
+                fparas = [[{"text": _sentence(rng, 1, 3)},
+                           {"text": _sentence(rng, 1, 2),
+                            "link": "https://example.org/legal"}]]
+            else:
+                fparas = [[{"text": _sentence(rng, 2, 5)}]]
+            secs.append({"first_page": rng.random() < 0.5,
+                         "headers": hdrs,
+                         "footers": [{"variant": "default",
+                                      "paras": fparas}]})
+        doc["hf_sections"] = secs
+    return json.dumps(doc, ensure_ascii=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1132,8 +1189,34 @@ def _gen_xlsx(rng: random.Random) -> str:
                               "v": _sentence(rng, 1, 2)})
                 cells.append({"r": base + rr, "c": c0 + 2,
                               "v": str(rng.randint(1, 999))})
-        return {"name": f"Sheet{idx + 1}", "cells": cells,
-                "merges": merges}
+        sh = {"name": f"Sheet{idx + 1}", "cells": cells,
+              "merges": merges}
+        # ~18%: cell-anchored sheet images (r5 directive #5) — one
+        # anchored INSIDE the main region (renders as in-cell <img>
+        # media) and/or one far outside every table (standalone image
+        # block after the sheet's artifacts)
+        imd = rng.random()
+        if imd < 0.18:
+            import base64 as _b64
+            import hashlib as _hl
+            imgs = []
+            if imd < 0.12:
+                blob = _hl.sha256(
+                    f"xlsimg-in-{rng.randint(0, 999)}".encode()).digest()
+                imgs.append({"r": r0 + 1, "c": c0,
+                             "data_b64": _b64.b64encode(blob).decode()})
+            if imd > 0.05:
+                blob = _hl.sha256(
+                    f"xlsimg-out-{rng.randint(0, 999)}".encode()).digest()
+                imgs.append({"r": r0 + nrows + 30, "c": c0 + 8,
+                             "data_b64": _b64.b64encode(blob).decode()})
+            sh["images"] = imgs
+        # ~12%: a sheet chart anchored below the data region (rendered
+        # through the shared charts kernel, interleaved by anchor)
+        if rng.random() < 0.12:
+            sh["charts"] = [{"r": r0 + nrows + 6, "c": c0,
+                             "chart": _gen_chart(rng)}]
+        return sh
 
     n_sheets = 2 if rng.random() < 0.3 else 1
     return json.dumps(

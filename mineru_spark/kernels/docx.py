@@ -339,6 +339,51 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                                "page_idx": 0, "bbox": [0, 0, 0, 0],
                                "level": 1})
             continue
+        if style == "Textbox":
+            # textbox paragraph group anchored at this position
+            # (reference textbox walk, docx_converter.py:839-889 +
+            # _handle_textbox_content :3413-3462): paragraphs collect per
+            # CONTAINER, sort by vertical position within the container
+            # (None positions last), dedupe on (text, position) across
+            # containers — the modern/legacy XPath double-match guard — then
+            # render INLINE as regular text paragraphs with the full run
+            # machinery (styles/links/math)
+            flush_list()
+            flush_toc()
+            containers = p.get("containers")
+            if not isinstance(containers, list):
+                containers = []
+            seen_tb: set = set()
+            for cont in containers:
+                tb_paras = cont.get("paras") if isinstance(cont, dict) \
+                    else None
+                if not isinstance(tb_paras, list):
+                    continue
+                entries = []
+                for tp in tb_paras:
+                    if not isinstance(tp, dict):
+                        continue
+                    pos = tp.get("pos")
+                    if not isinstance(pos, (int, float)) \
+                            or isinstance(pos, bool):
+                        pos = None
+                    entries.append((pos, tp))
+                entries.sort(key=lambda e: (e[0] is None,
+                                            e[0] if e[0] is not None
+                                            else 0.0))
+                for pos, tp in entries:
+                    ttext, trecs = _render_runs(tp.get("runs") or [])
+                    if not ttext:
+                        continue
+                    key = (ttext, pos)
+                    if key in seen_tb:
+                        continue  # duplicate content+position skipped
+                    seen_tb.add(key)
+                    blocks.append({"type": "text", "text": ttext,
+                                   "page_idx": 0, "bbox": [0, 0, 0, 0],
+                                   "level": 1, "pre_rendered": True,
+                                   "_runs": trecs})
+            continue
         if style == "Table":
             flush_list()
             flush_toc()
@@ -400,5 +445,66 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         blocks.extend(imgs)
     flush_list()
     flush_toc()
-    return blocks, {"blocks_classified": len(blocks),
+    discarded = _header_footer_blocks(payload)
+    blocks.extend(discarded)
+    return blocks, {"blocks_classified": len(blocks) - len(discarded),
+                    "blocks_discarded": len(discarded),
                     "tables_parsed": tables_parsed}
+
+
+def _header_footer_blocks(payload: dict) -> list[dict]:
+    """Section header/footer paragraphs → typed DISCARDED blocks
+    (reference _add_header_footer, docx_converter.py:3260-3321 +
+    _process_header_footer_paragraph :3230-3256): per section the
+    variant list is [default] + [even if the DOC-level odd/even flag] +
+    [first if the SECTION first-page flag]; each variant's paragraph
+    texts (full run machinery — styles/links/math) join with ' '; empty
+    and PURE-DIGIT texts are filtered (bare page numbers), and a
+    per-section per-kind set dedupes repeated variant text.  The blocks
+    ride the B9 discard contract: absent from md/md_nlp, typed in
+    content_list, in middle's discarded_blocks (appended after content
+    blocks, the charstream page order).
+
+    Payload analog:
+        {"hf_sections": [{"first_page": bool,
+                          "headers": [{"variant": "default"|"even"|
+                                       "first", "paras": [[run,...],...]}],
+                          "footers": [...]}],
+         "odd_even_pages": bool}
+    """
+    out: list[dict] = []
+    sections = payload.get("hf_sections")
+    if not isinstance(sections, list):
+        return out
+    odd_even = bool(payload.get("odd_even_pages"))
+    for sec in sections[:8]:
+        if not isinstance(sec, dict):
+            continue
+        first_page = bool(sec.get("first_page"))
+        for kind, btype in (("headers", "header"), ("footers", "footer")):
+            added: set[str] = set()
+            entries = sec.get(kind)
+            if not isinstance(entries, list):
+                continue
+            for ent in entries[:8]:
+                if not isinstance(ent, dict):
+                    continue
+                variant = ent.get("variant", "default")
+                if variant == "even" and not odd_even:
+                    continue  # even variant gated on the doc-level flag
+                if variant == "first" and not first_page:
+                    continue  # first variant gated per section
+                parts = []
+                for runs in (ent.get("paras") or []):
+                    if isinstance(runs, list):
+                        t, _ = _render_runs(runs)
+                        if t:
+                            parts.append(t)
+                text = " ".join(parts)
+                if not text or text.isdigit() or text in added:
+                    continue
+                added.add(text)
+                out.append({"type": btype, "text": text, "page_idx": 0,
+                            "bbox": [0, 0, 0, 0], "level": 1,
+                            "discarded": True, "pre_rendered": True})
+    return out

@@ -238,12 +238,11 @@ def join_pages(page_mds: list[str]) -> str:
     return "\n\n".join(m for m in page_mds if m)
 
 
-def office_image_block(data_b64, page_idx: int = 0,
-                       bbox: list | None = None) -> dict | None:
-    """Shared office picture → image block: decode base64 strictly,
-    sha256-of-bytes path (the content term of the crop-sink naming; no
-    raster decode in scope), invalid/empty data degrades to None.  One
-    definition so the docx and pptx routes cannot drift."""
+def office_image_path(data_b64) -> str | None:
+    """Shared office picture naming: decode base64 strictly, sha256-of-
+    bytes path (the content term of the crop-sink naming; no raster
+    decode in scope); invalid/empty data degrades to None.  One
+    definition so the docx/pptx/xlsx routes cannot drift."""
     import base64
     import hashlib
 
@@ -253,7 +252,15 @@ def office_image_block(data_b64, page_idx: int = 0,
         return None
     if not data:
         return None
-    return {"type": "image",
-            "img_path": f"images/{hashlib.sha256(data).hexdigest()}.jpg",
+    return f"images/{hashlib.sha256(data).hexdigest()}.jpg"
+
+
+def office_image_block(data_b64, page_idx: int = 0,
+                       bbox: list | None = None) -> dict | None:
+    """Office picture → standalone image block over office_image_path."""
+    path = office_image_path(data_b64)
+    if path is None:
+        return None
+    return {"type": "image", "img_path": path,
             "text": "", "page_idx": page_idx,
             "bbox": bbox or [0, 0, 0, 0], "level": 1}

@@ -32,6 +32,10 @@ class Cell:
                        # _apply_inline_font_tags, :1474-1496 — sup/sub
                        # innermost, then s, u, em, strong); cell.text
                        # stays the PLAIN join for merge/header compares
+    media: tuple = ()  # cell-anchored image paths (reference
+                       # table_image_map → '<img src=.../>' appended to
+                       # the cell's media content, xlsx_converter.py:
+                       # 313-319, :609); rendered AFTER the text/link
 
 
 @dataclass
@@ -180,7 +184,7 @@ def _normalize(rows: list[list[Cell]]) -> TableGrid:
                 for dc in range(cs):
                     occupied[(r + dr, c + dc)] = True
             arow.append(Cell(cell.text, rs, cs, cell.header,
-                             cell.link, cell.rich))
+                             cell.link, cell.rich, cell.media))
             c += cs
         ncols = max(ncols, c)
         anchors.append(arow)
@@ -240,6 +244,9 @@ def render_table_html(grid: TableGrid) -> str:
                      else html_escape(cell.text))
             if cell.link:
                 inner = f'<a href="{html_escape(cell.link)}">{inner}</a>'
+            for mp in cell.media:
+                # media rides after the text, outside any hyperlink
+                inner += f'<img src="{html_escape(mp)}" />'
             parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
         parts.append("</tr>")
     parts.append("</table>")

@@ -39,9 +39,13 @@ Reference semantics re-expressed (no openpyxl — plain dict/set algebra):
 - the first table row renders as header cells (excel_table_to_html
   :1013 `th if cell.row == 0`).
 
-Out of scope here like everywhere in this engine: embedded images/charts
-(raster payloads; COVERAGE.md §2.7) and cell math maps — the docx table
-path carries the equation-injection analog.
+r5 additions: cell-anchored sheet images (in-cell <img> media when a
+table consumes the anchor, standalone image blocks otherwise — reference
+:312-319/:1064-1082) and sheet charts rendered through the shared charts
+kernel, interleaved with tables by cell anchor (:322-328/:677-708).
+Still out of scope: raster pixel decode (sha256 path naming only,
+COVERAGE.md §2.7) and cell math maps — the docx table path carries the
+equation-injection analog.
 """
 
 from __future__ import annotations
@@ -104,7 +108,8 @@ def _rich_segments(runs) -> list | None:
 
 def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
                   links: dict | None = None,
-                  rich: dict | None = None) -> list[dict]:
+                  rich: dict | None = None,
+                  media: dict | None = None) -> list[dict]:
     """Flood-fill DataRegion detection over one sheet at a FIXED gap
     tolerance (reference _find_data_tables_with_gap_raw :1105-1148).
 
@@ -118,6 +123,7 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
     """
     links = links or {}
     rich = rich or {}
+    media = media or {}
     anchor_span: dict[tuple, tuple] = {}
     merged_pos: set[tuple] = set()
     hidden_pos: set[tuple] = set()
@@ -196,7 +202,11 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
                 row.append(tbl.Cell(text=text, rowspan=rs, colspan=cs,
                                     header=(ri == min_r),
                                     link=links.get((ri, cj), ""),
-                                    rich=rich.get((ri, cj))))
+                                    rich=rich.get((ri, cj)),
+                                    # cell-anchored images ride in every
+                                    # constructed cell, empty ones too
+                                    # (reference cell build :609)
+                                    media=tuple(media.get((ri, cj), ()))))
             rows.append(row)
 
         singleton = None
@@ -205,7 +215,13 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
             singleton = cells.get((min_r, min_c), "")
         found.append({"anchor": (min_r, min_c), "rows": rows,
                       "semantic": semantic, "singleton": singleton,
-                      "nrows": nrows, "ncols": ncols, "mask": mask})
+                      "nrows": nrows, "ncols": ncols, "mask": mask,
+                      # constructed (non-hidden) positions — the
+                      # reference's used_cells set (:478-492)
+                      "used": {(ri, cj)
+                               for ri in range(min_r, max_r + 1)
+                               for cj in range(min_c, max_c + 1)
+                               if (ri, cj) not in hidden_pos}})
     return found
 
 
@@ -274,7 +290,8 @@ def _penalty(s: dict) -> float:
 
 def _sheet_tables(cells: dict, merges: list,
                   links: dict | None = None,
-                  rich: dict | None = None) -> list[dict]:
+                  rich: dict | None = None,
+                  media: dict | None = None) -> list[dict]:
     """DataRegion detection with auto gap-tolerance selection: flood fill
     at every candidate tolerance, score, pick near-best by the reference's
     tiebreak chain, then apply the semantic-subset filter to the winner
@@ -287,7 +304,7 @@ def _sheet_tables(cells: dict, merges: list,
     """
     cands = []
     for gap in GAP_CANDIDATES:
-        raw = _flood_tables(cells, merges, gap, links, rich)
+        raw = _flood_tables(cells, merges, gap, links, rich, media)
         s = _candidate_summary(raw)
         cands.append({"gap": gap, "raw": raw, "summary": s,
                       "penalty": _penalty(s)})
@@ -312,7 +329,7 @@ def _sheet_tables(cells: dict, merges: list,
         if grid is None and t["singleton"] is None:
             continue
         out.append({"anchor": t["anchor"], "grid": grid,
-                    "singleton": t["singleton"]})
+                    "singleton": t["singleton"], "used": t["used"]})
     return out
 
 
@@ -365,19 +382,78 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
                     and m[0] <= m[2] and m[1] <= m[3]
                     and len(merges) < MAX_MERGES):
                 merges.append(tuple(m))
+        # sheet images with cell anchors (r5 directive #5; reference
+        # _collect_sheet_images + table_image_map, xlsx_converter.py:
+        # 312-319, 342-359): the sha256 path rides either inside its
+        # anchor cell (if a table consumes that cell) or as a standalone
+        # image block after the sheet's visual artifacts
+        from . import emit
+        anchored_imgs: list[tuple[tuple, str]] = []
+        media: dict[tuple, list] = {}
+        for img in (sheet.get("images") or [])[:64]:
+            if not isinstance(img, dict):
+                continue
+            path = emit.office_image_path(img.get("data_b64"))
+            if path is None:
+                continue
+            try:
+                pos = (int(img["r"]), int(img["c"]))
+            except (KeyError, TypeError, ValueError):
+                continue
+            anchored_imgs.append((pos, path))
+            media.setdefault(pos, []).append(path)
         page: list[dict] = []
-        for t in _sheet_tables(cells, merges, links, rich):
+        used_cells: set[tuple] = set()
+        # visual artifacts (tables + charts) interleave by cell anchor,
+        # charts after tables on ties via the order offset (reference
+        # _convert_sheet sort, xlsx_converter.py:322-328: charts get
+        # order 10_000 + i)
+        artifacts: list[tuple[tuple, int, dict]] = []
+        for order, t in enumerate(_sheet_tables(cells, merges, links,
+                                                rich, media)):
+            used_cells |= t["used"]
             if t["singleton"] is not None:
-                page.append({"type": "text",
-                             "text": " ".join(t["singleton"].split()),
-                             "page_idx": page_idx, "bbox": [0, 0, 0, 0],
-                             "level": 1})
+                blk = {"type": "text",
+                       "text": " ".join(t["singleton"].split()),
+                       "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                       "level": 1}
             else:
-                page.append({"type": "table",
-                             "text": tbl.render_table_html(t["grid"]),
-                             "page_idx": page_idx, "bbox": [0, 0, 0, 0],
-                             "level": 1})
+                blk = {"type": "table",
+                       "text": tbl.render_table_html(t["grid"]),
+                       "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                       "level": 1}
                 tables_parsed += 1
+            artifacts.append((t["anchor"], order, blk))
+        for order, ch in enumerate((sheet.get("charts") or [])[:16]):
+            # sheet chart → chart block anchored at its frame cell
+            # (reference _find_charts_in_sheet :677-708 renders the
+            # chart's source range as a table; the payload carries the
+            # parsed spec, rendered by the shared charts kernel; an
+            # unparsable chart is skipped like unsupported ranges)
+            if not isinstance(ch, dict):
+                continue
+            from . import charts as charts_kernel
+            html = charts_kernel.chart_to_html(ch.get("chart"))
+            if not html:
+                continue
+            try:
+                anchor = (int(ch.get("r", 0)), int(ch.get("c", 0)))
+            except (TypeError, ValueError):
+                anchor = (0, 0)
+            artifacts.append((anchor, 10_000 + order,
+                              {"type": "chart", "text": html,
+                               "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                               "level": 1}))
+        artifacts.sort(key=lambda a: (a[0], a[1]))
+        page.extend(blk for _, _, blk in artifacts)
+        # images whose anchor no table consumed → standalone blocks after
+        # the artifacts (reference _find_images_in_sheet :1064-1082)
+        for pos, path in anchored_imgs:
+            if pos in used_cells:
+                continue
+            page.append({"type": "image", "img_path": path, "text": "",
+                         "page_idx": page_idx, "bbox": [0, 0, 0, 0],
+                         "level": 1})
         sheet_blocks.append((name, page))
 
     # sheet titles only when >1 sheet produced content (:297-307)

@@ -2015,3 +2015,151 @@ def test_chart_blocks_through_docx_and_pptx_routes():
     cl2 = json.loads(out2["content_list"])
     assert len([b for b in cl2 if b["type"] == "chart"]) == 1  # empty DROPPED
     assert "<table><thead>" in out2["md"]
+
+
+def test_docx_header_footer_discard_contract():
+    """Section headers/footers (r5 directive #3): variant gating (even
+    needs the doc-level flag, first needs the section flag), pure-digit
+    filter, per-kind dedupe; blocks are ABSENT from md/md_nlp, typed in
+    content_list, and land in middle's discarded_blocks (reference
+    _add_header_footer, docx_converter.py:3260-3321)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "docx_runs",
+           "paras": [{"style": "Normal", "runs": [{"text": "body text"}]}],
+           "odd_even_pages": False,
+           "hf_sections": [{
+               "first_page": True,
+               "headers": [
+                   {"variant": "default",
+                    "paras": [[{"text": "Annual"}, {"text": "Report"}]]},
+                   {"variant": "even",
+                    "paras": [[{"text": "EVEN HDR"}]]},     # gated OFF
+                   {"variant": "first",
+                    "paras": [[{"text": "Cover Page"}]]},
+                   {"variant": "default",
+                    "paras": [[{"text": "Annual"}, {"text": "Report"}]]},
+               ],
+               "footers": [
+                   {"variant": "default", "paras": [[{"text": "42"}]]},
+                   {"variant": "default",
+                    "paras": [[{"text": "Confidential"}]]},
+               ]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    assert out["route"] == "docx"
+    assert "Annual Report" not in out["md"]
+    assert "Annual Report" not in out["md_nlp"]
+    cl = json.loads(out["content_list"])
+    hdrs = [b["text"] for b in cl if b["type"] == "header"]
+    ftrs = [b["text"] for b in cl if b["type"] == "footer"]
+    assert hdrs == ["Annual Report", "Cover Page"]  # deduped, even gated
+    assert ftrs == ["Confidential"]                 # '42' digit-filtered
+    mid = json.loads(out["middle"])
+    disc = [b for pg in mid["pdf_info"]
+            for b in pg.get("discarded_blocks", [])]
+    assert {(b["type"], b["text"]) for b in disc} == {
+        ("header", "Annual Report"), ("header", "Cover Page"),
+        ("footer", "Confidential")}
+    assert out["metrics"]["blocks_discarded"] == 3
+    assert out["metrics"]["blocks_classified"] == 1  # body only
+    # v2 discarded-type encoding
+    v2 = json.loads(out["content_list_v2"])
+    v2types = [b["type"] for p in v2 for b in p]
+    assert "page_header" in v2types and "page_footer" in v2types
+
+
+def test_docx_textbox_inline_sorted_deduped():
+    """Textbox paragraph groups (r5 directive #4): per-container
+    position sort (None last), (text, pos) dedupe across containers,
+    rendered INLINE at the anchor position with the shared run machinery
+    (reference docx_converter.py:839-889, :3413-3462)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [{"text": "before"}]},
+        {"style": "Textbox", "containers": [
+            {"paras": [
+                {"pos": 200.0, "runs": [{"text": "low box"}]},
+                {"pos": 10.0, "runs": [{"text": "high box",
+                                        "bold": True}]},
+                {"runs": [{"text": "unpositioned"}]},
+                {"pos": 200.0, "runs": [{"text": "low box"}]},  # dup
+            ]},
+            {"paras": [
+                {"pos": 10.0, "runs": [{"text": "high box",
+                                        "bold": True}]},  # cross-cont dup
+                {"pos": 5.0, "runs": [{"text": "other box"}]},
+            ]},
+        ]},
+        {"style": "Normal", "runs": [{"text": "after"}]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    texts = [b["text"] for b in json.loads(out["content_list"])
+             if b["type"] == "text"]
+    assert texts == ["before", "**high box**", "low box", "unpositioned",
+                     "other box", "after"]
+    assert out["md"].index("high box") < out["md"].index("low box") \
+        < out["md"].index("unpositioned") < out["md"].index("other box")
+
+
+def test_xlsx_cell_anchored_images():
+    """Sheet images (r5 directive #5): an image anchored in a cell a
+    table consumes renders as in-cell <img> media (after text, outside
+    any hyperlink); an image outside every table becomes a standalone
+    image block after the sheet's artifacts (reference
+    xlsx_converter.py:312-319, :609, :1064-1082)."""
+    import base64
+    import hashlib
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    blob_in, blob_out = b"in-cell-bytes", b"floating-bytes"
+    sha_in = hashlib.sha256(blob_in).hexdigest()
+    sha_out = hashlib.sha256(blob_out).hexdigest()
+    doc = {"kind": "xlsx_cells", "sheets": [{
+        "name": "S1",
+        "cells": [{"r": 0, "c": 0, "v": "H1"}, {"r": 0, "c": 1, "v": "H2"},
+                  {"r": 1, "c": 0, "v": "a"}, {"r": 1, "c": 1, "v": "b"}],
+        "merges": [],
+        "images": [
+            {"r": 1, "c": 1, "data_b64":
+             base64.b64encode(blob_in).decode()},
+            {"r": 40, "c": 9, "data_b64":
+             base64.b64encode(blob_out).decode()}]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    assert out["route"] == "xlsx"
+    assert f'<td>b<img src="images/{sha_in}.jpg" /></td>' in out["md"]
+    cl = json.loads(out["content_list"])
+    imgs = [b for b in cl if b["type"] == "image"]
+    assert len(imgs) == 1 and imgs[0]["img_path"] == f"images/{sha_out}.jpg"
+    # the standalone block comes AFTER the table
+    types = [b["type"] for b in cl]
+    assert types.index("table") < types.index("image")
+
+
+def test_xlsx_sheet_chart_interleaves_by_anchor():
+    """Sheet charts render through the shared charts kernel and sort
+    among tables by cell anchor, charts after tables on equal anchors
+    (reference xlsx_converter.py:322-328, :677-708)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    chart = {"plot_kind": "category",
+             "series": [{"cats": ["x"], "vals": [7], "name": "S"}]}
+    doc = {"kind": "xlsx_cells", "sheets": [{
+        "name": "S1",
+        "cells": [{"r": 10, "c": 0, "v": "H"}, {"r": 11, "c": 0, "v": "v"}],
+        "merges": [],
+        "charts": [{"r": 0, "c": 0, "chart": chart},      # ABOVE the table
+                   {"r": 30, "c": 0, "chart":
+                    {"plot_kind": "category", "series": []}}]}]}  # empty → skipped
+    out = extract_turn(json.dumps(doc), "file_reader")
+    cl = json.loads(out["content_list"])
+    types = [b["type"] for b in cl]
+    assert types == ["chart", "table"]   # anchor (0,0) precedes (10,0)
+    assert cl[0]["content"].startswith("<table><thead>")
