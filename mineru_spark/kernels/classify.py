@@ -19,7 +19,7 @@ ROUTES = ("empty", "html", "pdf", "pptx", "docx", "xlsx", "office", "plain")
 # The exact character set Python's str.lstrip() strips (str.isspace() ==
 # True), spelled as a Java regex class so the JVM-side office-run sniff
 # (pipeline._candidate_run_keys / extract_finalized, streaming ingest
-# _split_open_tails) detects EXACTLY the rows classify_payload routes to
+# _split_open_runs) detects EXACTLY the rows classify_payload routes to
 # 'office'.  Java's bare \s is ASCII-only and Spark's F.ltrim strips only
 # ' ' — both diverge from lstrip() on '\n<table…' payloads (round-3
 # verdict finding #1), silently skipping the cross-turn table merge.

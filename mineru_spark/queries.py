@@ -998,10 +998,25 @@ def q_simhash_near_pairs(spark, sf_dir):
     Scale shape: both joins are shuffle equi-joins; the single-chunk
     fan-out that grew with corpus size is now bounded by construction
     (hot buckets are rerouted to the finer key, never self-joined and
-    never dropped).  A third level (triples) would bound adversarial
-    12-bit hot keys too; at that point the corpus is byte-duplicate-heavy
-    and exact dedup upstream is the real fix."""
-    sig = q_simhash(spark, sf_dir)
+    never dropped).  On the ADVERSARIAL level-2 case — every doc sharing
+    one 6-bit chunk, so the whole corpus escalates — the pair-key
+    buckets are structurally ~64× smaller than the hot single-chunk
+    bucket whenever the remaining chunks carry entropy, and
+    test_simhash_adversarial_hot_chunk_bucket_bound pins both the bound
+    and exact recall on a crafted such corpus (r5 directive #8).  A
+    corpus hot at the 12-bit PAIR level too means near-identical
+    signatures en masse — byte-duplicate-heavy data where exact dedup
+    upstream is the real fix (a triple-key level CANNOT close it
+    exactly: hamming ≤ 8 over 10 chunks guarantees only 2 clean chunks,
+    and 3 are needed for a clean triple)."""
+    return _simhash_near_pairs_from(q_simhash(spark, sf_dir))
+
+
+def _simhash_near_pairs_from(sig):
+    """Two-level pigeonhole pairing over an arbitrary (doc_id, simhash)
+    frame — separated from the corpus read so adversarial-signature
+    tests (crafted hot buckets) can drive the exact same plan
+    (r5 directive #8)."""
     chunks = [F.struct(F.lit(ci).alias("ci"),
                        _simhash_chunk_col(ci).alias("cv"))
               for ci in range(_SIMHASH_N_CHUNKS)]

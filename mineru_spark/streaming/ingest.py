@@ -42,37 +42,103 @@ def read_transcript_stream(spark: SparkSession, in_dir: str,
 MAX_OPEN_RUN = 64
 
 
-def _split_open_tails(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(closed_rows, open_tail_rows) over raw transcript rows.
+def _split_open_runs(df: DataFrame,
+                     received: DataFrame | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(closed_rows, held_rows) over raw transcript rows — GAP-AWARE
+    office-run closure (r5 directive #7, replacing the r3/r4 suffix-only
+    tail rule whose in-order-arrival assumption let an out-of-order turn
+    skip the cross-turn merge).
 
-    A conversation's OPEN TAIL is the maximal suffix of ADJACENT office
-    turns ending at its max turn_idx — exactly the rows a later batch
-    could still extend through the cross-turn table merge.  Everything
-    else is closed: a trailing non-office turn (or a gap) breaks the run,
-    so no future turn can merge into it.  JVM-only: the office sniff +
-    two window expressions, no Python."""
+    Turn indices are dense per conversation (0, 1, 2, …— the transcript
+    ordinal), so receipt gaps are observable.  A maximal ADJACENT office
+    run [a..b] over the RECEIVED index set (this batch ∪ held state ∪
+    committed sink lineage) is CLOSED — safe to extract and commit —
+    exactly when both flanks are KNOWN non-office: a == 0 or index a-1
+    received with a non-office payload, and index b+1 received
+    non-office.  An unreceived neighbor index means a late office turn
+    could still extend the run, so every new office row of the run is
+    held.  Non-office rows always commit (nothing merges into them).
+    Runs longer than MAX_OPEN_RUN commit regardless (bounded state); a
+    late row arriving after that forced flush merges only with
+    state-resident rows — the documented state bound, now the ONLY
+    divergence window.
+
+    INVARIANT this preserves: a committed office run always has known
+    non-office flanks, so no late arrival can ever be adjacent to
+    already-committed office rows (bar the forced-flush bound above) —
+    which is why commit-then-never-revise stays correct for an
+    append-only sink.
+
+    ``received``: (conv_id, turn_idx, _office int) of already-committed
+    rows (sink lineage); disjoint from ``df`` by construction (the
+    caller anti-joins).  JVM-only: the office sniff + window
+    expressions, no Python; the held-key frame is micro-batch-tiny and
+    broadcast back."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
-    wall = W.partitionBy("conv_id")
-    flagged = (df.withColumn("_office",
-                             F.col("text").rlike(OFFICE_SNIFF_RE)
-                             .cast("int"))
-               .withColumn("_max_idx", F.max("turn_idx").over(wall))
-               .withColumn("_rn", F.row_number().over(w))
-               # running AND of office-ness from the conversation's top
-               .withColumn("_all_office",
-                           F.min("_office").over(
-                               w.rowsBetween(W.unboundedPreceding, 0)))
-               .withColumn("_tail",
-                           (F.col("_all_office") == 1)
-                           & (F.col("turn_idx")
-                              == F.col("_max_idx") - (F.col("_rn") - 1))
-                           & (F.col("_rn") <= MAX_OPEN_RUN)))
     cols = df.columns
-    closed = flagged.filter(~F.col("_tail")).select(*cols)
-    tails = flagged.filter(F.col("_tail")).select(*cols)
-    return closed, tails
+    flagged = df.withColumn("_office",
+                            F.col("text").rlike(OFFICE_SNIFF_RE)
+                            .cast("int"))
+    narrow = flagged.select("conv_id", "turn_idx", "_office",
+                            F.lit(1).alias("_new"))
+    if received is not None:
+        # only committed rows of conversations present in this batch
+        # matter for flank knowledge
+        rec = (received
+               .join(narrow.select("conv_id").distinct(),
+                     "conv_id", "left_semi")
+               .select("conv_id", "turn_idx",
+                       F.col("_office").cast("int").alias("_office"),
+                       F.lit(0).alias("_new")))
+        narrow = narrow.unionByName(rec)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    rw = W.partitionBy("conv_id", "_run")
+    runs = (
+        narrow
+        .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+        .withColumn("_prev_off", F.lag("_office").over(w))
+        .withColumn("_next_idx", F.lead("turn_idx").over(w))
+        .withColumn("_next_off", F.lead("_office").over(w))
+        # islands of index-ADJACENT same-office-ness rows
+        .withColumn("_brk", F.when(
+            F.col("_prev_idx").isNull()
+            | (F.col("turn_idx") != F.col("_prev_idx") + 1)
+            | (F.col("_office") != F.col("_prev_off")), 1).otherwise(0))
+        .withColumn("_run", F.sum("_brk").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("_run_len", F.count("*").over(rw))
+        # the run's FIRST row proves the left flank, its LAST row the
+        # right flank; max() broadcasts the proof to every run row
+        .withColumn("_pred_ok", F.max(F.when(
+            (F.col("_brk") == 1)
+            & ((F.col("turn_idx") == 0)
+               | ((F.col("_prev_idx") == F.col("turn_idx") - 1)
+                  & (F.col("_prev_off") == 0))),
+            1).otherwise(0)).over(rw))
+        .withColumn("_is_last", F.when(
+            F.col("_next_idx").isNull()
+            | (F.col("_next_idx") != F.col("turn_idx") + 1)
+            | (F.col("_next_off") != F.col("_office")), 1).otherwise(0))
+        .withColumn("_succ_ok", F.max(F.when(
+            (F.col("_is_last") == 1)
+            & (F.col("_next_idx") == F.col("turn_idx") + 1)
+            & (F.col("_next_off") == 0), 1).otherwise(0)).over(rw))
+        .withColumn("_closed",
+                    (F.col("_office") == 0)
+                    | (F.col("_run_len") > MAX_OPEN_RUN)
+                    | ((F.col("_pred_ok") == 1)
+                       & (F.col("_succ_ok") == 1))))
+    held_keys = runs.filter((~F.col("_closed")) & (F.col("_new") == 1)) \
+        .select("conv_id", "turn_idx")
+    closed = flagged.join(F.broadcast(held_keys),
+                          ["conv_id", "turn_idx"], "left_anti") \
+        .select(*cols)
+    held = flagged.join(F.broadcast(held_keys),
+                        ["conv_id", "turn_idx"], "left_semi") \
+        .select(*cols)
+    return closed, held
 
 
 def _run_state_path(out_dir: str, epoch: int | None = None) -> str:
@@ -124,9 +190,12 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
     the stream drains (or on a watermark-style timer in a continuous
     deployment) to commit still-open tails.
 
-    Assumes per-conversation in-order arrival (log-stream contract): a
-    turn arriving after a LATER turn of its conversation was committed
-    merges only with state-resident tails."""
+    OUT-OF-ORDER arrivals are handled (r5 directive #7): run closure is
+    gap-aware over the received index set (batch ∪ state ∪ sink
+    lineage), so a continuation turn arriving a trigger AFTER its
+    successor still merges — the successor was held while the
+    intermediate index was unreceived.  The only divergence window left
+    is a run force-flushed at MAX_OPEN_RUN (bounded state)."""
     extracted_path = os.path.join(out_dir, "extracted")
 
     src = (read_transcript_stream(spark, in_dir, max_files_per_trigger)
@@ -135,15 +204,22 @@ def streaming_extract(spark: SparkSession, in_dir: str, out_dir: str,
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         todo = batch_df
+        received = None
         if _path_has_data(spark, extracted_path):
             lineage = spark.read.parquet(extracted_path) \
-                .select("conv_id", "turn_idx")
-            todo = todo.join(lineage, ["conv_id", "turn_idx"], "left_anti")
+                .select("conv_id", "turn_idx", "route")
+            todo = todo.join(lineage.select("conv_id", "turn_idx"),
+                             ["conv_id", "turn_idx"], "left_anti")
+            # committed rows feed the run-closure flank knowledge
+            # (route == 'office' ⟺ the raw sniff, parity-tested)
+            received = lineage.select(
+                "conv_id", "turn_idx",
+                (F.col("route") == "office").cast("int").alias("_office"))
         state = _read_run_state(spark, out_dir, before_epoch=int(epoch_id))
         if state is not None:
             todo = todo.unionByName(state) \
                 .dropDuplicates(["conv_id", "turn_idx"])
-        closed, tails = _split_open_tails(todo)
+        closed, tails = _split_open_runs(todo, received)
         result = extract_finalized(closed) \
             .withColumn("part_id", F.spark_partition_id())
         result.write.mode("append").parquet(extracted_path)

@@ -190,3 +190,77 @@ def test_kmeans_final_assignment_is_map_only(spark):
     plan = _plan(kmeans_assign(spark, SF))
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_adversarial_hot_chunk_bucket_bound(spark):
+    """r5 directive #8: on a crafted corpus where EVERY doc shares one
+    6-bit chunk (the whole corpus escalates to level 2), (a) the result
+    still equals an independent brute-force all-pairs computation, and
+    (b) the 12-bit pair-key buckets stay bounded far below the hot
+    single-chunk bucket (structurally ~N/64 when the other chunks carry
+    entropy) — the fan-out the escalation exists to kill."""
+    import random as _random
+
+    import mineru_spark.queries as q
+    from mineru_spark.queries import (_SIMHASH_CHUNK_BITS,
+                                      _SIMHASH_N_CHUNKS,
+                                      SIMHASH_MAX_HAMMING,
+                                      _simhash_near_pairs_from)
+
+    rng = _random.Random(80)
+    n = 400
+    hot_cv = 0b101010  # every doc's chunk 0 → one bucket of size n
+    sigs = []
+    for i in range(n):
+        sig = hot_cv
+        for ci in range(1, _SIMHASH_N_CHUNKS):
+            sig |= rng.randrange(1 << _SIMHASH_CHUNK_BITS) \
+                << (ci * _SIMHASH_CHUNK_BITS)
+        sigs.append(sig)
+    # crafted near-pairs: clones of earlier docs with ≤8 flipped bits,
+    # all OUTSIDE chunk 0 — chunk 0 stays clean but HOT, so recall for
+    # these pairs must come from the pair keys (the exact adversarial
+    # recall path level 2 exists for)
+    for k in range(25):
+        basev = sigs[rng.randrange(n)]
+        nbits = rng.randint(1, SIMHASH_MAX_HAMMING)
+        flipped = basev
+        for b in rng.sample(range(_SIMHASH_CHUNK_BITS,
+                                  _SIMHASH_N_CHUNKS
+                                  * _SIMHASH_CHUNK_BITS), nbits):
+            flipped ^= 1 << b
+        sigs.append(flipped)
+    docs = [(f"d{i:05d}", s) for i, s in enumerate(sigs)]
+    sig_df = spark.createDataFrame(docs, ["doc_id", "simhash"])
+
+    # independent brute-force golden (425² driver-side comparisons)
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            h = bin(docs[i][1] ^ docs[j][1]).count("1")
+            if h <= SIMHASH_MAX_HAMMING:
+                a, b = sorted((docs[i][0], docs[j][0]))
+                want.add((a, b, h))
+
+    pairs = _simhash_near_pairs_from(sig_df)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    got = {(r["da"], r["db"], r["hamming"]) for r in pairs.collect()}
+    assert got == want and want, f"{len(want)} vs {len(got)}"
+
+    # pair-key bucket bound: max 12-bit pair bucket ≪ the hot
+    # single-chunk bucket (which is the whole corpus here)
+    from collections import Counter
+    buckets = Counter()
+    for _, s in docs:
+        cs = [(s >> (ci * _SIMHASH_CHUNK_BITS))
+              & ((1 << _SIMHASH_CHUNK_BITS) - 1)
+              for ci in range(_SIMHASH_N_CHUNKS)]
+        for i in range(_SIMHASH_N_CHUNKS):
+            for j in range(i + 1, _SIMHASH_N_CHUNKS):
+                buckets[(i * _SIMHASH_N_CHUNKS + j,
+                         cs[i] * (1 << _SIMHASH_CHUNK_BITS) + cs[j])] += 1
+    max_pair_bucket = max(buckets.values())
+    assert max_pair_bucket <= len(docs) / 8, \
+        f"pair buckets not bounded: {max_pair_bucket} of {len(docs)}"

@@ -32,7 +32,7 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
     hdr = "<tr><th>k</th><th>v</th></tr>"
     row = "<tr><td>r{0}</td><td>x{0}</td></tr>"
     # continuation turns 1 and 3 carry LEADING WHITESPACE before <table>
-    # — the streaming _split_open_tails sniff must still hold them back
+    # — the streaming _split_open_runs sniff must still hold them back
     # and merge across the trigger (r4 directive #1, streaming half)
     ws = {1: "\n\t", 3: " " * 1200}
     straddle = [
@@ -169,3 +169,56 @@ def test_windowed_route_counts_watermark(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = spark.read.parquet(out_dir)
     assert got2.filter(F.col("w_start") < "2020-01-01").count() == 0
+
+
+def test_streaming_out_of_order_continuation_matches_batch(spark, tmp_path):
+    """r5 directive #7: a continuation turn delivered one trigger AFTER
+    its successor still merges into its anchor.  Conv 'zz-late' has an
+    office run [0,1,2] closed by non-office turn 3; file 1 delivers
+    turns 0, 2, 3 (turn 1 missing), file 2 delivers the late turn 1.
+    Gap-aware closure must hold 0 AND 2 in batch one (their shared
+    neighbor index 1 is unreceived) and merge the full run in batch two
+    — byte-identical to the batch path.  The suffix-only r4 rule
+    committed 0 and 2 unmerged in batch one."""
+    from datetime import datetime
+
+    from mineru_spark.pipeline import (TRANSCRIPT_SCHEMA,
+                                       extract_finalized)
+    from mineru_spark.streaming.ingest import (flush_open_runs,
+                                               streaming_extract)
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    hdr = "<tr><th>k</th><th>v</th></tr>"
+    row = "<tr><td>r{0}</td><td>x{0}</td></tr>"
+    def turn(i, office=True):
+        text = f"<table>{hdr if i == 0 else ''}{row.format(i)}</table>" \
+            if office else "plain closing text"
+        return ("zz-late", i, "tool", text, "file_reader",
+                datetime(2025, 1, 1, 0, 0, i))
+    rows = [turn(0), turn(1), turn(2), turn(3, office=False)]
+    src = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+    # file 1: everything EXCEPT the late turn 1; file 2: turn 1 only
+    src.filter(F.col("turn_idx") != 1).coalesce(1) \
+        .write.mode("overwrite").parquet(dirs["in"])
+    src.filter(F.col("turn_idx") == 1).coalesce(1) \
+        .write.mode("append").parquet(dirs["in"])
+
+    q = streaming_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                          max_files_per_trigger=1)
+    q.awaitTermination(180)
+    flush_open_runs(spark, dirs["out"])
+
+    got = spark.read.parquet(os.path.join(dirs["out"], "extracted"))
+    assert got.count() == 4
+    batch = extract_finalized(src).select(
+        "conv_id", "turn_idx", F.col("md").alias("md_b"),
+        F.col("tables_merged").alias("tm_b"))
+    joined = got.join(batch, ["conv_id", "turn_idx"])
+    assert joined.filter(F.col("md") != F.col("md_b")).count() == 0
+    zz = {r["turn_idx"]: r for r in got.collect()}
+    # the anchor absorbed BOTH continuations, incl. the late one
+    assert zz[0]["tables_merged"] == 2
+    for i in range(3):
+        assert f"<td>r{i}</td>" in zz[0]["md"]
+    assert zz[1]["md"] == "" and zz[2]["md"] == ""
