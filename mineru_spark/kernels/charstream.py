@@ -93,6 +93,11 @@ LIST_LINE_RATIO = 0.8     # D1: ≥80% of ≥3 lines carry a list marker
 
 
 _PUNCT_CODES = np.array(sorted(ord(c) for c in _PUNCT), dtype=np.uint32)
+# O(1) membership: tiny boolean LUTs beat np.isin's sort-based in1d on
+# the per-block hot path.  Codepoints ≥ LUT size clamp to the top slot,
+# which is deliberately False in every table.
+_PUNCT_LUT = np.zeros(128, dtype=bool)
+_PUNCT_LUT[[c for c in _PUNCT_CODES if c < 127]] = True
 
 
 def _page_signals(codes: "np.ndarray") -> dict:
@@ -110,7 +115,7 @@ def _page_signals(codes: "np.ndarray") -> dict:
     cjk = int(((codes >= 0x4E00) & (codes <= 0x9FFF)).sum())
     moji = int(((codes >= 0x7280) & (codes <= 0x72DF)).sum())
     # punct runs ≥ 4 (C10): boolean mask run-length via edge detection
-    mask = np.isin(codes, _PUNCT_CODES)
+    mask = _PUNCT_LUT[np.minimum(codes, 127)]
     if mask.any():
         edges = np.diff(np.concatenate(([0], mask.view(np.int8), [0])))
         starts = np.flatnonzero(edges == 1)
@@ -141,6 +146,13 @@ _STOP_CODES = np.array(sorted({ord(c) for c in SPAN_STOP_FLAG}),
                        dtype=np.int64)
 _START_CODES = np.array(sorted({ord(c) for c in SPAN_START_FLAG}),
                         dtype=np.int64)
+# BMP-sized boolean LUTs (64 KiB each) for the E7 per-span hot path; the
+# clamp slot 0xFFFF is not a flag char in either set, so
+# LUT[minimum(codes, 0xFFFF)] is exact for all of Unicode.
+_STOP_LUT = np.zeros(0x10000, dtype=bool)
+_STOP_LUT[_STOP_CODES] = True
+_START_LUT = np.zeros(0x10000, dtype=bool)
+_START_LUT[_START_CODES] = True
 
 
 def fill_chars_into_spans(pc: PageCols, sel: "np.ndarray",
@@ -166,8 +178,9 @@ def fill_chars_into_spans(pc: PageCols, sel: "np.ndarray",
     cy = (pc.y0[sel] + pc.y1[sel]) / 2.0
     chx0, chx1 = pc.x0[sel], pc.x1[sel]
     codes = pc.codes[sel]
-    is_stop = np.isin(codes, _STOP_CODES)
-    is_start = np.isin(codes, _START_CODES)
+    clamped = np.minimum(codes, 0xFFFF)
+    is_stop = _STOP_LUT[clamped]
+    is_start = _START_LUT[clamped]
     assigned = np.zeros(n, dtype=bool)
     out: list[tuple[list, np.ndarray]] = []
     n_empty = 0
@@ -213,7 +226,8 @@ def _pua_span_signal(codes: "np.ndarray") -> bool:
     cnt = int(pua.sum())
     if cnt < PUA_COUNT_MIN:
         return False
-    nonspace = int((~np.isin(codes, (9, 10, 13, 32))).sum())
+    nonspace = int(((codes != 9) & (codes != 10) & (codes != 13)
+                    & (codes != 32)).sum())
     if nonspace and cnt / nonspace >= PUA_RATIO_MIN:
         return True
     edges = np.diff(np.concatenate(([0], pua.view(np.int8), [0])))
@@ -814,6 +828,69 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
     # line boundaries (contiguous slices: line_id is nondecreasing)
     bounds = np.concatenate(
         ([0], np.nonzero(new_line)[0] + 1, [n]))
+    # per-line bboxes (contiguous slices → reduceat); also reused as the
+    # span bbox on the uniform fast path below (one run per line ⇒ the
+    # run bbox IS the line bbox)
+    starts = bounds[:-1]
+    lbb = np.column_stack([
+        np.minimum.reduceat(x0, starts), np.minimum.reduceat(y0, starts),
+        np.maximum.reduceat(x1, starts), np.maximum.reduceat(y1, starts)])
+
+    # uniform-role fast path: when the block has no inline math and no
+    # sup/sub candidate on ANY line (the overwhelmingly common case),
+    # every line is a single role-0 run — the per-line numpy machinery
+    # (arange, run masks, nonzero) collapses to string slicing.  The
+    # per-line small-char test `size < r*max(line)` is evaluated
+    # block-wide with one reduceat; semantics are bit-identical to the
+    # general loop below.
+    line_max = np.maximum.reduceat(size, starts)
+    if (math_mask is None or not math_mask.any()) and \
+            not (size < SUP_SIZE_RATIO * line_max[line_id]).any():
+        ps_all = np.flatnonzero(space_before).tolist()
+        pi, n_ps = 0, len(ps_all)
+        bounds_l = bounds.tolist()
+        lbb_l = lbb.tolist()
+        for lid in range(len(bounds_l) - 1):
+            a, b = bounds_l[lid], bounds_l[lid + 1]
+            if fast_text:
+                if pi < n_ps and ps_all[pi] < b:
+                    segs = []
+                    prev = a
+                    while pi < n_ps and ps_all[pi] < b:
+                        p = ps_all[pi]
+                        pi += 1
+                        segs.append(block_str[prev:p])
+                        segs.append(" ")
+                        prev = p
+                    segs.append(block_str[prev:b])
+                    text = emit.expand_ligatures("".join(segs))
+                else:
+                    text = emit.expand_ligatures(block_str[a:b])
+            else:
+                buf = []
+                for k in range(a, b):
+                    ch = glyphs[k]
+                    if ch in ("\r", "\n"):
+                        continue
+                    if k > a and space_before[k]:
+                        buf.append(" ")
+                    buf.append(ch)
+                text = emit.expand_ligatures("".join(buf))
+            stripped = text.strip()
+            if not stripped:
+                lines_text.append(" " if text else "")
+                continue
+            lead = " " if text[:1] == " " else ""
+            lines_text.append(lead + stripped)
+            spans_out.append({
+                "page_idx": page_idx,
+                "bbox": lbb_l[lid],
+                "type": "text",
+                "content": stripped,
+                "line": lid,
+            })
+        return lines_text, lbb, spans_out
+
     for lid in range(len(bounds) - 1):
         li = np.arange(bounds[lid], bounds[lid + 1])
         l_size = size[li]
@@ -895,11 +972,6 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
             })
         lines_text.append("".join(parts))
 
-    # per-line bboxes (contiguous slices → reduceat)
-    starts = bounds[:-1]
-    lbb = np.column_stack([
-        np.minimum.reduceat(x0, starts), np.minimum.reduceat(y0, starts),
-        np.maximum.reduceat(x1, starts), np.maximum.reduceat(y1, starts)])
     return lines_text, lbb, spans_out
 
 

@@ -36,7 +36,7 @@ _HEADING = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 LINK_DENSITY_MAX = 0.5
 
 
-@dataclass
+@dataclass(slots=True)
 class _Node:
     tag: str
     children: list = field(default_factory=list)  # _Node | str
