@@ -1073,6 +1073,152 @@ RELATIONAL_QUERIES["q_lsh_signature"] = q_lsh_signature
 RELATIONAL_QUERIES["q_simhash_near_pairs"] = q_simhash_near_pairs
 
 
+# Near-dup clustering: hard iteration cap.  Min-label propagation needs
+# rounds = cluster diameter; hamming≤8 clusters are quasi-cliques
+# (diameter 2-3), so the cap only guards a pathological chain corpus —
+# the loop breaks on convergence (zero label changes) long before it.
+CC_MAX_ITERS = 50
+
+
+def _cc_labels_from(pairs):
+    """Min-label propagation over an arbitrary (da, db) pair frame →
+    (doc_id, comp) for every doc appearing in some pair.  Separated from
+    the corpus read so structural tests can drive a crafted graph (a
+    chain forcing multi-round propagation) through the exact shipped
+    loop.  Labels materialize per round via eager localCheckpoint (see
+    inline note), the convergence check is a scalar count over the fused
+    change flag, and labels only ever decrease — so the loop terminates
+    at the component-min fixpoint in ~diameter/2 rounds (the jump step
+    advances a long path two hops per round)."""
+    edges = cache.track("cc_edges", pairs.unionByName(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
+        .persist())
+    # labels are REBUILT from a truncated lineage every round (eager
+    # localCheckpoint): the jump step references `mid` twice, so without
+    # truncation the logical plan DOUBLES per round — exponential
+    # analysis cost by round ~10.  Checkpointing also caps the recovery
+    # chain; a cluster deployment would use checkpoint(dir) for
+    # executor-loss safety (deploy-time lever, same plan shape).
+    labels = (edges.select(F.col("da").alias("doc_id"))
+              .distinct()
+              .withColumn("comp", F.col("doc_id"))
+              .localCheckpoint())
+    for _ in range(CC_MAX_ITERS):
+        # (1) neighbor-min: mid(v) = min(comp(v), min over N(v))
+        nbr = (edges.join(labels.select(F.col("doc_id").alias("db"),
+                                        F.col("comp")), "db")
+               .groupBy("da").agg(F.min("comp").alias("nmin"))
+               .select(F.col("da").alias("doc_id"), "nmin"))
+        mid = (labels.select("doc_id", F.col("comp").alias("old"))
+               .join(nbr, "doc_id", "left")
+               .select("doc_id", "old",
+                       F.least(F.col("old"),
+                               F.coalesce(F.col("nmin"), F.col("old")))
+                       .alias("mid")))
+        # (2) pointer jump: comp(v) ← min(mid(v), mid(mid(v))) — labels
+        # are node ids, so one extra hop per round roughly halves the
+        # rounds a long path needs (both steps only ever REPLACE a label
+        # with a smaller label of the same component, so the fixpoint —
+        # every node at its component min — is unchanged)
+        jump = mid.select(F.col("doc_id").alias("mid"),
+                          F.col("mid").alias("jmp"))
+        new = (mid.join(jump, "mid", "left")
+               .withColumn("comp",
+                           F.least(F.col("mid"),
+                                   F.coalesce(F.col("jmp"), F.col("mid"))))
+               .select("doc_id", "comp",
+                       (F.col("comp") < F.col("old")).alias("_chg"))
+               .localCheckpoint())
+        # labels only decrease, so "changed" is the fused strict-less
+        # flag — one action per round on the already-materialized
+        # checkpoint, no extra join
+        n_changed = new.filter("_chg").count()
+        labels = new
+        if n_changed == 0:
+            break
+    return labels.select("doc_id", "comp")
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS + canonical-document selection: connected
+    components over the exact SimHash near-pair graph (hamming ≤ 8),
+    then one representative per cluster (longest text, doc_id
+    tiebreak) — the step a training-data pipeline runs between pair
+    generation and corpus rewrite (keep the canonical, drop the rest).
+
+    Spark shape (scale rationale): iterative min-label propagation, but
+    ONLY over docs that appear in some near-pair — every iterated frame
+    is proportional to the DUPLICATE subset, not the corpus; the full
+    documents table joins back exactly once at the end (docs without a
+    pair are their own singleton component by construction).  Each
+    round is a neighbor-min (equi-join + partial/final min-agg) plus a
+    pointer-jump hop (comp ← comp(comp)), all keyed by doc_id;
+    convergence is a scalar count over a fused change flag; each
+    round's label frame materializes via eager localCheckpoint, which
+    both truncates lineage (the jump self-join would otherwise double
+    the logical plan per round) and caps the recovery chain.  Rounds ≈
+    component diameter / 2: the loop converges in 2-4 rounds on real
+    near-dup graphs regardless of corpus size (cluster diameter does
+    not grow with corpus scale); at 10^12 docs the deploy-time lever is
+    reliable checkpoint(dir) instead of local.  DuckDB verifies with an
+    independent recursive-CTE reachability closure over its own
+    brute-force all-pairs graph."""
+    pairs = q_simhash_near_pairs(spark, sf_dir).select("da", "db")
+    labels = _cc_labels_from(pairs)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = W.partitionBy("comp").orderBy(F.length("text").desc(), "doc_id")
+    return (d.join(labels.select("doc_id", "comp"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("comp", F.col("doc_id")).alias("comp"),
+                    "text")
+            .select("doc_id", "comp",
+                    (F.row_number().over(w) == 1).alias("is_canonical")))
+
+
+# DuckDB recomputes the clusters INDEPENDENTLY: brute-force all-pairs
+# near-dup graph (no banding), then a recursive reachability closure
+# (every label a node can reach; MIN per node = the component id) — a
+# different algorithm with the same exact answer, so both the pairing
+# recall AND the propagation fixpoint are cross-checked.
+ORACLES["q_dedup_components"] = """
+    WITH RECURSIVE words AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), ' +'))), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, h, b FROM words, generate_series(0, 59) t(b)
+    ), votes AS (
+      SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS v
+      FROM bits GROUP BY doc_id, b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ), edges AS (
+      SELECT da AS src, db AS dst FROM pairs
+      UNION ALL
+      SELECT db AS src, da AS dst FROM pairs
+    ), walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(lbl) AS comp FROM walk GROUP BY id
+    )
+    SELECT d.doc_id, c.comp,
+           (ROW_NUMBER() OVER (PARTITION BY c.comp
+                               ORDER BY length(d.text) DESC, d.doc_id) = 1)
+           AS is_canonical
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+RELATIONAL_QUERIES["q_dedup_components"] = q_dedup_components
+
+
 def q_semi_anti_orders(spark, sf_dir):
     """EXISTS / NOT EXISTS as left-semi / left-anti joins (SURVEY §2.9:
     regression-diff and resume-lineage join shapes)."""

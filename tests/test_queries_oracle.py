@@ -14,7 +14,7 @@ FAST_QUERIES = [
     "q01_pricing_summary", "q03_top_orders", "q_sessionize_events",
     "q_asof_prior_view", "q_value_band_join", "q_set_ops",
     "q_exact_dedup", "q_minhash_lsh_buckets", "q_embed_cosine_topk",
-    "q_decontaminate", "q_stratified_sample",
+    "q_decontaminate", "q_stratified_sample", "q_dedup_components",
     "x_docwrap_roundtrip",
 ]
 
@@ -132,3 +132,78 @@ def test_clean_filter_all_reasons(spark, tmp_path):
     assert [got[i][0] for i in range(1, 8)] == [
         "ok", "duplicate", "too_few_words", "long_word", "high_punct",
         "repetitive", "lang_und"]
+
+
+def test_dedup_components_chain_propagation(spark):
+    """A 9-node chain (diameter 8) forces MULTIPLE propagation rounds
+    through the shipped loop — every node must still collapse to comp=1,
+    and a disjoint 2-cycle plus an isolated pairless node must not."""
+    import mineru_spark.queries as q
+
+    chain = [(i, i + 1) for i in range(1, 9)]          # 1-2-...-9
+    other = [(20, 21)]
+    pairs = spark.createDataFrame(chain + other, ["da", "db"])
+    got = {r["doc_id"]: r["comp"]
+           for r in q._cc_labels_from(pairs).collect()}
+    q.cache.release("cc_edges")
+    assert got == {**{i: 1 for i in range(1, 10)}, 20: 20, 21: 20}
+
+
+def test_dedup_components_union_find_golden(spark, tmp_path):
+    """Component assignment + canonical choice on a crafted corpus,
+    checked against an INDEPENDENT union-find over the query's own pair
+    list (third algorithm besides the Spark loop and DuckDB recursion).
+    Exact-duplicate texts guarantee hamming-0 pairs, so the corpus is
+    certain to contain a non-trivial cluster."""
+    import mineru_spark.queries as q
+
+    base = ("the quick brown fox jumps over the lazy dog near the wide "
+            "river bank just before sunrise on a calm autumn morning")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [base, base, base + " with one extra tail word",
+                 "a completely different document about distributed "
+                 "query engines and shuffle partitioning strategies",
+                 "a completely different document about distributed "
+                 "query engines and shuffle partitioning strategies",
+                 "an unrelated singleton with its own vocabulary "
+                 "entirely disjoint from everything else here today"],
+        "lang": ["en"] * 6, "source": ["t"] * 6,
+    })
+    docs["n_chars"] = docs["text"].str.len()
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    pair_rows = [(r["da"], r["db"])
+                 for r in q.q_simhash_near_pairs(spark, sf_dir).collect()]
+    assert any(set(p) <= {1, 2, 3} for p in pair_rows)  # cluster exists
+
+    # independent union-find golden
+    parent = {i: i for i in docs["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = {i: find(i) for i in docs["doc_id"]}
+
+    out = q.q_dedup_components(spark, sf_dir).collect()
+    got_comp = {r["doc_id"]: r["comp"] for r in out}
+    assert got_comp == want_comp
+
+    # exactly one canonical per component: longest text, doc_id tiebreak
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["comp"], []).append(r)
+    lens = dict(zip(docs["doc_id"], docs["n_chars"]))
+    for comp, members in by_comp.items():
+        canon = [r["doc_id"] for r in members if r["is_canonical"]]
+        want = sorted((m["doc_id"] for m in members),
+                      key=lambda i: (-lens[i], i))[0]
+        assert canon == [want]
