@@ -2163,3 +2163,55 @@ def test_xlsx_sheet_chart_interleaves_by_anchor():
     types = [b["type"] for b in cl]
     assert types == ["chart", "table"]   # anchor (0,0) precedes (10,0)
     assert cl[0]["content"].startswith("<table><thead>")
+
+
+def test_assemble_block_fast_path_equivalence_pins():
+    """The r5 uniform-role fast path of _assemble_block must agree with
+    the general (sup/sub/math) path on the branch-sensitive cases:
+    space splicing at word gaps, whitespace-only lines (line text ' ',
+    NO span), and per-char assembly when \\r\\n glyphs disable slicing.
+    Pins the exact outputs so a future fast-path edit cannot drift."""
+    import numpy as np
+    from mineru_spark.kernels.charstream import PageCols, _assemble_block
+
+    def run(chars):
+        pc = PageCols(chars)
+        return _assemble_block(pc, np.arange(pc.n), 0)
+
+    # two lines, a word gap on line 1 (gap > SPACE_GAP_RATIO * med width)
+    chars = [_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("ab")]
+    chars += [_char(c, 75 + 5 * k, 100, idx=2 + k) for k, c in enumerate("cd")]
+    chars += [_char(c, 50 + 5 * k, 115, idx=4 + k) for k, c in enumerate("ef")]
+    lines, lbb, spans = run(chars)
+    assert lines == ["ab cd", "ef"]
+    assert [s["type"] for s in spans] == ["text", "text"]
+    assert [s["content"] for s in spans] == ["ab cd", "ef"]
+    assert [s["line"] for s in spans] == [0, 1]
+    # span bbox on the fast path comes from the reduceat line bboxes
+    assert spans[0]["bbox"] == [50.0, 100.0, 85.0, 110.0]
+    assert lbb.shape == (2, 4)
+
+    # whitespace-only middle line: text ' ' in lines, no span emitted
+    chars = [_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("ab")]
+    chars += [_char(" ", 50, 115, idx=2)]
+    chars += [_char(c, 50 + 5 * k, 130, idx=3 + k) for k, c in enumerate("cd")]
+    lines, _, spans = run(chars)
+    assert lines == ["ab", " ", "cd"]
+    assert [s["content"] for s in spans] == ["ab", "cd"]
+    assert [s["line"] for s in spans] == [0, 2]
+
+    # \r glyph forces the per-char path inside the uniform fast path:
+    # the \r is skipped, the gap space survives
+    chars = [_char("a", 50, 100, idx=0), _char("\r", 55, 100, idx=1),
+             _char("b", 75, 100, idx=2)]
+    lines, _, spans = run(chars)
+    assert lines == ["a b"]
+    assert spans[0]["content"] == "a b"
+
+    # a small trailing char (sup candidate) routes the block through the
+    # GENERAL path and types the span — proving the dispatch condition
+    chars = [_char(c, 50 + 5 * k, 100, idx=k) for k, c in enumerate("xy")]
+    chars += [_char("2", 60, 99.0, size=6.0, idx=2)]
+    lines, _, spans = run(chars)
+    assert any(s["type"] == "sup" for s in spans)
+    assert lines == ["xy<sup>2</sup>"]
