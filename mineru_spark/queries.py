@@ -1219,6 +1219,133 @@ ORACLES["q_dedup_components"] = """
 RELATIONAL_QUERIES["q_dedup_components"] = q_dedup_components
 
 
+PACK_SHARD_TOKENS = 2048   # tokens per training shard (manifest budget)
+PACK_BUCKET_DOCS = 64      # coarse doc_id buckets for the two-level cumsum
+
+
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (training-data op): assign every doc a
+    shard id so each shard holds ~PACK_SHARD_TOKENS whitespace tokens of
+    consecutive (doc_id-ordered) documents — the manifest step before
+    writing fixed-size training shards.  Discipline: shard boundaries
+    fall at budget multiples of the running token stream and a doc
+    belongs to the shard where it STARTS (docs never split; a shard can
+    overrun by < one doc, expected size = budget).
+
+    Spark shape: a single ordered window would serialize the prefix sum
+    into ONE task, so the cumsum is a distributed two-level prefix sum —
+    within-bucket cumsum (window partitioned by coarse doc_id bucket)
+    plus a bucket-offset window over the per-bucket totals (one row per
+    bucket — corpus/64 rows, broadcast back).  Identical math to the
+    oracle's single window; everything stays exact BIGINT (integer DIV,
+    no doubles — a 100 TB running total exceeds 2^53)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("tokens"))
+    b = d.withColumn(
+        "bucket", F.expr(f"doc_id DIV {PACK_BUCKET_DOCS}"))
+    off = (b.groupBy("bucket").agg(F.sum("tokens").alias("bt"))
+           .select("bucket",
+                   (F.sum("bt").over(
+                       W.orderBy("bucket")
+                       .rowsBetween(W.unboundedPreceding, W.currentRow))
+                    - F.col("bt")).alias("boff")))
+    wb = (W.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (b.join(F.broadcast(off), "bucket")
+            .withColumn("cum0", F.sum("tokens").over(wb) - F.col("tokens")
+                        + F.col("boff"))
+            .select("doc_id", "tokens",
+                    F.expr(f"CAST(cum0 DIV {PACK_SHARD_TOKENS} AS BIGINT)")
+                    .alias("shard_id")))
+
+
+ORACLES["q_pack_shards"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+               AS tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tokens,
+             SUM(tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - tokens AS cum0
+      FROM t
+    )
+    SELECT doc_id, tokens,
+           CAST(cum0 // {PACK_SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM c
+"""
+
+RELATIONAL_QUERIES["q_pack_shards"] = q_pack_shards
+
+
+def q_bigram_typicality(spark, sf_dir):
+    """Corpus-typicality quality score: per doc, the occurrence-weighted
+    mean GLOBAL count of its word bigrams — how corpus-typical the doc's
+    phrasing is (outlier/garbage docs score low; the linear-space analog
+    of a bigram-LM likelihood, deliberately log-free: every aggregate is
+    exact integer/decimal arithmetic, so the score is bit-identical
+    across engines and partition orders — the x_kmeans exactness trick;
+    a log2 would differ in final ULPs between libm implementations).
+
+    Scale shape: the bigram explode feeds a map-side-combinable
+    (doc_id, bigram) partial agg, so the shuffle moves per-doc DISTINCT
+    bigrams, not corpus characters; the global count table groups by
+    bigram and equi-joins back on the bigram key (Zipf-tailed but far
+    smaller than the corpus; never broadcast, never collected)."""
+    d = _t(spark, sf_dir, "documents")
+    bigrams = F.expr("CASE WHEN size(w) < 2 THEN array() ELSE "
+                     "transform(sequence(0, size(w) - 2), "
+                     "i -> concat_ws(' ', w[i], w[i+1])) END")
+    dbg = (d.select("doc_id", F.split(F.trim("text"), " +").alias("w"))
+           .select("doc_id", F.explode(bigrams).alias("bg"))
+           .groupBy("doc_id", "bg").agg(F.count("*").alias("cnt")))
+    g = dbg.groupBy("bg").agg(F.sum("cnt").alias("gcnt"))
+    dot = (dbg.join(g, "bg")
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("gcnt"))
+                .alias("dot"),
+                F.sum("cnt").alias("nbg")))
+    return (d.select("doc_id").join(dot, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("nbg", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce(F.round(F.col("dot").cast("double")
+                                       / F.col("nbg").cast("double"), 6),
+                               F.lit(0.0)).alias("typicality")))
+
+
+ORACLES["q_bigram_typicality"] = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ), bgx AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    END) AS bg
+      FROM base
+    ), dbg AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM bgx GROUP BY doc_id, bg
+    ), g AS (
+      SELECT bg, SUM(cnt) AS gcnt FROM dbg GROUP BY bg
+    ), dot AS (
+      SELECT d.doc_id, SUM(d.cnt * g.gcnt) AS dot, SUM(d.cnt) AS nbg
+      FROM dbg d JOIN g USING (bg) GROUP BY d.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(dot.nbg, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(ROUND(CAST(dot.dot AS DOUBLE)
+                          / CAST(dot.nbg AS DOUBLE), 6), 0.0) AS typicality
+    FROM base b LEFT JOIN dot ON b.doc_id = dot.doc_id
+"""
+
+RELATIONAL_QUERIES["q_bigram_typicality"] = q_bigram_typicality
+
+
 def q_semi_anti_orders(spark, sf_dir):
     """EXISTS / NOT EXISTS as left-semi / left-anti joins (SURVEY §2.9:
     regression-diff and resume-lineage join shapes)."""

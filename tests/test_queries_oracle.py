@@ -15,6 +15,7 @@ FAST_QUERIES = [
     "q_asof_prior_view", "q_value_band_join", "q_set_ops",
     "q_exact_dedup", "q_minhash_lsh_buckets", "q_embed_cosine_topk",
     "q_decontaminate", "q_stratified_sample", "q_dedup_components",
+    "q_pack_shards", "q_bigram_typicality",
     "x_docwrap_roundtrip",
 ]
 
