@@ -1237,10 +1237,32 @@ def _gen_pptx(rng: random.Random) -> str:
         for cx0, cx1 in ((80.0, 460.0), (500.0, 880.0)):
             r = rng.random()
             if r < 0.4:
-                items = "\n".join(f"• {_sentence(rng, 2, 5)}"
-                                   for _ in range(rng.randint(2, 4)))
-                shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
-                               "kind": "bullets", "text": items})
+                if rng.random() < 0.5:
+                    # structured multi-level items (r5): random level
+                    # walk over 0-2, per-level ordered/unordered, and an
+                    # occasional explicit ordered restart whose start may
+                    # or may not equal the continuation number
+                    ordered_at = {0: rng.random() < 0.5,
+                                  1: rng.random() < 0.5, 2: False}
+                    lvl = rng.randint(0, 1)  # nonzero base exercises
+                    items = []               # level normalization
+                    for _ in range(rng.randint(3, 6)):
+                        lvl = min(2, max(0, lvl + rng.choice([-1, 0, 0, 1])))
+                        items.append({"text": _sentence(rng, 2, 5),
+                                      "level": lvl,
+                                      "ordered": ordered_at[lvl]})
+                    if ordered_at[0] and rng.random() < 0.5:
+                        items.append({"text": _sentence(rng, 2, 4),
+                                      "level": 0, "ordered": True,
+                                      "start": rng.choice([1, 7]),
+                                      "restart": True})
+                    shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                                   "kind": "bullets", "items": items})
+                else:
+                    items = "\n".join(f"• {_sentence(rng, 2, 5)}"
+                                      for _ in range(rng.randint(2, 4)))
+                    shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
+                                   "kind": "bullets", "text": items})
             elif r < 0.55:
                 # embedded table shape (reference _handle_tables :597)
                 html, _nc = _gen_office(rng)
@@ -1292,6 +1314,31 @@ def _gen_pptx(rng: random.Random) -> str:
                                    for _ in range(rng.randint(1, 3)))
                 shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
                                "kind": "body", "text": lines})
+        if rng.random() < 0.3:
+            # font-profile ensemble exercising title promotion (r5): two
+            # body blocks at the common size, one unique biggest bold
+            # (level-2 candidate), sometimes a second-tier bold (level-3)
+            # and sometimes a DUPLICATE top bold that must suppress the
+            # level-2 promotion entirely
+            shapes.append({"bbox": [80.0, 410.0, 460.0, 438.0],
+                           "kind": "body",
+                           "text": _sentence(rng, 3, 6) + ".",
+                           "font_size": 28.0, "all_bold": True})
+            if rng.random() < 0.6:
+                shapes.append({"bbox": [500.0, 410.0, 880.0, 438.0],
+                               "kind": "body",
+                               "text": _sentence(rng, 3, 5) + ".",
+                               "font_size": 22.0, "all_bold": True})
+            for px0, px1 in ((80.0, 460.0), (500.0, 880.0)):
+                shapes.append({"bbox": [px0, 448.0, px1, 520.0],
+                               "kind": "body",
+                               "text": _sentence(rng, 4, 8) + ".",
+                               "font_size": 18.0})
+            if rng.random() < 0.25:
+                shapes.append({"bbox": [80.0, 95.0, 460.0, 114.0],
+                               "kind": "body",
+                               "text": _sentence(rng, 3, 5) + ".",
+                               "font_size": 28.0, "all_bold": True})
         # shapes arrive shuffled (no reading order in the payload)
         rng.shuffle(shapes)
         slide = {"slide_idx": sidx, "size": [960.0, 540.0],

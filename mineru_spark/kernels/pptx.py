@@ -24,6 +24,26 @@ the PDF route, kernels/xycut.py) is the ordering operator.  Bullets render
 as list items; titles as level-2 headings (slide titles are sections of
 the deck document); notes become page_footnote blocks (dropped from md,
 kept in content_list — the reference's BlockType.PAGE_FOOTNOTE contract).
+
+r5 additions mirroring the reference's text-element machinery:
+- NESTED LISTS: a bullets shape may carry structured `items`
+  ({text, level, ordered, start?, restart?}); the kernel rebuilds the
+  reference's list stack (_ensure_list_level pptx_converter.py:
+  1661-1702, ordered-restart rule _should_restart_ordered_list
+  :1718-1733, contiguous-level normalization
+  _normalize_contiguous_list_level :1686-1693) and renders marked
+  items in the repo's pinned office list convention (two-space indent,
+  docx.py flush_list — the reference's shared builder indents four,
+  output_builders.py:86; documented divergence).
+- TITLE PROMOTION: body shapes may carry `font_size` (pt) and
+  `all_bold`; per slide, the most-common non-bold text size is the
+  body size, the single largest all-bold text block promotes to a
+  level-2 title when ≥ body+4 and ≥ second-bold+2, and every all-bold
+  block at the next distinct size below the level-2 size promotes to
+  level 3 when ≥ body+2 and level-2 ≥ it+2
+  (_promote_slide_text_blocks_to_titles + _promote_level2/3_,
+  _most_common_size tie → smallest).  Internal font keys are stripped
+  from the emitted blocks (_cleanup_slide_text_block_metadata analog).
 """
 
 from __future__ import annotations
@@ -58,6 +78,108 @@ def _flatten_shapes(shapes: list, sx: float = 1.0, sy: float = 1.0,
     return out
 
 
+def _build_list_lines(items: list) -> tuple[list[str], str]:
+    """Structured list items → marker-prefixed md lines + root attribute,
+    via the reference's list-stack algebra (pptx_converter.py:1661-1733):
+    pop to the target depth, pop on attribute switch at the same depth,
+    pop when an EXPLICIT ordered restart's start differs from the
+    continuation number (start + direct item count), push missing levels
+    carrying the item's attribute (start only at the target level), and
+    normalize the first visible level to 0 so a missing parent level
+    can't indent the whole list (:1686-1693)."""
+    stack: list[dict] = []   # {attr, start, count(direct items)}
+    lines: list[str] = []
+    base: int | None = None
+    root_attr = "unordered"
+    for it in items:
+        if not isinstance(it, dict):
+            continue
+        text = emit.normalize_text(str(it.get("text", ""))).strip()
+        if not text:
+            continue
+        attr = "ordered" if it.get("ordered") else "unordered"
+        try:
+            raw = int(it.get("level", 0) or 0)
+        except (TypeError, ValueError):
+            raw = 0
+        if base is None:
+            base = raw
+            root_attr = attr
+        level = max(0, raw - base)
+        start = it.get("start")
+        start = int(start) if isinstance(start, (int, float)) \
+            and not isinstance(start, bool) else None
+        while len(stack) > level + 1:
+            stack.pop()
+        if len(stack) == level + 1 and stack[level]["attr"] != attr:
+            stack.pop()
+        if (bool(it.get("restart")) and attr == "ordered"
+                and start is not None and len(stack) == level + 1
+                and stack[level]["attr"] == "ordered"
+                and stack[level]["count"]
+                and start != stack[level]["start"] + stack[level]["count"]):
+            stack.pop()
+        while len(stack) < level + 1:
+            ilevel = len(stack)
+            st = start if (attr == "ordered" and start is not None
+                           and ilevel == level) else 1
+            stack.append({"attr": attr, "start": st, "count": 0})
+        node = stack[level]
+        marker = (f"{node['start'] + node['count']}. "
+                  if node["attr"] == "ordered" else "- ")
+        lines.append("  " * level + marker + emit.escape_markdown(text))
+        node["count"] += 1
+    return lines, root_attr
+
+
+def _promote_titles(slide_blocks: list[dict]) -> None:
+    """Font-size title promotion over one slide's blocks (reference
+    _promote_slide_text_blocks_to_titles + _promote_level2_text_blocks
+    + _promote_level3_text_blocks; _most_common_size ties break to the
+    SMALLEST size).  Thresholds are the spec: level-2 needs a UNIQUE
+    largest all-bold text block ≥ body+4 (when a body size exists) and
+    ≥ second-bold+2 (when one exists); level-3 needs a body size, an
+    existing level-2 title with a font size, and promotes EVERY
+    all-bold text block at the largest bold size strictly below the
+    level-2 size when it is ≥ body+2 and level-2 ≥ it+2."""
+    from collections import Counter
+
+    sizes = [b["_fs"] for b in slide_blocks
+             if b.get("type") == "text" and b.get("_fs") is not None
+             and not b.get("_ab")]
+    body = (min(Counter(sizes).items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if sizes else None)
+    bold = [b for b in slide_blocks
+            if b.get("type") == "text" and b.get("_ab")
+            and b.get("_fs") is not None]
+    if bold:
+        bsizes = sorted({b["_fs"] for b in bold}, reverse=True)
+        cands = [b for b in bold if b["_fs"] == bsizes[0]]
+        if (len(cands) == 1
+                and (body is None or bsizes[0] >= body + 4)
+                and (len(bsizes) < 2 or bsizes[0] >= bsizes[1] + 2)):
+            cands[0]["type"] = "title"
+            cands[0]["level"] = 2
+    if body is None:
+        return
+    l2 = sorted({b["_fs"] for b in slide_blocks
+                 if b.get("type") == "title" and b.get("level") == 2
+                 and b.get("_fs") is not None}, reverse=True)
+    if not l2:
+        return
+    l3s = sorted({b["_fs"] for b in slide_blocks
+                  if b.get("type") == "text" and b.get("_ab")
+                  and b.get("_fs") is not None and b["_fs"] < l2[0]},
+                 reverse=True)
+    if not l3s or l3s[0] < body + 2 or l2[0] < l3s[0] + 2:
+        return
+    for b in slide_blocks:
+        if (b.get("type") == "text" and b.get("_ab")
+                and b.get("_fs") == l3s[0]):
+            b["type"] = "title"
+            b["level"] = 3
+
+
 def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
     blocks: list[dict] = []
     tables_parsed = 0
@@ -71,6 +193,7 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
         sw, sh = (slide.get("size") or [960.0, 540.0])[:2]
         shapes = _flatten_shapes(slide.get("shapes") or [])
         order = xy_cut_order([sp["bbox"] for sp in shapes])
+        slide_start = len(blocks)  # slice for per-slide title promotion
         for i in order:
             sp = shapes[i]
             kind = sp.get("kind", "body")
@@ -109,6 +232,19 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                 if blk is not None:
                     blocks.append(blk)
                 continue
+            if kind == "bullets" and isinstance(sp.get("items"), list) \
+                    and sp["items"]:
+                # structured multi-level list items (reference
+                # _handle_text_elements list branch)
+                lines, root_attr = _build_list_lines(sp["items"])
+                if lines:
+                    blocks.append({"type": "list",
+                                   "text": "\n".join(lines),
+                                   "page_idx": sidx, "bbox": nb,
+                                   "level": 1, "pre_rendered": True,
+                                   "items_marked": True,
+                                   "attribute": root_attr})
+                continue
             text = str(sp.get("text", "")).strip()
             rich = (kind == "body" and isinstance(sp.get("runs"), list))
             if not text and not rich:
@@ -124,6 +260,10 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                 text = emit.merge_lines(text.split("\n"))
             rec = {"type": btype, "text": text, "page_idx": sidx,
                    "bbox": nb, "level": level}
+            fs = sp.get("font_size")
+            if isinstance(fs, (int, float)) and not isinstance(fs, bool):
+                rec["_fs"] = float(fs)
+                rec["_ab"] = bool(sp.get("all_bold"))
             if rich:
                 # styled/hyperlink runs through the SHARED office run
                 # machinery (the reference routes pptx runs through the
@@ -137,6 +277,12 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                 elif not text:
                     continue
             blocks.append(rec)
+        # per-slide title promotion, then strip the internal font keys
+        # (the reference's _cleanup_slide_text_block_metadata)
+        _promote_titles(blocks[slide_start:])
+        for b in blocks[slide_start:]:
+            b.pop("_fs", None)
+            b.pop("_ab", None)
         # speaker notes AFTER the slide's shapes (reference :206, :548-582)
         notes = slide.get("notes")
         if isinstance(notes, str):

@@ -2215,3 +2215,76 @@ def test_assemble_block_fast_path_equivalence_pins():
     lines, _, spans = run(chars)
     assert any(s["type"] == "sup" for s in spans)
     assert lines == ["xy<sup>2</sup>"]
+
+
+def test_pptx_nested_lists_and_ordered_restart():
+    """r5 pptx structured lists: level normalization (base level 1 → 0),
+    nested ordered counters, attribute switches, and the explicit-restart
+    rule (a restart whose start EQUALS the continuation number does NOT
+    break the list; a different start does) — reference
+    pptx_converter.py:1661-1733."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    payload = {"kind": "pptx_shapes", "slides": [{
+        "slide_idx": 0, "size": [960.0, 540.0],
+        "shapes": [{"bbox": [80.0, 120.0, 460.0, 400.0], "kind": "bullets",
+                    "items": [
+            {"text": "alpha", "level": 1, "ordered": False},
+            {"text": "beta", "level": 2, "ordered": True},
+            {"text": "gamma", "level": 2, "ordered": True},
+            {"text": "delta", "level": 1, "ordered": False},
+            {"text": "eps", "level": 2, "ordered": True,
+             "start": 5, "restart": True},
+            {"text": "zeta", "level": 2, "ordered": True,
+             "start": 6, "restart": True},   # == continuation → no break
+            {"text": "eta", "level": 2, "ordered": True,
+             "start": 1, "restart": True},   # != continuation → new list
+        ]}]}]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["md"] == ("- alpha\n"
+                         "  1. beta\n"
+                         "  2. gamma\n"
+                         "- delta\n"
+                         "  5. eps\n"
+                         "  6. zeta\n"
+                         "  1. eta")
+
+
+def test_pptx_font_size_title_promotion():
+    """r5 pptx title promotion: unique biggest all-bold block ≥ body+4
+    and ≥ second-bold+2 → level-2 title; the second-tier bold ≥ body+2
+    with level-2 ≥ it+2 → level-3; a DUPLICATE top bold size suppresses
+    both (no unique level-2 candidate and no level-2 size to anchor
+    level-3) — reference _promote_level2/3_text_blocks."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def slide(dup_top):
+        shapes = [
+            {"bbox": [80.0, 120.0, 460.0, 170.0], "kind": "body",
+             "text": "Big bold heading.", "font_size": 28.0,
+             "all_bold": True},
+            {"bbox": [80.0, 180.0, 460.0, 220.0], "kind": "body",
+             "text": "Sub heading bold.", "font_size": 22.0,
+             "all_bold": True},
+            {"bbox": [80.0, 230.0, 460.0, 300.0], "kind": "body",
+             "text": "Body text one.", "font_size": 18.0},
+            {"bbox": [80.0, 310.0, 460.0, 380.0], "kind": "body",
+             "text": "Body text two.", "font_size": 18.0},
+        ]
+        if dup_top:
+            shapes.append({"bbox": [80.0, 390.0, 460.0, 430.0],
+                           "kind": "body", "text": "Rival bold.",
+                           "font_size": 28.0, "all_bold": True})
+        return {"kind": "pptx_shapes", "slides": [
+            {"slide_idx": 0, "size": [960.0, 540.0], "shapes": shapes}]}
+
+    out = extract_turn(json.dumps(slide(False)), "file_reader")
+    assert "## Big bold heading." in out["md"]
+    assert "### Sub heading bold." in out["md"]
+    assert "_fs" not in out["middle"] and "_ab" not in out["middle"]
+
+    out2 = extract_turn(json.dumps(slide(True)), "file_reader")
+    assert "##" not in out2["md"]          # no promotion at all
+    assert "Big bold heading." in out2["md"]
