@@ -1161,7 +1161,8 @@ def _gen_xlsx(rng: random.Random) -> str:
                                      "underline": rng.random() < 0.3})
                     cell["runs"] = runs
                 cells.append(cell)
-        if rng.random() < 0.3:
+        has_singleton = rng.random() < 0.3
+        if has_singleton:
             # isolated note cell, > gap+1 away → its own singleton region
             cells.append({"r": r0 + nrows + 4, "c": c0,
                           "v": _sentence(rng, 2, 5)})
@@ -1216,6 +1217,24 @@ def _gen_xlsx(rng: random.Random) -> str:
         if rng.random() < 0.12:
             sh["charts"] = [{"r": r0 + nrows + 6, "c": c0,
                              "chart": _gen_chart(rng)}]
+        # ~10%: drawing-anchored OMML formulas mapped to cells (reference
+        # _map_math_formulas_to_cells xlsx_converter.py:361-444 +
+        # _get_cell_math_formulas :710-723): latex rides inside the table
+        # cell as <eq> bookends (:1043-1048), unescaped to $..$ at M6.
+        # One formula lands on a region cell (sometimes the hole cell —
+        # math alone is semantic content, :757-763); when the far
+        # singleton exists, a second formula there must force the 1×1
+        # TABLE render instead of the text block (:743-755).
+        mr = rng.random()
+        if mr < 0.10:
+            latexes = (r"\sum_{i=1}^{n} x_i", r"\beta^2+1",
+                       r"\frac{a}{b}", r"E=mc^2")
+            maths = [{"r": r0 + 1, "c": c0 + 1,
+                      "latex": latexes[int(mr * 1000) % 4]}]
+            if mr < 0.04 and has_singleton:
+                maths.append({"r": r0 + nrows + 4, "c": c0,
+                              "latex": r"e^{i\pi}+1=0"})
+            sh["maths"] = maths
         return sh
 
     n_sheets = 2 if rng.random() < 0.3 else 1

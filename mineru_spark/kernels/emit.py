@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import re
 
+from .tables import replace_eq_tags
+
 LIGATURE_MAP = {
     "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl",
     "ﬅ": "ft", "ﬆ": "st",  # full reference set (span_pre_proc.py:29-33)
@@ -202,7 +204,7 @@ def render_block(b: dict) -> str:
         # the office builder's MM_MD branch order (output_builders.py:
         # 410-425); empty content (unparsable chart — the docx route
         # keeps the typed block) contributes nothing to md
-        segs = ([text] if text else []) + \
+        segs = ([replace_eq_tags(text)] if text else []) + \
             [escape_markdown(normalize_text(c))
              for c in b.get("caption", []) if c]
         return "\n\n".join(segs)
@@ -210,7 +212,11 @@ def render_block(b: dict) -> str:
         segs = [escape_markdown(normalize_text(c))
                 for c in b.get("caption", []) if c]
         if t == "table" and text:
-            segs.append(text)  # canonical HTML body
+            # canonical HTML body; <eq> bookends from cell-anchored math
+            # unescape to inline $..$ at output time only (reference
+            # _format_embedded_html, output_builders.py:405 — middle
+            # keeps the raw bookends)
+            segs.append(replace_eq_tags(text))
         if t == "image" and b.get("img_path"):
             # S8: the reference's image body line
             # (pipeline_middle_json_mkcontent.py:152-155)

@@ -119,7 +119,10 @@ def _content_list_json(blocks: list[dict]) -> str:
             "bbox": [int(v) for v in b["bbox"]],
         }
         if b["type"] == "table":
-            item["table_body"] = b["text"]
+            # <eq> math bookends unescape at output (reference
+            # _format_embedded_html at the content_list table branch,
+            # output_builders.py:493; middle keeps the raw bookends)
+            item["table_body"] = tbl.replace_eq_tags(b["text"])
             item["table_caption"] = [emit.normalize_text(c)
                                      for c in b.get("caption", [])]
             item["table_footnote"] = [emit.normalize_text(f)
@@ -137,7 +140,7 @@ def _content_list_json(blocks: list[dict]) -> str:
             # chart branch, output_builders.py:500-524): html content +
             # empty img_path (no raster in scope) + caption list
             item["img_path"] = ""
-            item["content"] = b["text"]
+            item["content"] = tbl.replace_eq_tags(b["text"])
             item["chart_caption"] = [emit.normalize_text(c)
                                      for c in b.get("caption", [])]
         elif b["type"] == "equation":
@@ -247,7 +250,7 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
             item = {"type": "chart",
                     "content": {
                         "image_source": {"path": ""},
-                        "content": text,
+                        "content": tbl.replace_eq_tags(text),
                         "chart_caption": [r for c in b.get("caption", [])
                                           for r in runs(c)]}}
         elif t == "table":
@@ -259,7 +262,9 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                                           for r in runs(c)],
                         "table_footnote": [r for f in b.get("footnote", [])
                                            for r in runs(f)],
-                        "html": text,
+                        # v2 html is output-formatted (reference
+                        # output_builders.py:627); middle keeps raw <eq>
+                        "html": tbl.replace_eq_tags(text),
                         "table_type": "complex_table" if complex_
                         else "simple_table",
                         "table_nest_level": nest}}

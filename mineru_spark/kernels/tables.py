@@ -36,6 +36,11 @@ class Cell:
                        # table_image_map → '<img src=.../>' appended to
                        # the cell's media content, xlsx_converter.py:
                        # 313-319, :609); rendered AFTER the text/link
+    math: tuple = ()   # cell-anchored latex formulas (reference
+                       # math_map + equation_bookends '<eq>{EQ}</eq>',
+                       # xlsx_converter.py:311, :710-723, :1043-1048);
+                       # rendered after media, unescaped at M6 by
+                       # replace_eq_tags → $..$
 
 
 @dataclass
@@ -184,7 +189,7 @@ def _normalize(rows: list[list[Cell]]) -> TableGrid:
                 for dc in range(cs):
                     occupied[(r + dr, c + dc)] = True
             arow.append(Cell(cell.text, rs, cs, cell.header,
-                             cell.link, cell.rich, cell.media))
+                             cell.link, cell.rich, cell.media, cell.math))
             c += cs
         ncols = max(ncols, c)
         anchors.append(arow)
@@ -247,6 +252,10 @@ def render_table_html(grid: TableGrid) -> str:
             for mp in cell.media:
                 # media rides after the text, outside any hyperlink
                 inner += f'<img src="{html_escape(mp)}" />'
+            for eq in cell.math:
+                # formulas after media (reference :1043-1048); escaped
+                # for the symmetric replace_eq_tags unescape at M6
+                inner += f"<eq>{html_escape(eq)}</eq>"
             parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
         parts.append("</tr>")
     parts.append("</table>")

@@ -109,7 +109,8 @@ def _rich_segments(runs) -> list | None:
 def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
                   links: dict | None = None,
                   rich: dict | None = None,
-                  media: dict | None = None) -> list[dict]:
+                  media: dict | None = None,
+                  maths: dict | None = None) -> list[dict]:
     """Flood-fill DataRegion detection over one sheet at a FIXED gap
     tolerance (reference _find_data_tables_with_gap_raw :1105-1148).
 
@@ -124,6 +125,7 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
     links = links or {}
     rich = rich or {}
     media = media or {}
+    maths = maths or {}
     anchor_span: dict[tuple, tuple] = {}
     merged_pos: set[tuple] = set()
     hidden_pos: set[tuple] = set()
@@ -191,7 +193,9 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
                     continue
                 rs, cs = anchor_span.get((ri, cj), (1, 1))
                 text = " ".join(str(cells.get((ri, cj), "")).split())
-                if text:
+                # semantic content = text OR anchored media OR anchored
+                # math (reference _cell_has_semantic_content :757-763)
+                if text or media.get((ri, cj)) or maths.get((ri, cj)):
                     semantic.add((ri, cj))
                     # semantic content covers its whole merge span
                     # (_build_table_content_mask expands over row/col span)
@@ -206,12 +210,18 @@ def _flood_tables(cells: dict, merges: list, gap_tolerance: int,
                                     # cell-anchored images ride in every
                                     # constructed cell, empty ones too
                                     # (reference cell build :609)
-                                    media=tuple(media.get((ri, cj), ()))))
+                                    media=tuple(media.get((ri, cj), ())),
+                                    math=tuple(maths.get((ri, cj), ()))))
             rows.append(row)
 
         singleton = None
+        # singleton-as-text only for a bare cell: anchored media or math
+        # forces the 1x1 TABLE render so the attachment survives
+        # (reference _can_render_singleton_as_text :743-755)
         if (max_r == min_r and max_c == min_c
-                and anchor_span.get((min_r, min_c), (1, 1)) == (1, 1)):
+                and anchor_span.get((min_r, min_c), (1, 1)) == (1, 1)
+                and not media.get((min_r, min_c))
+                and not maths.get((min_r, min_c))):
             singleton = cells.get((min_r, min_c), "")
         found.append({"anchor": (min_r, min_c), "rows": rows,
                       "semantic": semantic, "singleton": singleton,
@@ -291,7 +301,8 @@ def _penalty(s: dict) -> float:
 def _sheet_tables(cells: dict, merges: list,
                   links: dict | None = None,
                   rich: dict | None = None,
-                  media: dict | None = None) -> list[dict]:
+                  media: dict | None = None,
+                  maths: dict | None = None) -> list[dict]:
     """DataRegion detection with auto gap-tolerance selection: flood fill
     at every candidate tolerance, score, pick near-best by the reference's
     tiebreak chain, then apply the semantic-subset filter to the winner
@@ -304,7 +315,7 @@ def _sheet_tables(cells: dict, merges: list,
     """
     cands = []
     for gap in GAP_CANDIDATES:
-        raw = _flood_tables(cells, merges, gap, links, rich, media)
+        raw = _flood_tables(cells, merges, gap, links, rich, media, maths)
         s = _candidate_summary(raw)
         cands.append({"gap": gap, "raw": raw, "summary": s,
                       "penalty": _penalty(s)})
@@ -402,6 +413,23 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
                 continue
             anchored_imgs.append((pos, path))
             media.setdefault(pos, []).append(path)
+        # cell-anchored math formulas (reference
+        # _map_math_formulas_to_cells, xlsx_converter.py:361-444: OMML in
+        # the sheet drawing anchored at (row, col) → latex list per cell;
+        # the payload carries the converted latex, like the docx math-run
+        # model carries oMath2Latex output)
+        maths: dict[tuple, list] = {}
+        for mt in (sheet.get("maths") or [])[:64]:
+            if not isinstance(mt, dict):
+                continue
+            latex = mt.get("latex")
+            if not isinstance(latex, str) or not latex.strip():
+                continue
+            try:
+                pos = (int(mt["r"]), int(mt["c"]))
+            except (KeyError, TypeError, ValueError):
+                continue
+            maths.setdefault(pos, []).append(latex.strip())
         page: list[dict] = []
         used_cells: set[tuple] = set()
         # visual artifacts (tables + charts) interleave by cell anchor,
@@ -410,7 +438,7 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
         # order 10_000 + i)
         artifacts: list[tuple[tuple, int, dict]] = []
         for order, t in enumerate(_sheet_tables(cells, merges, links,
-                                                rich, media)):
+                                                rich, media, maths)):
             used_cells |= t["used"]
             if t["singleton"] is not None:
                 blk = {"type": "text",

@@ -2288,3 +2288,74 @@ def test_pptx_font_size_title_promotion():
     out2 = extract_turn(json.dumps(slide(True)), "file_reader")
     assert "##" not in out2["md"]          # no promotion at all
     assert "Big bold heading." in out2["md"]
+
+
+def test_xlsx_cell_anchored_math():
+    """Drawing-anchored OMML formulas map to cells (reference
+    _map_math_formulas_to_cells xlsx_converter.py:361-444,
+    _get_cell_math_formulas :710-723): the latex rides inside the cell
+    as <eq> bookends AFTER text and media (:1043-1048), the middle IR
+    keeps the raw bookends (magic model), and every mkcontent output
+    (md, content_list, v2) unescapes them to inline ` $..$ `
+    (_format_embedded_html, output_builders.py:405/:493/:627)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "xlsx_cells", "sheets": [{
+        "name": "S1",
+        "cells": [{"r": 0, "c": 0, "v": "H1"}, {"r": 0, "c": 1, "v": "H2"},
+                  {"r": 1, "c": 0, "v": "a"}, {"r": 1, "c": 1, "v": "b"}],
+        "merges": [],
+        "maths": [{"r": 1, "c": 1, "latex": r"\frac{x}{y}"},
+                  # hostile entries are skipped, never raised
+                  {"r": 1}, "nope", {"r": 0, "c": 0, "latex": 7}]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    assert out["route"] == "xlsx"
+    assert r"<td>b $\frac{x}{y}$ </td>" in out["md"]
+    assert "<eq>" not in out["md"]
+    cl = json.loads(out["content_list"])
+    tbl_items = [b for b in cl if b["type"] == "table"]
+    assert r"b $\frac{x}{y}$ " in tbl_items[0]["table_body"]
+    # middle keeps the raw wire bookends
+    mid = json.loads(out["middle"])
+    mid_html = mid["pdf_info"][0]["para_blocks"][0]["html"]
+    assert r"<eq>\frac{x}{y}</eq>" in mid_html
+    assert "<eq>" not in out["content_list_v2"]
+    v2 = json.loads(out["content_list_v2"])
+    v2_tables = [b for pg in v2 for b in pg if b["type"] == "table"]
+    assert r"b $\frac{x}{y}$ " in v2_tables[0]["content"]["html"]
+
+
+def test_xlsx_math_semantic_and_singleton():
+    """Math alone is semantic content (_cell_has_semantic_content
+    :757-763): an EMPTY cell inside the region keeps its formula in the
+    rendered table.  A 1x1 singleton region with an anchored formula
+    must render as a TABLE, not a text block
+    (_can_render_singleton_as_text :743-755).  Latex html-escapes on
+    the wire and unescapes symmetrically at M6."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "xlsx_cells", "sheets": [{
+        "name": "S1",
+        # L-shaped region: (1,1) has NO value, only the formula
+        "cells": [{"r": 0, "c": 0, "v": "H1"}, {"r": 0, "c": 1, "v": "H2"},
+                  {"r": 1, "c": 0, "v": "a"},
+                  # far-away singleton note cell with its own formula
+                  {"r": 20, "c": 0, "v": "note"}],
+        "merges": [],
+        "maths": [{"r": 1, "c": 1, "latex": "E=mc^2"},
+                  {"r": 20, "c": 0, "latex": "a<b"}]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    md = out["md"]
+    # empty cell made semantic by its formula
+    assert "<td> $E=mc^2$ </td>" in md
+    # singleton forced to a 1x1 table (not a plain text block); the
+    # lone row takes the established first-row header rendering
+    assert "<th>note $a<b$ </th>" in md
+    cl = json.loads(out["content_list"])
+    assert [b["type"] for b in cl] == ["table", "table"]
+    # wire form escapes the latex; middle keeps it escaped
+    assert "<eq>a&lt;b</eq>" in out["middle"]

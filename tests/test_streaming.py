@@ -13,6 +13,14 @@ def stream_dirs(tmp_path):
     return {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
 
 
+def _await(q, timeout=600):
+    # availableNow queries self-terminate; the box is multi-tenant, so a
+    # tight fixed wait flakes under ambient load — wait long and ASSERT
+    # the query really finished (a silent partial drain corrupts the
+    # equality checks below with a misleading count diff)
+    assert q.awaitTermination(timeout), "streaming query did not drain"
+
+
 def test_streaming_extract_matches_batch(spark, stream_dirs):
     """Streaming output equals the batch path per turn EVEN when a
     conversation's turns straddle triggers: open tail office runs are
@@ -58,7 +66,7 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
 
     q = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
                           stream_dirs["ckpt"], max_files_per_trigger=1)
-    q.awaitTermination(180)
+    _await(q)
     flush_open_runs(spark, stream_dirs["out"])
 
     got = spark.read.parquet(os.path.join(stream_dirs["out"], "extracted"))
@@ -88,7 +96,7 @@ def test_streaming_extract_matches_batch(spark, stream_dirs):
     # restart with a new checkpoint (full replay) → idempotent sink
     q2 = streaming_extract(spark, stream_dirs["in"], stream_dirs["out"],
                            stream_dirs["ckpt"] + "_2")
-    q2.awaitTermination(180)
+    _await(q2)
     flush_open_runs(spark, stream_dirs["out"])
     assert spark.read.parquet(
         os.path.join(stream_dirs["out"], "extracted")).count() == n_src
@@ -110,7 +118,7 @@ def test_stateful_conv_progress(spark, tmp_path):
     first.write.parquet(in_dir)
 
     q = conv_progress_stream(spark, in_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    _await(q)
     got1 = spark.read.parquet(out_dir).toPandas() \
         .sort_values(["conv_id", "turns_seen"]).groupby("conv_id").last()
     exp1 = first.groupBy("conv_id").count().toPandas().set_index("conv_id")
@@ -120,7 +128,7 @@ def test_stateful_conv_progress(spark, tmp_path):
     # second tranche through the SAME checkpoint: state must ACCUMULATE
     rest.write.mode("append").parquet(in_dir)
     q2 = conv_progress_stream(spark, in_dir, out_dir, ckpt)
-    q2.awaitTermination(120)
+    _await(q2)
     got2 = spark.read.parquet(out_dir).toPandas() \
         .sort_values(["conv_id", "turns_seen"]).groupby("conv_id").last()
     total = src.groupBy("conv_id").count().toPandas().set_index("conv_id")
@@ -145,7 +153,7 @@ def test_windowed_route_counts_watermark(spark, tmp_path):
 
     q = windowed_route_counts(spark, in_dir, out_dir, ckpt,
                               window="10 minutes", watermark="30 minutes")
-    q.awaitTermination(120)
+    _await(q)
     got = spark.read.parquet(out_dir)
     exp = (classify_routes(src)
            .groupBy(F.window("ts", "10 minutes").alias("w"), "parse_route")
@@ -166,7 +174,7 @@ def test_windowed_route_counts_watermark(spark, tmp_path):
     late.coalesce(1).write.mode("append").parquet(in_dir)
     q2 = windowed_route_counts(spark, in_dir, out_dir, ckpt,
                                window="10 minutes", watermark="30 minutes")
-    q2.awaitTermination(120)
+    _await(q2)
     got2 = spark.read.parquet(out_dir)
     assert got2.filter(F.col("w_start") < "2020-01-01").count() == 0
 
@@ -206,7 +214,7 @@ def test_streaming_out_of_order_continuation_matches_batch(spark, tmp_path):
 
     q = streaming_extract(spark, dirs["in"], dirs["out"], dirs["ckpt"],
                           max_files_per_trigger=1)
-    q.awaitTermination(180)
+    _await(q)
     flush_open_runs(spark, dirs["out"])
 
     got = spark.read.parquet(os.path.join(dirs["out"], "extracted"))
