@@ -1238,8 +1238,16 @@ def _gen_xlsx(rng: random.Random) -> str:
         return sh
 
     n_sheets = 2 if rng.random() < 0.3 else 1
+    out_sheets = [sheet(i) for i in range(n_sheets)]
+    # ~8% of multi-sheet workbooks hide one sheet (reference
+    # _iter_sheets_to_convert xlsx_converter.py:275-286: non-visible
+    # sheets skipped) — its content must vanish AND the survivor must
+    # lose its sheet title (>1 non-empty VISIBLE sheets rule)
+    hd = rng.random()  # drawn unconditionally (replay purity)
+    if n_sheets == 2 and hd < 0.08:
+        out_sheets[int(hd * 1000) % 2]["hidden"] = True
     return json.dumps(
-        {"kind": "xlsx_cells", "sheets": [sheet(i) for i in range(n_sheets)]},
+        {"kind": "xlsx_cells", "sheets": out_sheets},
         ensure_ascii=False)
 
 
@@ -1326,6 +1334,13 @@ def _gen_pptx(rng: random.Random) -> str:
                 if rng.random() < 0.4:
                     runs.append({"text": _sentence(rng, 1, 2),
                                  "link": f"https://example.org/s/{sidx}"})
+                if rng.random() < 0.3:
+                    # OMML math node inside a pptx paragraph → inline
+                    # equation segment (reference _is_math_content_node +
+                    # _convert_math_node_to_latex, pptx_converter.py:
+                    # 1162-1172; same run machinery as docx math runs)
+                    runs.append({"math": rng.choice(
+                        (r"\sigma^2", r"\sqrt{n}", r"a_i b_i"))})
                 shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
                                "kind": "body", "text": "", "runs": runs})
             else:

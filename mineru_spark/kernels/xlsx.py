@@ -353,6 +353,13 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
     for page_idx, sheet in enumerate(sheets):
         if not isinstance(sheet, dict):
             continue
+        if sheet.get("hidden") is True:
+            # hidden worksheets are skipped entirely (reference
+            # _iter_sheets_to_convert, xlsx_converter.py:275-286:
+            # sheet_state != visible dropped unless
+            # include_hidden_sheets); the >1-non-empty-sheet title
+            # rule then naturally counts visible sheets only
+            continue
         name = str(sheet.get("name", f"Sheet{page_idx + 1}"))
         cells: dict[tuple, str] = {}
         links: dict[tuple, str] = {}

@@ -2007,3 +2007,94 @@ def write_signature_table(spark, sf_dir: str, table: str = "doc_signatures",
     (bands.write.mode("overwrite")
      .bucketBy(n_buckets, "bk").sortBy("bk")
      .format("parquet").saveAsTable(table))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data op: Dolma/CCNet-style scrub pass).
+# The synthetic documents corpus is PII-free word soup, so the query
+# APPENDS deterministic PII spans derived from doc_id — identically in
+# Spark and the DuckDB oracle — then detects and masks them; the gate
+# thus checks the detector/redactor on real matches, not on vacuous
+# zero-match rows.
+# ---------------------------------------------------------------------------
+
+# shared pattern literals — Java regex (Spark) and RE2 (DuckDB) agree on
+# this subset: ASCII classes, bounded repeats, no backrefs/lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass (training-data op): per-document counts of emails /
+    phone numbers / IPv4 addresses plus the masked text (<EMAIL>,
+    <PHONE>, <IP>), replacement ordered email -> phone -> ip so a
+    placeholder never feeds a later pattern.
+
+    Scale shape: pure per-row JVM regexp expressions after the scan — no
+    shuffle, no UDF, no collect; the projection prunes to (doc_id, text).
+    At 100 TB this is a map-only pass bounded by scan throughput."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" Contact user"), did.cast("string"),
+            F.lit("@mail"), (did % 5).cast("string"),
+            F.lit(".example.com now."))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" Call "), (did % 700 + 200).cast("string"),
+            F.lit("-555-"), (did % 9000 + 1000).cast("string"),
+            F.lit("."))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" Host 10."), (did % 256).cast("string"),
+            F.lit("."), (did % 100).cast("string"),
+            F.lit("."), (did % 254 + 1).cast("string"),
+            F.lit(" up."))).otherwise(F.lit("")))
+    base = d.select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>"), PII_IP_RE, "<IP>")
+    return base.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.regexp_count("t", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        red.alias("redacted"))
+
+
+ORACLES["q_pii_redact"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN ' Contact user'
+                  || CAST(doc_id AS VARCHAR) || '@mail'
+                  || CAST(doc_id % 5 AS VARCHAR) || '.example.com now.'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' Call '
+                  || CAST(doc_id % 700 + 200 AS VARCHAR) || '-555-'
+                  || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '.'
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' Host 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 100 AS VARCHAR) || '.'
+                  || CAST(doc_id % 254 + 1 AS VARCHAR) || ' up.'
+                ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT)
+             AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS redacted
+    FROM base
+"""
+RELATIONAL_QUERIES["q_pii_redact"] = q_pii_redact

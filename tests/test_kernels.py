@@ -2359,3 +2359,75 @@ def test_xlsx_math_semantic_and_singleton():
     assert [b["type"] for b in cl] == ["table", "table"]
     # wire form escapes the latex; middle keeps it escaped
     assert "<eq>a&lt;b</eq>" in out["middle"]
+
+
+def test_xlsx_hidden_sheet_skipped():
+    """Hidden worksheets are skipped entirely (reference
+    _iter_sheets_to_convert xlsx_converter.py:275-286): their content
+    never reaches any encoding, and the >1-non-empty-sheet title rule
+    counts only VISIBLE sheets — a 2-sheet workbook with one hidden
+    emits the survivor WITHOUT a sheet title."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def sheet(name, word, hidden=False):
+        sh = {"name": name,
+              "cells": [{"r": 0, "c": 0, "v": "K"}, {"r": 0, "c": 1, "v": "V"},
+                        {"r": 1, "c": 0, "v": word}, {"r": 1, "c": 1, "v": "1"}],
+              "merges": []}
+        if hidden:
+            sh["hidden"] = True
+        return sh
+
+    both = {"kind": "xlsx_cells",
+            "sheets": [sheet("Alpha", "visible-word"),
+                       sheet("Beta", "hidden-word", hidden=True)]}
+    out = extract_turn(json.dumps(both), "file_reader")
+    assert out["route"] == "xlsx"
+    assert "visible-word" in out["md"]
+    assert "hidden-word" not in out["md"]
+    assert "hidden-word" not in out["middle"]
+    # survivor is the only visible sheet -> NO sheet title emitted
+    assert "Alpha" not in out["md"]
+
+    # control: both visible -> titles for both
+    both_vis = {"kind": "xlsx_cells",
+                "sheets": [sheet("Alpha", "visible-word"),
+                           sheet("Beta", "other-word")]}
+    out2 = extract_turn(json.dumps(both_vis), "file_reader")
+    assert "Alpha" in out2["md"] and "Beta" in out2["md"]
+
+    # hostile: non-bool hidden values are NOT treated as hidden
+    weird = {"kind": "xlsx_cells",
+             "sheets": [sheet("Alpha", "visible-word"),
+                        dict(sheet("Beta", "other-word"), hidden="yes")]}
+    out3 = extract_turn(json.dumps(weird), "file_reader")
+    assert "other-word" in out3["md"]
+
+
+def test_pptx_math_runs_inline_equation():
+    """OMML math inside a pptx paragraph becomes an inline equation
+    segment with no style/link (reference _is_math_content_node +
+    _convert_math_node_to_latex, pptx_converter.py:1162-1172, rendered
+    through the same office run machinery as docx math runs): `$..$`
+    in md, a typed inline_equation run in content_list_v2."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "pptx_shapes", "slides": [{"shapes": [
+        {"bbox": [80.0, 120.0, 460.0, 400.0], "kind": "body", "text": "",
+         "runs": [{"text": "Variance is "},
+                  {"math": r"\sigma^2"},
+                  {"text": " over n.", "bold": True},
+                  {"math": "   "}]}]}]}  # blank latex run contributes nothing
+    out = extract_turn(json.dumps(doc), "file_reader")
+    assert out["route"] == "pptx"
+    assert r"Variance is $\sigma^2$" in out["md"]
+    v2 = json.loads(out["content_list_v2"])
+    runs = [r for pg in v2 for b in pg if b["type"] == "paragraph"
+            for r in b["content"]["paragraph_content"]]
+    assert {"content": r"\sigma^2", "type": "equation_inline"} in runs
+    # the styled run after the equation keeps its own styling
+    assert {"content": "over n.", "style": ["bold"], "type": "text"} in runs

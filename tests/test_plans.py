@@ -264,3 +264,14 @@ def test_simhash_adversarial_hot_chunk_bucket_bound(spark):
     max_pair_bucket = max(buckets.values())
     assert max_pair_bucket <= len(docs) / 8, \
         f"pair buckets not bounded: {max_pair_bucket} of {len(docs)}"
+
+
+def test_pii_redact_is_map_only(spark):
+    """The PII scrub is a pure per-row regexp pass: scan → project, no
+    Exchange, no Python — at 100 TB it is bounded by scan throughput."""
+    from mineru_spark.queries import q_pii_redact
+
+    plan = _plan(q_pii_redact(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
