@@ -70,6 +70,10 @@ def main():
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         synthesize_transcripts(spark, n_convs).write \
             .mode("overwrite").parquet(corpus)
+        # flush dirty pages NOW: ~GB of async writeback otherwise
+        # competes with the timed reps' reads (measured 2-3x inflation
+        # on the first post-materialization rep)
+        os.sync()
     src = spark.read.parquet(corpus)
     n_turns = src.count()
     # measured optimum for 10-100 KB payload rows (BENCH/BASELINE.md)
@@ -81,6 +85,10 @@ def main():
     # finalize), exactly what queries()['x_transcripts_extract'] serves —
     # not the cheaper bare extract (round-2 review #3).
     from mineru_spark.pipeline import extract_finalized
+    # full-file page-cache warm (JVM-only column read touches every
+    # parquet byte; limit(2000) alone leaves the tail cold), then a
+    # kernel warm-up for python workers + JIT
+    src.selectExpr("sum(length(text))").collect()
     _force(extract_finalized(src.limit(2000)))
     dt = None
     for _ in range(3):
