@@ -2098,3 +2098,67 @@ ORACLES["q_pii_redact"] = f"""
     FROM base
 """
 RELATIONAL_QUERIES["q_pii_redact"] = q_pii_redact
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-data op): fixed-size overlapping word
+# windows — the step between cleaning and shard packing when a model's
+# context is shorter than a document.
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 64    # words per chunk
+CHUNK_STRIDE = 48   # chunk start stride (overlap = CHUNK_WORDS - stride)
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Split every document into fixed-size overlapping word windows:
+    chunk k starts at word k*CHUNK_STRIDE and takes CHUNK_WORDS words
+    (the last chunk may be shorter).  A chunk is emitted only when it
+    contributes at least one word beyond the previous chunk's coverage
+    (start < n_words - overlap, start 0 always) — no fully-redundant
+    tail windows.
+
+    Scale shape: per-row split + a generator explode over the chunk
+    index sequence — map-only, no shuffle, no Python; output rows
+    ~ corpus_words / stride regardless of document skew (a 1 GB doc
+    becomes many rows, never one fat row)."""
+    ov = CHUNK_WORDS - CHUNK_STRIDE
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("w"))
+    n_chunks = F.expr(
+        f"CASE WHEN size(w) > {ov} THEN "
+        f"1 + CAST((size(w) - {ov} - 1) DIV {CHUNK_STRIDE} AS BIGINT) "
+        "ELSE CAST(1 AS BIGINT) END")
+    return (d.withColumn("chunk_id",
+                         F.explode(F.sequence(F.lit(0).cast("long"),
+                                              n_chunks - 1)))
+            .select("doc_id", "chunk_id",
+                    F.expr(f"slice(w, chunk_id * {CHUNK_STRIDE} + 1, "
+                           f"{CHUNK_WORDS})").alias("cw"))
+            .select("doc_id", "chunk_id",
+                    F.size("cw").cast("long").alias("n_words"),
+                    F.array_join("cw", " ").alias("chunk_text")))
+
+
+ORACLES["q_chunk_docs"] = f"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ), n AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) > {CHUNK_WORDS - CHUNK_STRIDE} THEN
+               1 + (len(w) - {CHUNK_WORDS - CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE}
+             ELSE 1 END AS n_chunks
+      FROM base
+    )
+    SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(w, u.k * {CHUNK_STRIDE} + 1,
+                               u.k * {CHUNK_STRIDE} + {CHUNK_WORDS}))
+                AS BIGINT) AS n_words,
+           array_to_string(list_slice(w, u.k * {CHUNK_STRIDE} + 1,
+                                      u.k * {CHUNK_STRIDE} + {CHUNK_WORDS}),
+                           ' ') AS chunk_text
+    FROM n, UNNEST(range(n.n_chunks)) AS u(k)
+"""
+RELATIONAL_QUERIES["q_chunk_docs"] = q_chunk_docs

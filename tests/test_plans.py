@@ -275,3 +275,14 @@ def test_pii_redact_is_map_only(spark):
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_docs_is_map_only(spark):
+    """Chunking is split + generator explode: no Exchange, no Python —
+    output rows scale with corpus words / stride, never with doc skew."""
+    from mineru_spark.queries import q_chunk_docs
+
+    plan = _plan(q_chunk_docs(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
