@@ -923,17 +923,83 @@ def _gen_chart(rng: random.Random) -> dict:
 
 def _gen_docx(rng: random.Random) -> str:
     paras = []
-    # ~25%: a TOC at the top — entry text + a HIDDEN page-number field run
-    # (the reference drops webHidden runs, docx_converter.py:375-388, and
-    # renders TOC paragraphs as an index block, :1419-1432)
-    if rng.random() < 0.25:
-        for _k in range(rng.randint(3, 5)):
-            paras.append({"style": "TOC",
-                          "runs": [{"text": _sentence(rng, 2, 4).title()},
-                                   {"text": str(rng.randint(1, 40)),
-                                    "hidden": True}]})
-    paras.append({"style": "Heading1",
-                  "runs": [{"text": _sentence(rng, 3, 6).title()}]})
+    head_anchor = None
+    # ~25%: a hierarchical TOC at the top (reference plain-TOC path,
+    # docx_converter.py:3063-3097: per-entry TOC level + bookmark anchor
+    # + tab-separated page number; hidden webHidden runs dropped
+    # :375-388).  Entries exercise base-level normalization, the
+    # text-number level correction (:2870-2891), the page-tail strip and
+    # its negatives (output_builders.py:164-203), uniform-style collapse
+    # (:205-236), plain-text-only TOC hyperlinks (:238-267), and the
+    # anchor-less cover-text guard (:3085-3087).
+    toc_d = rng.random()
+    if toc_d < 0.25:
+        base = rng.randint(0, 1)
+        lvl = base
+        for k in range(rng.randint(3, 6)):
+            ed = rng.random()
+            entry = _sentence(rng, 2, 4).title()
+            runs = []
+            if ed < 0.12 and lvl > base:
+                # multi-level number prefix one step SHALLOWER than the
+                # style level → the text correction pulls it up
+                entry = f"{rng.randint(1, 9)}.{rng.randint(1, 9)} {entry}"
+            if ed < 0.27 and not (ed < 0.12):
+                # uniform-style item: every run shares one style → ONE
+                # marker around the joined text
+                style_key = "italic" if ed < 0.2 else "bold"
+                runs = [{"text": entry, style_key: True},
+                        {"text": _sentence(rng, 1, 2), style_key: True}]
+            elif ed < 0.32:
+                runs = [{"text": entry},
+                        {"math": rng.choice((r"x^2", r"\alpha"))}]
+            elif ed < 0.42:
+                # hyperlink run: TOC keeps the visible text only
+                runs = [{"text": entry,
+                         "link": "https://example.org/ref"}]
+            else:
+                runs = [{"text": entry}]
+            # page tail: visible tab+token (stripped when page-like),
+            # a NON-page tail kept as body, or the legacy hidden run
+            td = rng.random()
+            if td < 0.35:
+                tok = rng.choice((str(rng.randint(1, 99)), "iv", "xii",
+                                  "B"))
+                tgt = runs[-1] if "math" not in runs[-1] else runs[0]
+                tgt["text"] = str(tgt.get("text", "")) + "\t" + tok
+            elif td < 0.45:
+                runs.append({"text": "see\tchapter notes"})
+            elif td < 0.6:
+                runs.append({"text": str(rng.randint(1, 40)),
+                             "hidden": True})
+            anchor = None
+            if k == 0 or rng.random() < 0.7:
+                anchor = f"_Toc{rng.randint(10000000, 99999999)}"
+                if k == 0:
+                    head_anchor = anchor
+            para = {"style": "TOC", "runs": runs, "ilvl": lvl}
+            if anchor:
+                para["anchor"] = anchor
+            paras.append(para)
+            # plausible nesting walk
+            step = rng.random()
+            if step < 0.4 and lvl < base + 2:
+                lvl += 1
+            elif step < 0.6 and lvl > base:
+                lvl -= 1
+    elif toc_d < 0.30:
+        # cover-text guard: TOC-styled, anchor-less, BEFORE any index
+        # entry → must become a plain text paragraph
+        paras.append({"style": "TOC",
+                      "runs": [{"text": _sentence(rng, 3, 6).title()}]})
+    h1 = {"style": "Heading1",
+          "runs": [{"text": _sentence(rng, 3, 6).title()}]}
+    if head_anchor is not None:
+        # the first TOC anchor lands on the heading it targets
+        # (bookmarkStart extraction, docx_converter.py:3017-3042) →
+        # md/content_list/middle all carry the target
+        h1["anchor"] = head_anchor
+    paras.append(h1)
     # one numbering chain id per doc: a later group with the same numId
     # CONTINUES the count across interruptions (reference counter cache,
     # docx_converter.py:96-114)

@@ -223,6 +223,144 @@ def _render_runs(runs: list) -> tuple[str, list[tuple]]:
     return " ".join(parts), records
 
 
+import re as _re
+
+_TOC_ROMAN_RE = _re.compile(r"[ivxlcdm]+", _re.IGNORECASE)
+_TOC_NUM_PREFIX_RE = _re.compile(r"^(\d+(?:\.\d+)+)(?![\d.])")
+_CJK_RE = _re.compile(r"[一-鿿]")
+
+
+def _looks_like_index_page_token(token: str) -> bool:
+    """Page-number shape test for TOC tab tails (reference
+    _looks_like_index_page_token, output_builders.py:164-180): short
+    (≤12), no CJK, and all-digits OR roman numerals OR a single ASCII
+    letter.  Anything else is body content and must NOT be stripped."""
+    token = token.strip()
+    if not token or len(token) > 12:
+        return False
+    if _CJK_RE.search(token):
+        return False
+    if token.isdigit():
+        return True
+    if _TOC_ROMAN_RE.fullmatch(token):
+        return True
+    return len(token) == 1 and token.isalpha() and token.isascii()
+
+
+def _strip_toc_page_tail(runs: list) -> list:
+    """Drop the trailing tab+page-number from a TOC item's runs and turn
+    remaining tabs into spaces (reference _strip_index_page_tail,
+    output_builders.py:182-203): the LAST visible non-math run containing
+    a tab is split at its last tab; the tail is stripped only when it
+    looks like a page token; every other tab in non-math runs becomes a
+    plain space.  Math runs are never touched (the reference skips
+    INLINE_EQUATION spans)."""
+    def _tabbable(r) -> bool:
+        return isinstance(r, dict) and "math" not in r \
+            and not r.get("hidden") and isinstance(r.get("text"), str)
+
+    last = -1
+    for idx, r in enumerate(runs):
+        if _tabbable(r) and "\t" in r["text"]:
+            last = idx
+    strip = False
+    if last >= 0:
+        strip = _looks_like_index_page_token(
+            runs[last]["text"].rsplit("\t", 1)[1])
+    out = []
+    for idx, r in enumerate(runs):
+        if _tabbable(r) and "\t" in r["text"]:
+            t = r["text"]
+            if idx == last and strip:
+                t = t.rsplit("\t", 1)[0]
+            r = {**r, "text": t.replace("\t", " ")}
+        out.append(r)
+    return out
+
+
+def _render_toc_item(runs: list) -> tuple[str, str, list[tuple]]:
+    """One TOC paragraph's runs → (md text, plain text, v2 records).
+
+    Reference _render_index_leaf_item (output_builders.py:269-292):
+    page tail stripped first; hyperlink runs keep their VISIBLE text
+    only (plain_text_only=True — style kept, target dropped); when every
+    non-empty non-math run shares one identical non-empty style tuple
+    the item renders with a SINGLE style wrapper around the joined text
+    (_render_uniform_index_item :220-236 — avoids fragmented ** markers),
+    else per-run like any office paragraph."""
+    stripped = _strip_toc_page_tail(runs)
+    # typed v2 records keep the hyperlink URL — plain_text_only applies
+    # to the RENDERED item, not the span types (the reference's index
+    # leaf block retains its HYPERLINK spans; only _render_mixed_index_item
+    # drops the target at render time)
+    _, records = _render_runs(stripped)
+    cleaned = []
+    for r in stripped:
+        if isinstance(r, dict) and "link" in r and "math" not in r:
+            r = {k: v for k, v in r.items() if k != "link"}
+        cleaned.append(r)
+
+    styles_seen = []
+    for r in cleaned:
+        if not isinstance(r, dict) or r.get("hidden") or "math" in r:
+            continue
+        if emit.normalize_text(str(r.get("text", ""))):
+            styles_seen.append(_run_styles(r))
+    uniform = None
+    if styles_seen and styles_seen[0] \
+            and all(s == styles_seen[0] for s in styles_seen):
+        uniform = styles_seen[0]
+
+    md, _ = _render_runs(cleaned)
+    plain = " ".join(
+        s for s in (emit.normalize_text(str(r.get("text", "")))
+                    for r in cleaned
+                    if isinstance(r, dict) and not r.get("hidden")
+                    and "math" not in r) if s)
+    if uniform:
+        parts = []
+        for r in cleaned:
+            if not isinstance(r, dict) or r.get("hidden"):
+                continue
+            if "math" in r:
+                m = r.get("math")
+                m = m.strip() if isinstance(m, str) else ""
+                if m:
+                    parts.append(f"${m}$")
+                continue
+            t = emit.escape_markdown(emit.normalize_text(
+                str(r.get("text", ""))))
+            if t:
+                parts.append(t)
+        joined = " ".join(parts).strip()
+        if joined:
+            md = _apply_styles(joined, uniform)
+    return md, plain, records
+
+
+def _correct_toc_level_by_text(level: int, plain: str) -> int:
+    """Multi-level section numbers in the item text can only make an
+    over-deep TOC style SHALLOWER (reference _correct_toc_level_by_text,
+    docx_converter.py:2870-2891): '1.2 Foo' has text depth 1, '1.2.3'
+    depth 2; level 0 is never corrected, and single numbers ('3.') never
+    match (the regex needs at least one dot group)."""
+    if level <= 0:
+        return max(0, level)
+    m = _TOC_NUM_PREFIX_RE.match(plain.strip())
+    if m:
+        text_level = m.group(1).count(".")
+        if text_level < level:
+            return text_level
+    return level
+
+
+def _valid_anchor(anchor) -> str | None:
+    if not isinstance(anchor, str):
+        return None
+    a = anchor.strip()
+    return a or None
+
+
 def _table_grid(rows_payload: list):
     """Cell rows → normalized TableGrid via the shared rowspan/colspan
     occupancy algebra (tables.grid_from_rows); None when degenerate."""
@@ -282,11 +420,38 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         pending_imgs = []
 
     def flush_toc():
+        """Consecutive TOC paragraphs → ONE hierarchical index block
+        (reference _add_index_item nesting, docx_converter.py:2892-3015 +
+        the plain-TOC path :3063-3097).  Levels normalize against the
+        FIRST item's ilvl (plain_toc_base_level :3086-3088), then the
+        text-number correction applies; each item renders as
+        '    '*ilevel + '- ' + text with the anchor mounted as an
+        internal [text](#anchor) link (_render_index_leaf_item
+        output_builders.py:269-292, _flatten_index_items :295-307).
+        toc_items carries the structured per-item form for
+        content_list_v2 (ilevel/prefix/anchor, _flatten_list_items_v2
+        :104-136) and middle."""
         nonlocal pending_toc, pending_imgs
         if pending_toc:
-            blocks.append({"type": "index", "text": "\n".join(pending_toc),
+            base = pending_toc[0]["ilvl"]
+            lines: list[str] = []
+            items: list[dict] = []
+            for it in pending_toc:
+                lvl = _correct_toc_level_by_text(
+                    max(0, it["ilvl"] - base), it["plain"])
+                indent = "    " * lvl
+                text = it["md"]
+                if it["anchor"]:
+                    text = f"[{text}](#{_escape_link_url(it['anchor'])})"
+                lines.append(f"{indent}- {text}")
+                rec = {"text": it["md"], "ilevel": lvl,
+                       "prefix": f"{indent}-", "recs": it["recs"]}
+                if it["anchor"]:
+                    rec["anchor"] = it["anchor"]
+                items.append(rec)
+            blocks.append({"type": "index", "text": "\n".join(lines),
                            "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
-                           "pre_rendered": True})
+                           "pre_rendered": True, "toc_items": items})
             pending_toc = []
             blocks.extend(pending_imgs)
             pending_imgs = []
@@ -397,6 +562,33 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 tables_parsed += 1
             continue
         runs_payload = p.get("runs") or []
+        if style == "TOC":
+            anchor = _valid_anchor(p.get("anchor"))
+            if anchor is not None or pending_toc:
+                # the cover-text guard (reference :3085-3087): an
+                # anchor-less TOC-styled paragraph BEFORE any index
+                # entry is body text reusing the style, not a TOC item —
+                # it falls through to the Normal path below; once the
+                # sequence has started, anchor-less entries are allowed
+                md_item, plain_item, recs_item = \
+                    _render_toc_item(runs_payload)
+                imgs = image_blocks(runs_payload)
+                if md_item:
+                    flush_list()
+                    ilvl = p.get("ilvl")
+                    if not isinstance(ilvl, int) or isinstance(ilvl, bool):
+                        ilvl = 0
+                    pending_toc.append({"md": md_item, "plain": plain_item,
+                                        "recs": recs_item,
+                                        "ilvl": max(0, min(8, ilvl)),
+                                        "anchor": anchor})
+                    pending_imgs.extend(imgs)
+                elif imgs:
+                    pending_imgs.extend(imgs)
+                # empty item is consumed without breaking the sequence
+                # (reference `if not text: return True`)
+                continue
+            style = "Normal"
         text, recs = _render_runs(runs_payload)
         imgs = image_blocks(runs_payload)
         if not text:
@@ -404,11 +596,6 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 flush_list()
                 flush_toc()
                 blocks.extend(imgs)
-            continue
-        if style == "TOC":
-            flush_list()
-            pending_toc.append(text)
-            pending_imgs.extend(imgs)
             continue
         flush_toc()
         if style == "ListParagraph":
@@ -430,18 +617,30 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             pending_imgs.extend(imgs)
             continue
         flush_list()
+        # bookmark anchors ride title/text blocks (reference
+        # _extract_paragraph_bookmark, docx_converter.py:3017-3042: TOC
+        # link targets land on the heading/paragraph they mark; md/
+        # content_list/middle all carry them — output_builders.py:
+        # 360-366/:374-377/:546-549)
+        anchor = _valid_anchor(p.get("anchor"))
         if style in _STYLE_HEADING:
-            blocks.append({"type": "title", "text": text, "page_idx": 0,
-                           "bbox": [0, 0, 0, 0],
-                           "level": _STYLE_HEADING[style],
-                           "pre_rendered": True, "_runs": recs})
+            blk = {"type": "title", "text": text, "page_idx": 0,
+                   "bbox": [0, 0, 0, 0],
+                   "level": _STYLE_HEADING[style],
+                   "pre_rendered": True, "_runs": recs}
+            if anchor:
+                blk["anchor"] = anchor
+            blocks.append(blk)
         elif style == "Code":
             blocks.append({"type": "code", "text": text, "page_idx": 0,
                            "bbox": [0, 0, 0, 0], "level": 1})
         else:
-            blocks.append({"type": "text", "text": text, "page_idx": 0,
-                           "bbox": [0, 0, 0, 0], "level": 1,
-                           "pre_rendered": True, "_runs": recs})
+            blk = {"type": "text", "text": text, "page_idx": 0,
+                   "bbox": [0, 0, 0, 0], "level": 1,
+                   "pre_rendered": True, "_runs": recs}
+            if anchor:
+                blk["anchor"] = anchor
+            blocks.append(blk)
         blocks.extend(imgs)
     flush_list()
     flush_toc()

@@ -227,8 +227,17 @@ def render_block(b: dict) -> str:
     if b.get("pre_rendered"):
         # run-level renderers (docx styled runs) escape inline; don't
         # double-escape here
+        anchor = b.get("anchor")
+        anchor = anchor.strip() if isinstance(anchor, str) else ""
         if t == "title":
-            return "#" * max(1, b.get("level", 1)) + " " + text
+            # bookmark anchor target precedes the heading (reference
+            # output_builders.py:374-377: any title anchor renders an
+            # <a id> line; text blocks render one only for _Toc-prefixed
+            # anchors, :360-366)
+            head = "#" * max(1, b.get("level", 1)) + " " + text
+            return f'<a id="{anchor}"></a>\n{head}' if anchor else head
+        if t == "text" and anchor.startswith("_Toc"):
+            return f'<a id="{anchor}"></a>\n{text}'
         if t == "list":
             if b.get("items_marked"):
                 # items already carry their markers (docx numbering chains:

@@ -149,10 +149,22 @@ def _content_list_json(blocks: list[dict]) -> str:
         elif b["type"] == "code":
             item["text"] = b["text"]
             item["code_language"] = b.get("lang", "")
+        elif b["type"] == "index" and b.get("toc_items") is not None:
+            # hierarchical TOC: rendered indented item strings (reference
+            # make_blocks_to_content_list INDEX branch,
+            # output_builders.py:454-458 `_flatten_index_items` — anchors
+            # are already mounted as [text](#anchor) links)
+            item["list_items"] = [ln for ln in b["text"].split("\n")
+                                  if ln.strip()]
         else:
             item["text"] = emit.normalize_text(b["text"])
             if b["type"] == "title":
                 item["text_level"] = b.get("level", 1)
+        anchor = b.get("anchor")
+        if isinstance(anchor, str) and anchor.strip():
+            # bookmark anchor rides every para_content shape (reference
+            # output_builders.py:546-549)
+            item["anchor"] = anchor.strip()
         items.append(item)
     return json.dumps(items, ensure_ascii=False, sort_keys=True,
                       separators=(",", ":"))
@@ -275,8 +287,25 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                                 "code_footnote": [],
                                 "code_language": b.get("lang", "") or "txt"}}
         elif t in ("list", "index"):
-            items = [{"item_type": "text", "item_content": runs(it)}
-                     for it in text.split("\n") if it.strip()]
+            if t == "index" and b.get("toc_items") is not None:
+                # hierarchical TOC items (reference v2 INDEX branch,
+                # output_builders.py:658-665 via _flatten_list_items_v2
+                # :104-136): ilevel + '    '*ilevel prefix + typed run
+                # content + optional anchor per item
+                items = []
+                for ti in b["toc_items"]:
+                    rec = {"item_type": "text",
+                           "ilevel": ti["ilevel"],
+                           "prefix": ti["prefix"],
+                           "item_content":
+                               runs_from_records(ti.get("recs") or [])
+                               or runs(ti["text"])}
+                    if ti.get("anchor"):
+                        rec["anchor"] = ti["anchor"]
+                    items.append(rec)
+            else:
+                items = [{"item_type": "text", "item_content": runs(it)}
+                         for it in text.split("\n") if it.strip()]
             if t == "list":
                 item = {"type": "list",
                         "content": {"list_type": "text_list",
@@ -302,6 +331,11 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
         else:
             item = {"type": "paragraph",
                     "content": {"paragraph_content": blk_runs or runs(text)}}
+        anchor = b.get("anchor")
+        if isinstance(anchor, str) and anchor.strip():
+            # v2 anchor rides the top-level block dict (reference
+            # output_builders.py:667-669)
+            item["anchor"] = anchor.strip()
         item["bbox"] = [int(v) for v in b["bbox"]]
         pages.setdefault(b["page_idx"], []).append(item)
     out = [pages[p] for p in sorted(pages)]
@@ -338,6 +372,19 @@ def _middle_json(blocks: list[dict], route: str) -> str:
                                 for f in b.get("footnote", [])]
         else:
             item["text"] = b["text"]
+            if b.get("toc_items") is not None:
+                # middle keeps the STRUCTURED index form — per-item
+                # ilevel/anchor with the item text unlinked (the
+                # reference middle holds the nested index block tree,
+                # _add_index_item docx_converter.py:2892-3015; links are
+                # mounted at output time only)
+                item["items"] = [
+                    {"text": ti["text"], "ilevel": ti["ilevel"],
+                     **({"anchor": ti["anchor"]} if ti.get("anchor")
+                        else {})}
+                    for ti in b["toc_items"]]
+            if b.get("anchor"):
+                item["anchor"] = b["anchor"]
             if b.get("lang"):
                 item["lang"] = b["lang"]
             if b.get("cross_page"):

@@ -1219,8 +1219,8 @@ def test_docx_numbering_chain_toc_omml():
     (:1419-1432), OMML runs render as inline math (:1237)."""
     from mineru_spark.kernels.docx import extract_docx
     p = {"paras": [
-        {"style": "TOC", "runs": [{"text": "Intro"},
-                                  {"text": "3", "hidden": True}]},
+        {"style": "TOC", "anchor": "_Toc10000001",
+         "runs": [{"text": "Intro"}, {"text": "3", "hidden": True}]},
         {"style": "ListParagraph", "num": {"id": 5, "ilvl": 0,
                                            "ordered": True},
          "runs": [{"text": "one"}]},
@@ -1235,7 +1235,8 @@ def test_docx_numbering_chain_toc_omml():
     ]}
     blocks, _ = extract_docx(p)
     assert [b["type"] for b in blocks] == ["index", "list", "text", "list"]
-    assert blocks[0]["text"] == "Intro"          # hidden page number gone
+    # hidden page number gone; the anchor mounts as an internal link
+    assert blocks[0]["text"] == "- [Intro](#_Toc10000001)"
     assert blocks[1]["text"] == "1. one\n  1. sub"
     assert "$E=mc^2$" in blocks[2]["text"]
     assert blocks[3]["text"] == "2. two continues"  # chain continued
@@ -2103,6 +2104,79 @@ def test_docx_textbox_inline_sorted_deduped():
                      "other box", "after"]
     assert out["md"].index("high box") < out["md"].index("low box") \
         < out["md"].index("unpositioned") < out["md"].index("other box")
+
+
+def test_docx_hierarchical_toc_index():
+    """Hierarchical TOC (reference plain-TOC path docx_converter.py:
+    3063-3097 + _add_index_item :2892-3015 + index rendering
+    output_builders.py:164-307): base-level normalization, text-number
+    level correction, page-tail strip (digits/roman/letter stripped,
+    body tails kept, tabs→spaces), uniform-style collapse, TOC
+    hyperlinks render visible text only, anchors mount as internal
+    links, the anchor-less cover guard, and the bookmark target on the
+    heading (md <a id> line + content_list/middle anchor fields)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "docx_runs", "paras": [
+        # cover guard: anchor-less TOC before any entry → plain text
+        {"style": "TOC", "runs": [{"text": "Cover Line"}]},
+        {"style": "TOC", "ilvl": 1, "anchor": "_Toc11111111",
+         "runs": [{"text": "Introduction\t3"}]},
+        # ilvl 3 → norm 2, but text depth "4.1" = 1 → corrected to 1
+        {"style": "TOC", "ilvl": 3,
+         "runs": [{"text": "4.1 Scope\tiv"}]},
+        # uniform italic split runs → ONE marker; letter page stripped
+        {"style": "TOC", "ilvl": 2, "anchor": "_Toc22222222",
+         "runs": [{"text": "Details", "italic": True},
+                  {"text": "of work\tB", "italic": True}]},
+        # non-page tail after the tab is BODY: kept, tab → space
+        {"style": "TOC", "ilvl": 1,
+         "runs": [{"text": "Methods"}, {"text": "see\tchapter notes"}]},
+        # hyperlink keeps visible text in the rendered item, url in v2
+        {"style": "TOC", "ilvl": 1,
+         "runs": [{"text": "Linked entry", "link": "https://e.org/x"}]},
+        {"style": "Heading1", "anchor": "_Toc11111111",
+         "runs": [{"text": "Introduction"}]},
+    ]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    assert out["route"] == "docx"
+    assert ("Cover Line\n\n"
+            "- [Introduction](#_Toc11111111)\n"
+            "    - 4.1 Scope\n"
+            "    - [*Details of work*](#_Toc22222222)\n"
+            "- Methods see chapter notes\n"
+            "- Linked entry\n\n"
+            '<a id="_Toc11111111"></a>\n# Introduction') == out["md"]
+    cl = json.loads(out["content_list"])
+    idx = next(b for b in cl if b["type"] == "index")
+    assert idx["list_items"] == [
+        "- [Introduction](#_Toc11111111)",
+        "    - 4.1 Scope",
+        "    - [*Details of work*](#_Toc22222222)",
+        "- Methods see chapter notes",
+        "- Linked entry"]
+    title = next(b for b in cl if b["type"] == "title")
+    assert title["anchor"] == "_Toc11111111"
+    v2 = json.loads(out["content_list_v2"])
+    items = next(b for b in v2[0]
+                 if b["type"] == "index")["content"]["list_items"]
+    assert [it["ilevel"] for it in items] == [0, 1, 1, 0, 0]
+    assert items[0]["prefix"] == "-" and items[1]["prefix"] == "    -"
+    assert items[0]["anchor"] == "_Toc11111111"
+    assert "anchor" not in items[3]
+    # v2 keeps the typed hyperlink run with its url
+    assert items[4]["item_content"] == [
+        {"content": "Linked entry", "type": "hyperlink",
+         "url": "https://e.org/x"}]
+    mid = json.loads(out["middle"])
+    paras = mid["pdf_info"][0]["para_blocks"]
+    m_idx = next(b for b in paras if b["type"] == "index")
+    assert m_idx["items"][0] == {"text": "Introduction", "ilevel": 0,
+                                 "anchor": "_Toc11111111"}
+    m_title = next(b for b in paras if b["type"] == "title")
+    assert m_title["anchor"] == "_Toc11111111"
 
 
 def test_xlsx_cell_anchored_images():

@@ -234,7 +234,11 @@ def test_docx_runs_fuzz_never_raises(runs):
     blocks, metrics = extract_docx({"paras": [
         {"style": "Normal", "runs": runs},
         {"style": "ListParagraph", "runs": runs},
-        {"style": "TOC", "runs": runs}]})
+        {"style": "TOC", "runs": runs},
+        # anchored TOC drives the hierarchical index path (tab strip,
+        # uniform-style collapse, link-to-plain) over hostile runs
+        {"style": "TOC", "runs": runs, "anchor": "_Toc1", "ilvl": 1},
+        {"style": "TOC", "runs": runs, "anchor": 7, "ilvl": True}]})
     assert all("type" in b for b in blocks)
 
 
