@@ -2162,3 +2162,185 @@ ORACLES["q_chunk_docs"] = f"""
     FROM n, UNNEST(range(n.n_chunks)) AS u(k)
 """
 RELATIONAL_QUERIES["q_chunk_docs"] = q_chunk_docs
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based quality filtering (training-data op): a fastText-style
+# linear model over hashed bag-of-words features — the CCNet/fastText
+# quality-filter shape with a deterministic weight table so both engines
+# score bit-identically (no model file: weight = integer hash chain).
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 4096      # hashed feature space |V|
+QC_MIX = 2654435761    # Knuth multiplicative constant for the weight chain
+QC_WMOD = 8191         # weight range modulus → weights in [-4095, 4095]
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality score per document: each token hashes into
+    one of QC_BUCKETS buckets (md5 first 8 hex), the bucket maps to a
+    deterministic pseudo-weight ((bucket*QC_MIX) % QC_WMOD - (QC_WMOD-1)/2),
+    and the document scores the MEAN weight normalized to [-1, 1]
+    (sum/n/4095).  quality_pass is the >= 0 decision — the shape of a
+    fastText quality classifier head (score = w·x/|x|) with the learned
+    table replaced by a hash chain both engines reproduce exactly.
+
+    Scale shape: ONE aggregate() expression per row — map-only, no
+    shuffle, no Python, integer arithmetic until the final division
+    (bit-stable across engines and partitionings); at 100 TB this is a
+    scan-bound pass like the PII redactor."""
+    w_expr = (f"((CAST(conv(substring(md5(w),1,8),16,10) AS BIGINT) "
+              f"% {QC_BUCKETS}) * {QC_MIX}) % {QC_WMOD} - {(QC_WMOD - 1) // 2}")
+    toks = "filter(split(trim(text), ' +'), w -> w != '')"
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"aggregate({toks}, CAST(0 AS BIGINT), "
+               f"(acc, w) -> acc + {w_expr})").alias("_ws"))
+        .select(
+        "doc_id", "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("_ws").cast("double") / F.col("n_tokens")
+                       / ((QC_WMOD - 1) / 2), 6))
+        .otherwise(F.lit(0.0)).alias("quality_score"))
+        .withColumn("quality_pass", F.col("quality_score") >= 0))
+
+
+ORACLES["q_quality_classifier"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), ' +'),
+                         w -> w != '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             COALESCE(list_sum(list_transform(toks,
+               w -> ((CAST(('0x' || substr(md5(w),1,8)) AS BIGINT)
+                      % {QC_BUCKETS}) * {QC_MIX}) % {QC_WMOD}
+                     - {(QC_WMOD - 1) // 2})), 0) AS ws
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             ROUND((CAST(ws AS DOUBLE) / n_tokens)
+                   / {(QC_WMOD - 1) // 2}, 6)
+           ELSE 0.0 END AS quality_score,
+           (CASE WHEN n_tokens > 0 THEN
+             ROUND((CAST(ws AS DOUBLE) / n_tokens)
+                   / {(QC_WMOD - 1) // 2}, 6)
+           ELSE 0.0 END) >= 0 AS quality_pass
+    FROM s
+"""
+RELATIONAL_QUERIES["q_quality_classifier"] = q_quality_classifier
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights (training-data op): inverse-sqrt temperature
+# resampling over sources — upweight small domains, downweight dominant
+# ones (the multilingual/multi-source mixture-balancing step before
+# shard packing).  sqrt is IEEE-exact in both engines and the decimal
+# denominator sum is partition-order independent, so the weights gate
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q_domain_mix(spark, sf_dir):
+    """Per-source sampling weights: w_s = sqrt(c_s) / Σ sqrt(c), and the
+    per-document oversample factor w_s * N / c_s (how many times each
+    doc of that source is drawn when sampling N documents from the
+    mixture).  α=0.5 temperature: dominant sources shrink, rare sources
+    grow, ordering preserved.
+
+    Scale shape: one partial+final count per source (tiny result ∝
+    #sources), denominator as a decimal window sum over that tiny frame
+    — exact, order-independent — then per-row doubles.  No data-sized
+    shuffle beyond the count agg; at 100 TB the agg is the only pass."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sq = F.expr("CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,12))")
+    win = W.partitionBy()
+    return (counts
+            .withColumn("_sq", sq)
+            .withColumn("_den", F.sum("_sq").over(win))
+            .withColumn("_tot", F.sum("n_docs").over(win))
+            .select(
+                "source", "n_docs", "_tot",
+                F.round(F.col("_sq").cast("double")
+                        / F.col("_den").cast("double"), 6)
+                .alias("mix_weight"))
+            .withColumn("sample_factor",
+                        F.round(F.col("mix_weight") * F.col("_tot")
+                                / F.col("n_docs"), 6))
+            .drop("_tot"))
+
+
+ORACLES["q_domain_mix"] = """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n_docs,
+             CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,12)) AS sq
+      FROM c
+    ), den AS (
+      SELECT SUM(sq) AS d, SUM(n_docs) AS tot FROM s
+    )
+    SELECT source, n_docs,
+           ROUND(CAST(sq AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mix_weight,
+           ROUND(ROUND(CAST(sq AS DOUBLE) / CAST(d AS DOUBLE), 6)
+                 * tot / n_docs, 6) AS sample_factor
+    FROM s, den
+"""
+RELATIONAL_QUERIES["q_domain_mix"] = q_domain_mix
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate n-grams (training-data op): the most frequent
+# word trigrams across the corpus — template/boilerplate detection that
+# feeds removal rules (the Dolma/C4-style repeated-line analysis at
+# n-gram granularity).
+# ---------------------------------------------------------------------------
+
+TOP_NGRAMS_K = 20
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Top-K corpus trigrams by total occurrence count (ties broken by
+    gram text) with their document frequency.
+
+    Scale shape: per-row trigram explode → ONE partial+final count agg
+    keyed by gram (map-side combine absorbs the heavy hitters — the
+    hottest gram produces one partial row per task, not a shuffle of
+    every occurrence); doc frequency via count(DISTINCT doc_id) inside
+    the same grouping (Spark expands to a two-phase agg).  Final top-K
+    is a K-row sort.  Survives 100 TB: both aggs are linear scans with
+    combiners, nothing collects."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("w"))
+    grams = (d.filter(F.size("w") >= 3)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(0, size(w)-3), "
+                 "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+                 .alias("gram")))
+    return (grams.groupBy("gram")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+            .limit(TOP_NGRAMS_K))
+
+
+ORACLES["q_top_ngrams"] = f"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+      FROM ws CROSS JOIN generate_series(0, 8191) t(i)
+      WHERE len(w) >= 3 AND i <= len(w) - 3
+    )
+    SELECT gram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT {TOP_NGRAMS_K}
+"""
+RELATIONAL_QUERIES["q_top_ngrams"] = q_top_ngrams

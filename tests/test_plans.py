@@ -286,3 +286,25 @@ def test_chunk_docs_is_map_only(spark):
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """The hashed linear scorer is ONE aggregate() expression per row:
+    scan → project, no Exchange, no Python — scan-bound at 100 TB."""
+    from mineru_spark.queries import q_quality_classifier
+
+    plan = _plan(q_quality_classifier(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_top_ngrams_has_partial_agg(spark):
+    """Corpus trigram counting must combine map-side: the explode feeds
+    partial_count (one row per gram per task crosses the wire, not one
+    per occurrence), and nothing Python touches the hot path."""
+    from mineru_spark.queries import q_top_ngrams
+
+    plan = _plan(q_top_ngrams(spark, SF))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
