@@ -2344,3 +2344,92 @@ ORACLES["q_top_ngrams"] = f"""
     LIMIT {TOP_NGRAMS_K}
 """
 RELATIONAL_QUERIES["q_top_ngrams"] = q_top_ngrams
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (training-data op): the per-document
+# dedup decision metric of Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better") — a document's fraction of k-word
+# windows whose exact text occurs more than once in the corpus.  Docs
+# above a threshold are dropped (or the spans cut); here we emit the
+# per-doc metric + decision.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 16        # window length in words (ref uses 50 BPE tokens)
+DUP_SPAN_DROP = 0.5    # drop decision threshold on the duplicated fraction
+
+
+def q_dup_spans(spark, sf_dir):
+    """Per-document exact-substring duplication: explode every k-word
+    window, key it by md5 (16-hex prefix — 64 bits, collision-free at
+    any realistic corpus), count corpus-wide occurrences per key, and
+    score each doc by the fraction of its windows occurring >1 time.
+
+    Scale shape: explode ∝ total words; ONE partial+final count agg
+    keyed by the 16-char hash (map-side combine absorbs boilerplate
+    heavy hitters — the hottest window ships one partial row per task);
+    the join back is a narrow equi-join on the same key (hot keys =
+    AQE skew-split territory, rows stay (doc_id, hash)-thin); final
+    per-doc agg is a second combiner pass.  Docs shorter than k words
+    re-enter via a left join with zero spans.  No Python, no window-
+    over-explode (a window would sort each hash partition for nothing).
+    """
+    k = DUP_SPAN_K
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(trim(text), ' +'), w -> w != '')")
+        .alias("w"))
+    grams = (d.filter(F.size("w") >= k)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, size(w)-{k}+1), "
+                 f"i -> substring(md5(array_join(slice(w, i, {k}), ' ')),"
+                 f" 1, 16))")).alias("gh")))
+    occ = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
+    per_doc = (grams.join(occ, "gh")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum((F.col("n_occ") > 1).cast("long"))
+                    .alias("dup_spans")))
+    return (d.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"))
+            .withColumn("dup_frac",
+                        F.when(F.col("n_spans") > 0,
+                               F.round(F.col("dup_spans").cast("double")
+                                       / F.col("n_spans"), 6))
+                        .otherwise(F.lit(0.0)))
+            .withColumn("drop_doc", F.col("dup_frac") >= DUP_SPAN_DROP))
+
+
+ORACLES["q_dup_spans"] = f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), ' +'),
+                         w -> w != '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(list_slice(w, i, i+{DUP_SPAN_K}-1),
+                                        ' ')), 1, 16) AS gh
+      FROM ws CROSS JOIN generate_series(1, 8192) t(i)
+      WHERE len(w) >= {DUP_SPAN_K} AND i <= len(w) - {DUP_SPAN_K} + 1
+    ), occ AS (
+      SELECT gh, COUNT(*) AS n_occ FROM g GROUP BY gh
+    ), pd AS (
+      SELECT g.doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END) AS dup_spans
+      FROM g JOIN occ USING (gh) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_spans, 0) AS n_spans,
+           COALESCE(pd.dup_spans, 0) AS dup_spans,
+           CASE WHEN COALESCE(pd.n_spans, 0) > 0 THEN
+             ROUND(CAST(pd.dup_spans AS DOUBLE) / pd.n_spans, 6)
+           ELSE 0.0 END AS dup_frac,
+           (CASE WHEN COALESCE(pd.n_spans, 0) > 0 THEN
+             ROUND(CAST(pd.dup_spans AS DOUBLE) / pd.n_spans, 6)
+           ELSE 0.0 END) >= {DUP_SPAN_DROP} AS drop_doc
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+RELATIONAL_QUERIES["q_dup_spans"] = q_dup_spans

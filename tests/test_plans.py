@@ -308,3 +308,40 @@ def test_top_ngrams_has_partial_agg(spark):
     plan = _plan(q_top_ngrams(spark, SF))
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dup_spans_partial_overlap_and_plan(spark, tmp_path):
+    """A doc sharing only PART of another doc's text gets a fractional
+    dup_frac (the Lee-et-al decision metric), and the plan is two
+    combiner aggs + an equi-join — no Python, no window-over-explode."""
+    from mineru_spark.queries import DUP_SPAN_K, q_dup_spans
+
+    k = DUP_SPAN_K
+    shared = " ".join(f"s{i}" for i in range(k + 4))   # k+4 words → 5 windows
+    uniq_a = " ".join(f"a{i}" for i in range(k))       # k words → 1 window
+    uniq_b = " ".join(f"b{i}" for i in range(k + 14))
+    rows = [
+        (1, shared + " " + uniq_a),   # 2k+4 words → k+5 windows, 5+k dup? no:
+        (2, shared),                  # exactly the 5 shared windows, all dup
+        (3, uniq_b),                  # 15 windows, none dup
+        (4, "too short"),             # < k words → 0 spans, frac 0.0
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r.asDict()
+           for r in q_dup_spans(spark, sf).collect()}
+    # doc 2: every one of its 5 windows also occurs in doc 1 → frac 1.0
+    assert got[2]["n_spans"] == 5 and got[2]["dup_frac"] == 1.0
+    assert got[2]["drop_doc"] is True
+    # doc 1: k+5+4 windows total (2k+4 words), only the 5 pure-shared
+    # windows duplicate (windows straddling shared→uniq_a are unique)
+    assert got[1]["n_spans"] == (2 * k + 4) - k + 1
+    assert got[1]["dup_spans"] == 5 and 0.0 < got[1]["dup_frac"] < 0.5
+    assert got[1]["drop_doc"] is False
+    assert got[3]["dup_spans"] == 0 and got[3]["drop_doc"] is False
+    assert got[4]["n_spans"] == 0 and got[4]["dup_frac"] == 0.0
+
+    plan = _plan(q_dup_spans(spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
