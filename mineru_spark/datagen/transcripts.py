@@ -1176,6 +1176,36 @@ def _gen_docx(rng: random.Random) -> str:
                          "footers": [{"variant": "default",
                                       "paras": fparas}]})
         doc["hf_sections"] = secs
+    # ~18%: SECTION BREAKS paginate the doc (reference _start_new_page
+    # docx_converter.py:722-724, call sites :1393-1398/:1419-1424/
+    # :1597-1598; layout-only guard :726-755).  Cases: empty-para break
+    # (before), text-para section end (after), layout-only continuous
+    # (no break), continuous with non-zero margins (breaks).
+    sbd = rng.random()
+    if sbd < 0.18 and len(paras) >= 3:
+        n_breaks = 1 if rng.random() < 0.7 else 2
+        for _b in range(n_breaks):
+            pos = rng.randint(1, len(paras) - 1)
+            bd = rng.random()
+            if bd < 0.35:
+                paras.insert(pos, {"style": "Normal", "runs": [],
+                                   "sect": {"type": "nextPage"}})
+            elif bd < 0.5:
+                # layout-only: continuous + all-zero margins → NO break
+                paras.insert(pos, {"style": "Normal", "runs": [],
+                                   "sect": {"type": "continuous",
+                                            "pg_mar_zero": True}})
+            elif bd < 0.62:
+                # continuous but margins not all-zero → still breaks
+                paras.insert(pos, {"style": "Normal", "runs": [],
+                                   "sect": {"type": "continuous",
+                                            "pg_mar_zero": False}})
+            else:
+                # section end rides a TEXT paragraph → break AFTER it
+                paras.insert(pos, {"style": "Normal",
+                                   "runs": [{"text":
+                                             _sentence(rng, 3, 6) + "."}],
+                                   "sect": {"type": "nextPage"}})
     return json.dumps(doc, ensure_ascii=False)
 
 

@@ -14,6 +14,8 @@ of styled paragraphs with inline runs:
         {"style": "Heading1"|"Heading2"|"Normal"|"ListParagraph"|"Code"
                   |"TOC",
          "num": {"id": int, "ilvl": int, "ordered": bool},   # optional
+         "sect": {"type": "nextPage"|"continuous"|...,       # optional:
+                  "pg_mar_zero": bool},  # sectPr → page break (see loop)
          "runs": [{"text": "...", "bold": false, "italic": false,
                    "underline": false, "strikethrough": false,
                    "script": "super"|"sub"?, "hidden": false,
@@ -405,17 +407,30 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     # per-(numId, ilvl) counters survive list interruptions (Word
     # continues numbering within a numId; reference cache :101)
     counters: dict[tuple, int] = {}
+    # current page index: SECTION BREAKS paginate the document
+    # (reference _start_new_page docx_converter.py:722-724; call sites
+    # :1393-1398 break-before on an empty paragraph / :1419-1424 TOC
+    # section-end / :1597-1598 break-after a text paragraph).  A
+    # layout-only section break (empty para, no picture, type=continuous,
+    # all-zero page margins — _is_layout_only_section_break :726-755)
+    # does NOT paginate.  List/index blocks cannot span pages in the
+    # block model, so the active group flushes at the boundary; a page
+    # left empty produces no page_info entry (blocks keep true indices).
+    pg = [0]
 
     def flush_list():
         nonlocal pending_items, pending_numid, pending_imgs
         if pending_items:
             blocks.append({"type": "list", "text": "\n".join(pending_items),
-                           "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
+                           "page_idx": pg[0], "bbox": [0, 0, 0, 0],
+                           "level": 1,
                            "pre_rendered": True, "items_marked": True,
                            "attribute": "ordered" if pending_ordered
                            else "unordered"})
             pending_items = []
             pending_numid = None
+        for b in pending_imgs:
+            b["page_idx"] = pg[0]
         blocks.extend(pending_imgs)
         pending_imgs = []
 
@@ -450,9 +465,12 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                     rec["anchor"] = it["anchor"]
                 items.append(rec)
             blocks.append({"type": "index", "text": "\n".join(lines),
-                           "page_idx": 0, "bbox": [0, 0, 0, 0], "level": 1,
+                           "page_idx": pg[0], "bbox": [0, 0, 0, 0],
+                           "level": 1,
                            "pre_rendered": True, "toc_items": items})
             pending_toc = []
+            for b in pending_imgs:
+                b["page_idx"] = pg[0]
             blocks.extend(pending_imgs)
             pending_imgs = []
 
@@ -482,6 +500,16 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 out.append(blk)
         return out
 
+    def emit_blocks(lst: list[dict]) -> None:
+        for b in lst:
+            b["page_idx"] = pg[0]
+        blocks.extend(lst)
+
+    def end_section() -> None:
+        flush_list()
+        flush_toc()
+        pg[0] += 1
+
     for p in paras:
         if not isinstance(p, dict):
             continue
@@ -501,7 +529,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 from . import charts
                 blocks.append({"type": "chart",
                                "text": charts.chart_to_html(spec),
-                               "page_idx": 0, "bbox": [0, 0, 0, 0],
+                               "page_idx": pg[0], "bbox": [0, 0, 0, 0],
                                "level": 1})
             continue
         if style == "Textbox":
@@ -545,7 +573,8 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                         continue  # duplicate content+position skipped
                     seen_tb.add(key)
                     blocks.append({"type": "text", "text": ttext,
-                                   "page_idx": 0, "bbox": [0, 0, 0, 0],
+                                   "page_idx": pg[0],
+                                   "bbox": [0, 0, 0, 0],
                                    "level": 1, "pre_rendered": True,
                                    "_runs": trecs})
             continue
@@ -557,11 +586,34 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 from . import tables as tbl
                 blocks.append({"type": "table",
                                "text": tbl.render_table_html(grid),
-                               "page_idx": 0, "bbox": [0, 0, 0, 0],
+                               "page_idx": pg[0], "bbox": [0, 0, 0, 0],
                                "level": 1})
                 tables_parsed += 1
             continue
         runs_payload = p.get("runs") or []
+        # section-break pagination (reference _handle_text_elements
+        # :1389-1398): a paragraph carrying a sectPr that is not
+        # layout-only starts a new page — BEFORE the paragraph when its
+        # raw text is empty, AFTER its block otherwise (is_section_end,
+        # :1597-1598).  Layout-only (:726-755) = no text, no picture,
+        # type=continuous AND all-zero page margins (payload carries the
+        # post-XML decision inputs: {"type": str, "pg_mar_zero": bool}).
+        sect = p.get("sect") if isinstance(p.get("sect"), dict) else None
+        sect_end = False
+        if sect is not None and isinstance(runs_payload, list):
+            raw = "".join(str(r.get("text", "")) for r in runs_payload
+                          if isinstance(r, dict))
+            has_img = any(isinstance(r, dict) and "image" in r
+                          for r in runs_payload)
+            layout_only = (not raw.strip() and not has_img
+                           and str(sect.get("type", "continuous"))
+                           == "continuous"
+                           and sect.get("pg_mar_zero") is True)
+            if not layout_only:
+                if raw.strip():
+                    sect_end = True
+                else:
+                    end_section()
         if style == "TOC":
             anchor = _valid_anchor(p.get("anchor"))
             if anchor is not None or pending_toc:
@@ -587,6 +639,10 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                     pending_imgs.extend(imgs)
                 # empty item is consumed without breaking the sequence
                 # (reference `if not text: return True`)
+                if sect_end:
+                    # TOC paragraphs keep end-of-paragraph section-break
+                    # semantics (reference :1419-1424)
+                    end_section()
                 continue
             style = "Normal"
         text, recs = _render_runs(runs_payload)
@@ -595,7 +651,9 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             if imgs:
                 flush_list()
                 flush_toc()
-                blocks.extend(imgs)
+                emit_blocks(imgs)
+            if sect_end:
+                end_section()
             continue
         flush_toc()
         if style == "ListParagraph":
@@ -615,6 +673,8 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             else:
                 pending_items.append(f"{indent}- {text}")
             pending_imgs.extend(imgs)
+            if sect_end:
+                end_section()
             continue
         flush_list()
         # bookmark anchors ride title/text blocks (reference
@@ -624,7 +684,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         # 360-366/:374-377/:546-549)
         anchor = _valid_anchor(p.get("anchor"))
         if style in _STYLE_HEADING:
-            blk = {"type": "title", "text": text, "page_idx": 0,
+            blk = {"type": "title", "text": text, "page_idx": pg[0],
                    "bbox": [0, 0, 0, 0],
                    "level": _STYLE_HEADING[style],
                    "pre_rendered": True, "_runs": recs}
@@ -632,16 +692,19 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 blk["anchor"] = anchor
             blocks.append(blk)
         elif style == "Code":
-            blocks.append({"type": "code", "text": text, "page_idx": 0,
+            blocks.append({"type": "code", "text": text,
+                           "page_idx": pg[0],
                            "bbox": [0, 0, 0, 0], "level": 1})
         else:
-            blk = {"type": "text", "text": text, "page_idx": 0,
+            blk = {"type": "text", "text": text, "page_idx": pg[0],
                    "bbox": [0, 0, 0, 0], "level": 1,
                    "pre_rendered": True, "_runs": recs}
             if anchor:
                 blk["anchor"] = anchor
             blocks.append(blk)
-        blocks.extend(imgs)
+        emit_blocks(imgs)
+        if sect_end:
+            end_section()
     flush_list()
     flush_toc()
     discarded = _header_footer_blocks(payload)

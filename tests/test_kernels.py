@@ -2505,3 +2505,45 @@ def test_pptx_math_runs_inline_equation():
     assert {"content": r"\sigma^2", "type": "equation_inline"} in runs
     # the styled run after the equation keeps its own styling
     assert {"content": "over n.", "style": ["bold"], "type": "text"} in runs
+
+
+def test_docx_section_breaks_paginate():
+    """Section breaks start new pages (reference _start_new_page
+    docx_converter.py:722-724): BEFORE an empty sectPr paragraph
+    (:1393-1396), AFTER a text paragraph carrying one (:1597-1598);
+    a layout-only break (empty, continuous, all-zero margins,
+    :726-755) does not paginate; continuous with unknown margins does.
+    List groups flush at the boundary, and the middle IR splits
+    para_blocks per page."""
+    from mineru_spark.kernels.docx import extract_docx
+    from mineru_spark.kernels.oracle import extract_turn
+
+    paras = [
+        {"style": "Heading1", "runs": [{"text": "Intro"}]},
+        {"style": "Normal", "runs": [{"text": "First page text."}],
+         "sect": {"type": "nextPage"}},                       # after
+        {"style": "ListParagraph", "num": {"id": 1, "ilvl": 0,
+                                           "ordered": True},
+         "runs": [{"text": "item one"}]},
+        {"style": "Normal", "runs": [], "sect": {"type": "nextPage"}},
+        {"style": "Normal", "runs": [{"text": "Third page."}]},
+        {"style": "Normal", "runs": [],
+         "sect": {"type": "continuous", "pg_mar_zero": True}},  # no-op
+        {"style": "Normal", "runs": [{"text": "Still third."}]},
+        {"style": "Normal", "runs": [],
+         "sect": {"type": "continuous"}},                     # breaks
+        {"style": "Normal", "runs": [{"text": "Fourth page."}]},
+    ]
+    blocks, _ = extract_docx({"kind": "docx_runs", "paras": paras})
+    got = [(b["page_idx"], b["type"]) for b in blocks]
+    assert got == [(0, "title"), (0, "text"),
+                   (1, "list"),           # flushed by the empty break
+                   (2, "text"), (2, "text"),
+                   (3, "text")]
+
+    import json
+    res = extract_turn(json.dumps({"kind": "docx_runs", "paras": paras}),
+                       "file_reader")
+    info = json.loads(res["middle"])["pdf_info"]
+    assert [p["page_idx"] for p in info] == [0, 1, 2, 3]
+    assert len(info[2]["para_blocks"]) == 2
