@@ -1013,14 +1013,23 @@ def _gen_docx(rng: random.Random) -> str:
         elif kind < 0.35:
             for _k in range(rng.randint(2, 4)):
                 num = {"id": num_id, "ilvl": 0, "ordered": ordered_chain}
+                # ~12%: custom numbering start (w:start / startOverride,
+                # resolved pre-XML onto the payload; reference
+                # _get_numbering_level_start docx_converter.py:2388-2421)
+                if rng.random() < 0.12:
+                    num["start"] = rng.randint(3, 9)
                 paras.append({"style": "ListParagraph", "num": num,
                               "runs": [{"text": _sentence(rng, 2, 5)}]})
-                # occasional nested sub-item (ilvl 1)
+                # occasional nested sub-items (ilvl 1); TWO parents with
+                # subs exercise the deeper-counter reset on parent
+                # advance (_advance_list_counter :2433-2438)
                 if rng.random() < 0.25:
-                    paras.append({"style": "ListParagraph",
-                                  "num": {"id": num_id, "ilvl": 1,
-                                          "ordered": ordered_chain},
-                                  "runs": [{"text": _sentence(rng, 2, 4)}]})
+                    for _s in range(rng.randint(1, 2)):
+                        paras.append({"style": "ListParagraph",
+                                      "num": {"id": num_id, "ilvl": 1,
+                                              "ordered": ordered_chain},
+                                      "runs": [{"text":
+                                                _sentence(rng, 2, 4)}]})
         else:
             runs = []
             for _k in range(rng.randint(1, 4)):

@@ -667,9 +667,26 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             pending_ordered = ordered
             indent = "  " * ilvl
             if ordered and numid is not None:
-                counters[(numid, ilvl)] = counters.get((numid, ilvl), 0) + 1
-                pending_items.append(
-                    f"{indent}{counters[(numid, ilvl)]}. {text}")
+                # first appearance starts at the level definition's start
+                # value (payload `num.start` = the resolved lvlOverride/
+                # startOverride → abstractNum w:start chain,
+                # _get_numbering_level_start docx_converter.py:2388-2421);
+                # later appearances continue (+1), and every advance
+                # resets DEEPER counters of the same chain so sub-items
+                # restart under the next parent (_advance_list_counter
+                # :2423-2438)
+                key = (numid, ilvl)
+                if key not in counters:
+                    start = num.get("start")
+                    counters[key] = start \
+                        if isinstance(start, int) \
+                        and not isinstance(start, bool) else 1
+                else:
+                    counters[key] += 1
+                for k in [k for k in counters
+                          if k[0] == numid and k[1] > ilvl]:
+                    del counters[k]
+                pending_items.append(f"{indent}{counters[key]}. {text}")
             else:
                 pending_items.append(f"{indent}- {text}")
             pending_imgs.extend(imgs)

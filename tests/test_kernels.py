@@ -2547,3 +2547,41 @@ def test_docx_section_breaks_paginate():
     info = json.loads(res["middle"])["pdf_info"]
     assert [p["page_idx"] for p in info] == [0, 1, 2, 3]
     assert len(info[2]["para_blocks"]) == 2
+
+
+def test_docx_numbering_start_and_child_reset():
+    """Ordered counters start at the level definition's start value
+    (reference _get_numbering_level_start docx_converter.py:2388-2421)
+    and advancing a level RESETS deeper counters of the same chain so
+    sub-items restart under the next parent (_advance_list_counter
+    :2433-2438); a different numId keeps its own chain untouched."""
+    from mineru_spark.kernels.docx import extract_docx
+
+    def li(nid, ilvl, text, start=None, ordered=True):
+        num = {"id": nid, "ilvl": ilvl, "ordered": ordered}
+        if start is not None:
+            num["start"] = start
+        return {"style": "ListParagraph", "num": num,
+                "runs": [{"text": text}]}
+
+    paras = [
+        li(1, 0, "parent one", start=4),
+        li(1, 1, "sub a"),
+        li(1, 1, "sub b"),
+        li(1, 0, "parent two"),
+        li(1, 1, "sub c"),          # resets → 1. again
+        li(2, 0, "other chain"),    # different numId → own counter
+        {"style": "Normal", "runs": [{"text": "interruption."}]},
+        li(1, 0, "parent three"),   # same chain continues across gap
+    ]
+    blocks, _ = extract_docx({"kind": "docx_runs", "paras": paras})
+    lists = [b["text"] for b in blocks if b["type"] == "list"]
+    assert lists[0] == ("4. parent one\n  1. sub a\n  2. sub b\n"
+                        "5. parent two\n  1. sub c")
+    assert lists[1] == "1. other chain"
+    assert lists[2] == "6. parent three"
+    # hostile start values degrade to 1
+    blocks, _ = extract_docx({"kind": "docx_runs", "paras": [
+        li(3, 0, "x", start="nine"), li(3, 0, "y", start=True)]})
+    assert [b["text"] for b in blocks if b["type"] == "list"] == \
+        ["1. x\n2. y"]
