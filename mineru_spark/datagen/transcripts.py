@@ -1093,6 +1093,50 @@ def _gen_docx(rng: random.Random) -> str:
                 else:
                     paras.append({"style": "Normal", "runs": [
                         {"text": _sentence(rng, 2, 4) + "."}, img]})
+    # ~10%: a numbered-heading structure (reference
+    # _detect_heading_list_numids docx_converter.py:2688-2765 +
+    # heading-numid consumption :1447-1464 + the document section-number
+    # pass, model_output_to_middle_json.py:132-168): a multi-level numId
+    # whose items interleave with body text converts to TITLE blocks
+    # with computed "1.2.1" section numbers; sometimes preceded by a
+    # literal-numbered Heading that SYNCS the counters, and sometimes an
+    # unordered (bullet) chain → titles without numbers.  A single-level
+    # interleaved chain is also emitted ~30% as the negative case (must
+    # STAY a list).
+    hnd = rng.random()
+    if hnd < 0.10:
+        hnid = num_id + 10
+        h_ordered = rng.random() < 0.75
+        if rng.random() < 0.4:
+            # literal section number on a styled heading → counter sync
+            paras.append({"style": "Heading1",
+                          "runs": [{"text": f"{rng.randint(2, 5)} "
+                                    + _sentence(rng, 2, 3).title()}]})
+        for si in range(rng.randint(2, 3)):
+            paras.append({"style": "ListParagraph",
+                          "num": {"id": hnid, "ilvl": 0,
+                                  "ordered": h_ordered},
+                          "runs": [{"text": _sentence(rng, 2, 4).title()}]})
+            paras.append({"style": "Normal",
+                          "runs": [{"text": _sentence(rng, 4, 8) + "."}]})
+            if si == 0 or rng.random() < 0.5:
+                paras.append({"style": "ListParagraph",
+                              "num": {"id": hnid, "ilvl": 1,
+                                      "ordered": h_ordered},
+                              "runs": [{"text":
+                                        _sentence(rng, 2, 4).title()}]})
+                paras.append({"style": "Normal",
+                              "runs": [{"text":
+                                        _sentence(rng, 3, 6) + "."}]})
+    elif hnd < 0.13:
+        # negative: single-level interleaved chain stays a list
+        lnid = num_id + 20
+        for _n in range(2):
+            paras.append({"style": "ListParagraph",
+                          "num": {"id": lnid, "ilvl": 0, "ordered": True},
+                          "runs": [{"text": _sentence(rng, 2, 4)}]})
+            paras.append({"style": "Normal",
+                          "runs": [{"text": _sentence(rng, 3, 6) + "."}]})
     # ~30%: a table (reference renders DOCX tables via its mammoth-HTML
     # path with vMerge/gridSpan resolved, docx_converter.py:960-1122; the
     # payload carries the post-XML cell rows).  Header row + occasional

@@ -54,6 +54,8 @@ Semantics re-expressed:
 
 from __future__ import annotations
 
+import re
+
 from . import emit
 
 _STYLE_HEADING = {"Heading1": 1, "Heading2": 2, "Heading3": 3}
@@ -391,6 +393,101 @@ def _table_grid(rows_payload: list):
     return tbl.grid_from_rows(cell_rows) if cell_rows else None
 
 
+def _detect_heading_numids(paras: list) -> set:
+    """Pre-scan for numIds used as SECTION HEADINGS (reference
+    _detect_heading_list_numids, docx_converter.py:2688-2765).  A numId
+    converts to title blocks only when BOTH hold:
+      1. body content (a non-list text paragraph or a table) appears
+         BETWEEN two of its items, and
+      2. its items occur at more than one indent level (a genuine
+         multi-level structure, not a single-level entry list).
+    Heading-styled paragraphs count as neither list nor content
+    (reference excludes Title/Heading, :2727-2733)."""
+    items: list[tuple] = []
+    ilvls: dict = {}
+    for p in paras:
+        if not isinstance(p, dict):
+            continue
+        style = str(p.get("style", "Normal"))
+        if style in _STYLE_HEADING:
+            continue
+        if style == "Table":
+            if p.get("rows"):
+                items.append(("content", None))
+            continue
+        runs = p.get("runs") or []
+        if not isinstance(runs, list):
+            runs = []
+        raw = "".join(str(r.get("text", "")) for r in runs
+                      if isinstance(r, dict))
+        if not raw.strip():
+            continue
+        num = p.get("num") if isinstance(p.get("num"), dict) else None
+        if style == "ListParagraph" and num is not None \
+                and num.get("id") is not None:
+            nid = num.get("id")
+            il = num.get("ilvl", 0)
+            if not isinstance(il, int) or isinstance(il, bool):
+                il = 0
+            items.append(("list", nid))
+            ilvls.setdefault(nid, set()).add(il)
+        else:
+            items.append(("content", None))
+    heading: set = set()
+    seen: dict = {}
+    for kind, nid in items:
+        if kind == "list":
+            if seen.get(nid):
+                heading.add(nid)
+            seen[nid] = False
+        else:
+            for k in seen:
+                seen[k] = True
+    return {n for n in heading if len(ilvls.get(n, ())) > 1}
+
+
+_SECTION_NUM_RE = re.compile(r"^(\d+(?:\.\d+)*)")
+
+
+def _assign_section_numbers(blocks: list[dict]) -> None:
+    """Document-level hierarchical section numbering over title blocks
+    (reference result_to_middle_json, model_output_to_middle_json.py:
+    132-168): a numbered-style title floors its ancestor counters at 1,
+    increments its own level, resets deeper levels, and receives
+    section_number "1.2.1"; a NON-numbered title whose raw content
+    starts with a literal number of exactly its level's depth
+    (_extract_section_parts_from_content :68-83) SYNCS the counters so
+    later numbered titles continue from the right base."""
+    counters: dict[int, int] = {}
+    for b in blocks:
+        if b.get("type") != "title" or "is_numbered_style" not in b:
+            continue
+        level = max(1, int(b.get("level", 1) or 1))
+        if b["is_numbered_style"]:
+            for anc in range(1, level):
+                if counters.get(anc, 0) == 0:
+                    counters[anc] = 1
+            counters[level] = counters.get(level, 0) + 1
+            for d in list(counters):
+                if d > level:
+                    counters[d] = 0
+            b["section_number"] = ".".join(
+                str(counters.get(lv, 0)) for lv in range(1, level + 1))
+        else:
+            recs = b.get("_runs") or []
+            content = str(recs[0][1]) if recs and len(recs[0]) > 1 \
+                else str(b.get("text", ""))
+            m = _SECTION_NUM_RE.match(content.strip())
+            if m:
+                parts = [int(x) for x in m.group(1).split(".")]
+                if len(parts) == level:
+                    for k, v in enumerate(parts, start=1):
+                        counters[k] = v
+                    for d in list(counters):
+                        if d > level:
+                            counters[d] = 0
+
+
 def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     blocks: list[dict] = []
     tables_parsed = 0
@@ -407,6 +504,9 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     # per-(numId, ilvl) counters survive list interruptions (Word
     # continues numbering within a numId; reference cache :101)
     counters: dict[tuple, int] = {}
+    # numIds used as section headings (detection pre-scan, reference
+    # convert() :787)
+    heading_numids = _detect_heading_numids(paras)
     # current page index: SECTION BREAKS paginate the document
     # (reference _start_new_page docx_converter.py:722-724; call sites
     # :1393-1398 break-before on an empty paragraph / :1419-1424 TOC
@@ -661,6 +761,28 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             numid = num.get("id")
             ilvl = int(num.get("ilvl", 0) or 0)
             ordered = bool(num.get("ordered"))
+            if numid is not None and numid in heading_numids:
+                # heading-list chain: items of a numId whose occurrences
+                # interleave with body content AND span >1 indent level
+                # convert to TITLE blocks at level ilvl+1 instead of
+                # list items, closing any active list first (reference
+                # heading_list_numids consumption,
+                # docx_converter.py:1447-1464; detection :2688-2765);
+                # they do NOT advance the chain's list counters
+                flush_list()
+                blk = {"type": "title", "text": text, "page_idx": pg[0],
+                       "bbox": [0, 0, 0, 0],
+                       "level": max(1, ilvl + 1),
+                       "is_numbered_style": ordered,
+                       "pre_rendered": True, "_runs": recs}
+                hanchor = _valid_anchor(p.get("anchor"))
+                if hanchor:
+                    blk["anchor"] = hanchor
+                blocks.append(blk)
+                emit_blocks(imgs)
+                if sect_end:
+                    end_section()
+                continue
             if pending_items and numid != pending_numid:
                 flush_list()
             pending_numid = numid
@@ -701,9 +823,14 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
         # 360-366/:374-377/:546-549)
         anchor = _valid_anchor(p.get("anchor"))
         if style in _STYLE_HEADING:
+            # heading-style titles carry is_numbered_style=False like the
+            # reference's Title/Heading blocks (docx_converter.py:
+            # 1494-1500) — they feed the section-number SYNC branch of
+            # the document pass when their text embeds a literal number
             blk = {"type": "title", "text": text, "page_idx": pg[0],
                    "bbox": [0, 0, 0, 0],
                    "level": _STYLE_HEADING[style],
+                   "is_numbered_style": False,
                    "pre_rendered": True, "_runs": recs}
             if anchor:
                 blk["anchor"] = anchor
@@ -724,6 +851,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             end_section()
     flush_list()
     flush_toc()
+    _assign_section_numbers(blocks)
     discarded = _header_footer_blocks(payload)
     blocks.extend(discarded)
     return blocks, {"blocks_classified": len(blocks) - len(discarded),

@@ -233,7 +233,12 @@ def render_block(b: dict) -> str:
             # bookmark anchor target precedes the heading (reference
             # output_builders.py:374-377: any title anchor renders an
             # <a id> line; text blocks render one only for _Toc-prefixed
-            # anchors, :360-366)
+            # anchors, :360-366); a numbered-style section heading
+            # renders its computed section number first
+            # (inline_renderer.py:518-523)
+            sn = b.get("section_number", "")
+            if sn and b.get("is_numbered_style"):
+                text = f"{sn} {text}"
             head = "#" * max(1, b.get("level", 1)) + " " + text
             return f'<a id="{anchor}"></a>\n{head}' if anchor else head
         if t == "text" and anchor.startswith("_Toc"):

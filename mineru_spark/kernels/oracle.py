@@ -157,9 +157,16 @@ def _content_list_json(blocks: list[dict]) -> str:
             item["list_items"] = [ln for ln in b["text"].split("\n")
                                   if ln.strip()]
         else:
-            item["text"] = emit.normalize_text(b["text"])
+            text = b["text"]
             if b["type"] == "title":
                 item["text_level"] = b.get("level", 1)
+                # computed section number precedes the content
+                # (reference get_title_data span prepend,
+                # output_builders.py:739-744)
+                sn = b.get("section_number", "")
+                if sn and b.get("is_numbered_style"):
+                    text = f"{sn} {text}"
+            item["text"] = emit.normalize_text(text)
         anchor = b.get("anchor")
         if isinstance(anchor, str) and anchor.strip():
             # bookmark anchor rides every para_content shape (reference
@@ -240,8 +247,14 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
         blk_runs = (runs_from_records(b["_runs"]) if b.get("_runs")
                     else None) or None
         if t == "title":
+            tc = blk_runs or runs(text)
+            sn = b.get("section_number", "")
+            if sn and b.get("is_numbered_style"):
+                # section-number text span first (reference
+                # inline_renderer.py:904-909)
+                tc = [{"type": "text", "content": f"{sn} "}] + tc
             item = {"type": "title",
-                    "content": {"title_content": blk_runs or runs(text),
+                    "content": {"title_content": tc,
                                 "level": b.get("level", 1)}}
         elif t == "equation":
             item = {"type": "equation_interline",
@@ -385,6 +398,14 @@ def _middle_json(blocks: list[dict], route: str) -> str:
                     for ti in b["toc_items"]]
             if b.get("anchor"):
                 item["anchor"] = b["anchor"]
+            if b["type"] == "title" and "is_numbered_style" in b:
+                # docx-route titles keep the numbered-heading flag and
+                # the computed section number in middle (reference
+                # result_to_middle_json, model_output_to_middle_json.py:
+                # 136-152); renderers prepend at output time only
+                item["is_numbered_style"] = bool(b["is_numbered_style"])
+                if b.get("section_number"):
+                    item["section_number"] = b["section_number"]
             if b.get("lang"):
                 item["lang"] = b["lang"]
             if b.get("cross_page"):

@@ -1227,14 +1227,17 @@ def test_docx_numbering_chain_toc_omml():
         {"style": "ListParagraph", "num": {"id": 5, "ilvl": 1,
                                            "ordered": True},
          "runs": [{"text": "sub"}]},
-        {"style": "Normal", "runs": [{"text": "break."},
-                                     {"math": "E=mc^2"}]},
+        # interruption is a HEADING: it counts as neither list nor body
+        # content in the heading-numid pre-scan (:2727-2733), so the
+        # multi-level chain stays a LIST and its counters continue
+        {"style": "Heading2", "runs": [{"text": "break."},
+                                       {"math": "E=mc^2"}]},
         {"style": "ListParagraph", "num": {"id": 5, "ilvl": 0,
                                            "ordered": True},
          "runs": [{"text": "two continues"}]},
     ]}
     blocks, _ = extract_docx(p)
-    assert [b["type"] for b in blocks] == ["index", "list", "text", "list"]
+    assert [b["type"] for b in blocks] == ["index", "list", "title", "list"]
     # hidden page number gone; the anchor mounts as an internal link
     assert blocks[0]["text"] == "- [Intro](#_Toc10000001)"
     assert blocks[1]["text"] == "1. one\n  1. sub"
@@ -2571,7 +2574,9 @@ def test_docx_numbering_start_and_child_reset():
         li(1, 0, "parent two"),
         li(1, 1, "sub c"),          # resets → 1. again
         li(2, 0, "other chain"),    # different numId → own counter
-        {"style": "Normal", "runs": [{"text": "interruption."}]},
+        # heading-styled interruption: neither list nor content in the
+        # heading-numid pre-scan, so chain 1 stays a LIST
+        {"style": "Heading2", "runs": [{"text": "interruption."}]},
         li(1, 0, "parent three"),   # same chain continues across gap
     ]
     blocks, _ = extract_docx({"kind": "docx_runs", "paras": paras})
@@ -2585,3 +2590,50 @@ def test_docx_numbering_start_and_child_reset():
         li(3, 0, "x", start="nine"), li(3, 0, "y", start=True)]})
     assert [b["text"] for b in blocks if b["type"] == "list"] == \
         ["1. x\n2. y"]
+
+
+def test_docx_numbered_headings_and_section_numbers():
+    """A multi-level numId interleaved with body content converts to
+    TITLE blocks (reference _detect_heading_list_numids
+    docx_converter.py:2688-2765, consumption :1447-1464) with computed
+    hierarchical section numbers; a literal-numbered heading SYNCS the
+    counters (model_output_to_middle_json.py:132-168); a single-level
+    interleaved chain and a contiguous multi-level chain both STAY
+    lists; an unordered heading chain titles without numbers."""
+    import json
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def li(nid, ilvl, text, ordered=True):
+        return {"style": "ListParagraph",
+                "num": {"id": nid, "ilvl": ilvl, "ordered": ordered},
+                "runs": [{"text": text}]}
+
+    body = {"style": "Normal", "runs": [{"text": "Body."}]}
+    paras = [
+        {"style": "Heading1", "runs": [{"text": "2 Background"}]},
+        li(5, 0, "Methods"), body,
+        li(5, 1, "Data"), body,
+        li(5, 0, "Results"), body,
+        li(7, 0, "alpha"), body, li(7, 0, "beta"),      # single-level
+        li(8, 0, "contig"), li(8, 1, "uous"),           # no interleave
+    ]
+    res = extract_turn(json.dumps({"kind": "docx_runs", "paras": paras}),
+                       "file_reader")
+    md = res["md"]
+    assert "# 3 Methods" in md and "## 3.1 Data" in md \
+        and "# 4 Results" in md
+    assert "1. alpha" in md and "2. beta" in md          # stayed a list
+    assert "1. contig" in md and "  1. uous" in md
+    titles = [b for pg in json.loads(res["middle"])["pdf_info"]
+              for b in pg["para_blocks"] if b["type"] == "title"]
+    assert [t.get("section_number") for t in titles] == \
+        [None, "3", "3.1", "4"]
+    assert titles[0]["is_numbered_style"] is False
+    # unordered heading chain: titles, no section numbers
+    paras2 = [li(5, 0, "One", ordered=False), body,
+              li(5, 1, "Sub", ordered=False), body,
+              li(5, 0, "Two", ordered=False)]
+    res2 = extract_turn(json.dumps({"kind": "docx_runs", "paras": paras2}),
+                        "file_reader")
+    assert "# One" in res2["md"] and "## Sub" in res2["md"] \
+        and "section_number" not in res2["middle"]
