@@ -1266,6 +1266,16 @@ def _gen_docx(rng: random.Random) -> str:
 # XLSX sheet-cell fragments (O3: DataRegion detection, merged-cell grid)
 # ---------------------------------------------------------------------------
 
+def _a1(r: int, c: int) -> str:
+    """0-based (row, col) → absolute A1 reference ('$B$3')."""
+    c += 1
+    letters = ""
+    while c:
+        c, rem = divmod(c - 1, 26)
+        letters = chr(65 + rem) + letters
+    return f"${letters}${r + 1}"
+
+
 def _gen_xlsx(rng: random.Random) -> str:
     """Sparse sheet cells + merge ranges (the reference's raw-sheet input,
     xlsx_converter.py): a main data region at a random offset (header row,
@@ -1361,11 +1371,34 @@ def _gen_xlsx(rng: random.Random) -> str:
                 imgs.append({"r": r0 + nrows + 30, "c": c0 + 8,
                              "data_b64": _b64.b64encode(blob).decode()})
             sh["images"] = imgs
-        # ~12%: a sheet chart anchored below the data region (rendered
-        # through the shared charts kernel, interleaved by anchor)
-        if rng.random() < 0.12:
+        # ~14%: a sheet chart anchored below the data region. The payload
+        # carries the chart's series REFERENCE FORMULAS; the kernel
+        # re-renders the referenced sheet range as a synthetic table
+        # (reference _find_charts_in_sheet xlsx_converter.py:677-708).
+        # Variants cover: whole-region rectangle (merge clipping when the
+        # header merge exists), non-rectangular two-column union,
+        # quoted-sheet single cell, and the two skip rules (different
+        # sheet / open-ended bounds → NO chart block).
+        cr = rng.random()
+        if cr < 0.14:
+            sname = f"Sheet{idx + 1}"
+            last_r, last_c = r0 + nrows, c0 + ncols - 1
+            sub = rng.random()
+            if sub < 0.30:
+                ranges = [f"{sname}!{_a1(r0, c0)}:{_a1(last_r, last_c)}"]
+            elif sub < 0.55:
+                ranges = [f"{sname}!{_a1(r0 + 1, c0)}:{_a1(last_r, c0)}",
+                          f"{sname}!{_a1(r0 + 1, last_c)}:"
+                          f"{_a1(last_r, last_c)}"]
+            elif sub < 0.70:
+                ranges = [f"'{sname}'!{_a1(r0 + 1, c0 + 1)}"]
+            elif sub < 0.85:
+                ranges = [f"{sname}!{_a1(r0, c0)}:{_a1(last_r, last_c)}",
+                          f"Other!{_a1(r0, c0)}:{_a1(last_r, last_c)}"]
+            else:
+                ranges = [f"{sname}!$A:$C"]
             sh["charts"] = [{"r": r0 + nrows + 6, "c": c0,
-                             "chart": _gen_chart(rng)}]
+                             "ranges": ranges}]
         # ~10%: drawing-anchored OMML formulas mapped to cells (reference
         # _map_math_formulas_to_cells xlsx_converter.py:361-444 +
         # _get_cell_math_formulas :710-723): latex rides inside the table

@@ -41,8 +41,13 @@ Reference semantics re-expressed (no openpyxl — plain dict/set algebra):
 
 r5 additions: cell-anchored sheet images (in-cell <img> media when a
 table consumes the anchor, standalone image blocks otherwise — reference
-:312-319/:1064-1082) and sheet charts rendered through the shared charts
-kernel, interleaved with tables by cell anchor (:322-328/:677-708).
+:312-319/:1064-1082) and sheet charts re-rendered as SYNTHETIC TABLES of
+their source sheet range (series reference formulas parsed against the
+current sheet, same-sheet closed ranges only, row/col union across
+series, merge spans clipped to the selection — _find_charts_in_sheet
+:677-708, _collect_chart_source_axes :566-586,
+_build_synthetic_table_from_sheet_selection :624-676), interleaved with
+tables by cell anchor (:322-328).
 Still out of scope: raster pixel decode (sha256 path naming only,
 COVERAGE.md §2.7) and cell math maps — the docx table path carries the
 equation-injection analog.
@@ -50,6 +55,7 @@ equation-injection analog.
 
 from __future__ import annotations
 
+import re
 from collections import Counter, deque
 
 from . import tables as tbl
@@ -344,6 +350,138 @@ def _sheet_tables(cells: dict, merges: list,
     return out
 
 
+# A1-style cell/range reference with optional $ anchors; open-ended
+# references ($A:$B, $1:$5) deliberately fail the match — the reference
+# skips charts whose bounds are not all ints
+# (_parse_chart_reference_formula, xlsx_converter.py:530-564).
+_RANGE_REF_RE = re.compile(
+    r"^\$?([A-Za-z]{1,3})\$?([0-9]{1,7})"
+    r"(?::\$?([A-Za-z]{1,3})\$?([0-9]{1,7}))?$")
+
+
+def _col_index(letters: str) -> int:
+    """'A' → 1, 'Z' → 26, 'AA' → 27 (openpyxl column_index_from_string)."""
+    n = 0
+    for ch in letters.upper():
+        n = n * 26 + (ord(ch) - 64)
+    return n
+
+
+def _parse_range_formula(formula, sheet_name: str):
+    """Parse one chart series reference formula ('Sheet1!$A$1:$B$5',
+    \"'My Sheet'!$C$2\") against the current sheet
+    (_parse_chart_reference_formula, xlsx_converter.py:530-564):
+    None (⇒ skip the whole chart) when the formula is not a same-sheet
+    closed range; otherwise ([0-based rows], [0-based cols]) — possibly
+    empty for reversed bounds, exactly like range(min-1, max) there."""
+    if not isinstance(formula, str):
+        return None
+    f = formula.strip()
+    if f.startswith("'"):
+        # quoted sheet name; '' escapes a literal quote inside it
+        name_chars: list[str] = []
+        i = 1
+        while i < len(f):
+            if f[i] == "'":
+                if f[i + 1:i + 2] == "'":
+                    name_chars.append("'")
+                    i += 2
+                    continue
+                break
+            name_chars.append(f[i])
+            i += 1
+        if f[i:i + 2] != "'!":
+            return None
+        sheet_part = "".join(name_chars)
+        ref = f[i + 2:]
+    else:
+        sheet_part, bang, ref = f.partition("!")
+        if not bang:
+            return None  # unqualified range: range_to_tuple raises ⇒ skip
+    if sheet_part != sheet_name:
+        return None  # different-sheet source (xlsx_converter.py:547-553)
+    m = _RANGE_REF_RE.match(ref.strip())
+    if not m:
+        return None
+    min_col, min_row = _col_index(m.group(1)), int(m.group(2))
+    max_col = _col_index(m.group(3)) if m.group(3) else min_col
+    max_row = int(m.group(4)) if m.group(4) else min_row
+    # hostile-payload clamp (not in the reference, which trusts openpyxl
+    # bounds): never materialize more than MAX_REGION_DIM rows/cols
+    max_row = min(max_row, min_row + MAX_REGION_DIM - 1)
+    max_col = min(max_col, min_col + MAX_REGION_DIM - 1)
+    return (list(range(min_row - 1, max_row)),
+            list(range(min_col - 1, max_col)))
+
+
+def _chart_source_axes(ranges, sheet_name: str):
+    """Union of referenced rows/cols across every series formula of one
+    chart (_collect_chart_source_axes, xlsx_converter.py:566-586): ANY
+    unsupported formula skips the chart; no formulas or an empty union
+    skips it too. Returns (sorted rows, sorted cols) or None."""
+    if not isinstance(ranges, (list, tuple)) or not ranges:
+        return None
+    rows_set: set[int] = set()
+    cols_set: set[int] = set()
+    for formula in ranges[:64]:
+        parsed = _parse_range_formula(formula, sheet_name)
+        if parsed is None:
+            return None
+        rows_set.update(parsed[0])
+        cols_set.update(parsed[1])
+    if not rows_set or not cols_set:
+        return None
+    return (sorted(rows_set)[:MAX_REGION_DIM],
+            sorted(cols_set)[:MAX_REGION_DIM])
+
+
+def _synthetic_chart_table(rows: list[int], cols: list[int], cells: dict,
+                           merges: list, links: dict, rich: dict,
+                           media: dict, maths: dict):
+    """Re-render the chart's source sheet selection as a table grid
+    (_build_synthetic_table_from_sheet_selection, xlsx_converter.py:
+    624-676): the display grid is the rows×cols cross product (a
+    non-rectangular union of series ranges materializes as the full
+    cross product); a merge participates only when its TOP-LEFT cell is
+    selected, its span counts the SELECTED rows/cols inside the merge,
+    and the other selected members vanish; cells carry the same
+    link/rich/media/math machinery as flood-fill tables (the reference
+    routes both through _build_excel_cell + excel_table_to_html); the
+    first display row renders as header."""
+    selected = {(r, c) for r in rows for c in cols}
+    spans: dict[tuple, tuple] = {}
+    hidden: set[tuple] = set()
+    for r0, c0, r1, c1 in merges:
+        top = (r0, c0)
+        if top not in selected:
+            continue
+        sel_rows = [r for r in rows if r0 <= r <= r1]
+        sel_cols = [c for c in cols if c0 <= c <= c1]
+        if not sel_rows or not sel_cols:
+            continue
+        spans[top] = (len(sel_rows), len(sel_cols))
+        for r in sel_rows:
+            for c in sel_cols:
+                if (r, c) != top:
+                    hidden.add((r, c))
+    out_rows: list[list[tbl.Cell]] = []
+    for di, sr in enumerate(rows):
+        row: list[tbl.Cell] = []
+        for sc in cols:
+            if (sr, sc) in hidden:
+                continue
+            rs, cs = spans.get((sr, sc), (1, 1))
+            text = " ".join(str(cells.get((sr, sc), "")).split())
+            row.append(tbl.Cell(text=text, rowspan=rs, colspan=cs,
+                                header=(di == 0),
+                                link=links.get((sr, sc), ""),
+                                rich=rich.get((sr, sc)),
+                                media=tuple(media.get((sr, sc), ())),
+                                math=tuple(maths.get((sr, sc), ()))))
+        out_rows.append(row)
+    return tbl.grid_from_rows(out_rows)
+
+
 def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
     sheets = payload.get("sheets", [])
     if not isinstance(sheets, list):
@@ -460,23 +598,30 @@ def extract_xlsx(payload: dict) -> tuple[list[dict], dict]:
                 tables_parsed += 1
             artifacts.append((t["anchor"], order, blk))
         for order, ch in enumerate((sheet.get("charts") or [])[:16]):
-            # sheet chart → chart block anchored at its frame cell
-            # (reference _find_charts_in_sheet :677-708 renders the
-            # chart's source range as a table; the payload carries the
-            # parsed spec, rendered by the shared charts kernel; an
-            # unparsable chart is skipped like unsupported ranges)
+            # sheet chart → the chart's SOURCE RANGE re-rendered as a
+            # synthetic table block at the chart frame's anchor cell
+            # (reference _find_charts_in_sheet :677-708: series
+            # reference formulas → same-sheet row/col union →
+            # _build_synthetic_table_from_sheet_selection → chart-typed
+            # block; a chart with any unsupported/different-sheet/
+            # open-ended formula is skipped entirely)
             if not isinstance(ch, dict):
                 continue
-            from . import charts as charts_kernel
-            html = charts_kernel.chart_to_html(ch.get("chart"))
-            if not html:
+            axes = _chart_source_axes(ch.get("ranges"), name)
+            if axes is None:
+                continue
+            grid = _synthetic_chart_table(axes[0], axes[1], cells,
+                                          merges, links, rich, media,
+                                          maths)
+            if grid is None:
                 continue
             try:
                 anchor = (int(ch.get("r", 0)), int(ch.get("c", 0)))
             except (TypeError, ValueError):
                 anchor = (0, 0)
             artifacts.append((anchor, 10_000 + order,
-                              {"type": "chart", "text": html,
+                              {"type": "chart",
+                               "text": tbl.render_table_html(grid),
                                "page_idx": page_idx, "bbox": [0, 0, 0, 0],
                                "level": 1}))
         artifacts.sort(key=lambda a: (a[0], a[1]))

@@ -2219,27 +2219,76 @@ def test_xlsx_cell_anchored_images():
 
 
 def test_xlsx_sheet_chart_interleaves_by_anchor():
-    """Sheet charts render through the shared charts kernel and sort
-    among tables by cell anchor, charts after tables on equal anchors
-    (reference xlsx_converter.py:322-328, :677-708)."""
+    """Sheet charts re-render their source sheet RANGE as a synthetic
+    table and sort among tables by cell anchor, charts after tables on
+    equal anchors (reference xlsx_converter.py:322-328,
+    _find_charts_in_sheet :677-708)."""
     import json
 
     from mineru_spark.kernels.oracle import extract_turn
 
-    chart = {"plot_kind": "category",
-             "series": [{"cats": ["x"], "vals": [7], "name": "S"}]}
     doc = {"kind": "xlsx_cells", "sheets": [{
         "name": "S1",
         "cells": [{"r": 10, "c": 0, "v": "H"}, {"r": 11, "c": 0, "v": "v"}],
         "merges": [],
-        "charts": [{"r": 0, "c": 0, "chart": chart},      # ABOVE the table
-                   {"r": 30, "c": 0, "chart":
-                    {"plot_kind": "category", "series": []}}]}]}  # empty → skipped
+        "charts": [{"r": 0, "c": 0,                       # ABOVE the table
+                    "ranges": ["S1!$A$11:$A$12"]},
+                   {"r": 30, "c": 0,
+                    "ranges": ["Other!$A$11:$A$12"]}]}]}  # wrong sheet → skipped
     out = extract_turn(json.dumps(doc), "file_reader")
     cl = json.loads(out["content_list"])
     types = [b["type"] for b in cl]
     assert types == ["chart", "table"]   # anchor (0,0) precedes (10,0)
-    assert cl[0]["content"].startswith("<table><thead>")
+    # the chart table re-renders the referenced cells, display row 0 = th
+    assert cl[0]["content"] == (
+        "<table><tr><th>H</th></tr><tr><td>v</td></tr></table>")
+
+
+def test_xlsx_chart_range_union_merge_clip_and_skips():
+    """Chart source-axes semantics pinned against the reference:
+    (a) a non-rectangular two-formula union materializes as the sorted
+    rows×cols cross product (_collect_chart_source_axes :566-586);
+    (b) a merge whose top-left is selected clips its span to the
+    SELECTED rows/cols and hides the other selected members
+    (_build_synthetic_table_from_sheet_selection :624-676);
+    (c) quoted sheet names resolve; (d) any open-ended or unqualified
+    formula skips the whole chart (:530-564)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    cells = [{"r": 0, "c": 0, "v": "A1"}, {"r": 0, "c": 1, "v": "B1"},
+             {"r": 0, "c": 2, "v": "C1"},
+             {"r": 1, "c": 0, "v": "a2"}, {"r": 1, "c": 2, "v": "c2"},
+             {"r": 2, "c": 0, "v": "a3"}, {"r": 2, "c": 2, "v": "c3"}]
+    # merge spans cols B:C on row 0; selection takes cols A and C only
+    doc = {"kind": "xlsx_cells", "sheets": [{
+        "name": "S1", "cells": cells, "merges": [[0, 1, 0, 2]],
+        "charts": [
+            # cats = A1:A3, vals = C1:C3 → union cols {A, C}, rows 0-2;
+            # the B1:C1 merge's top-left (0,1) is NOT selected → no merge
+            {"r": 20, "c": 0, "ranges": ["S1!$A$1:$A$3", "S1!$C$1:$C$3"]},
+            # rectangle over the merge: top-left selected, colspan clips
+            # from 2 source cols to the 2 selected ones, (0,2) hidden
+            {"r": 21, "c": 0, "ranges": ["'S1'!$A$1:$C$2"]},
+            # open-ended → skipped even though the first formula is fine
+            {"r": 22, "c": 0, "ranges": ["S1!$A$1:$A$3", "S1!$A:$C"]},
+            # unqualified range (no sheet!) → skipped
+            {"r": 23, "c": 0, "ranges": ["$A$1:$A$3"]}]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    cl = json.loads(out["content_list"])
+    charts = [b["content"] for b in cl if b["type"] == "chart"]
+    assert len(charts) == 2
+    # (a) union grid: B column absent; B1's text lives under the merge
+    # anchor which is unselected, so row 0 shows A1 | C1
+    assert charts[0] == (
+        "<table><tr><th>A1</th><th>C1</th></tr>"
+        "<tr><td>a2</td><td>c2</td></tr>"
+        "<tr><td>a3</td><td>c3</td></tr></table>")
+    # (b) merge clipped to selection: B1 th carries colspan=2, C1 hidden
+    assert charts[1] == (
+        '<table><tr><th>A1</th><th colspan="2">B1</th></tr>'
+        "<tr><td>a2</td><td></td><td>c2</td></tr></table>")
 
 
 def test_assemble_block_fast_path_equivalence_pins():
