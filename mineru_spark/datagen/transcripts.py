@@ -1093,6 +1093,30 @@ def _gen_docx(rng: random.Random) -> str:
                 else:
                     paras.append({"style": "Normal", "runs": [
                         {"text": _sentence(rng, 2, 4) + "."}, img]})
+                # ~36% of pictures get a caption paragraph (office
+                # caption machinery, office_magic_model.py:737-…):
+                # SEQ-field Caption style, a prefix-promoted plain text
+                # ("fig"/图), or a seq-less Caption style that must stay
+                # plain text
+                cd = rng.random()
+                if cd < 0.16:
+                    paras.append(
+                        {"style": "Caption", "seq": True,
+                         "runs": [{"text":
+                                   f"Figure {rng.randint(1, 20)}: "},
+                                  {"text": _sentence(rng, 2, 5) + ".",
+                                   "italic": cd < 0.04}]})
+                elif cd < 0.30:
+                    head = "图" if cd < 0.22 else "fig. "
+                    paras.append(
+                        {"style": "Normal",
+                         "runs": [{"text": f"{head}{rng.randint(1, 9)}: "
+                                   + _sentence(rng, 2, 5) + "."}]})
+                elif cd < 0.36:
+                    paras.append(
+                        {"style": "Caption", "seq": False,
+                         "runs": [{"text": "Source: "
+                                   + _sentence(rng, 2, 4) + "."}]})
     # ~10%: a numbered-heading structure (reference
     # _detect_heading_list_numids docx_converter.py:2688-2765 +
     # heading-numid consumption :1447-1464 + the document section-number
@@ -1165,12 +1189,44 @@ def _gen_docx(rng: random.Random) -> str:
                 row.append(cell)
                 c += adv
             rows.append(row)
+        # ~12% a SEQ caption BEFORE the table (next-parent rule), ~5%
+        # with an after-caption too (the {body} gap is contiguous,
+        # fix_two_layer_blocks office_magic_model.py:688-696); ~16% a
+        # prefix-promoted "Table N" text after it
+        tcd = rng.random()
+        if tcd < 0.12:
+            paras.append(
+                {"style": "Caption", "seq": True,
+                 "runs": [{"text": f"Table {rng.randint(1, 9)}: "
+                           + _sentence(rng, 2, 4) + "."}]})
         paras.append({"style": "Table", "rows": rows})
+        if tcd < 0.05 or 0.12 <= tcd < 0.28:
+            head = "表 " if 0.12 <= tcd < 0.16 else "Table "
+            paras.append(
+                {"style": "Normal",
+                 "runs": [{"text": f"{head}{rng.randint(1, 9)}. "
+                           + _sentence(rng, 2, 4) + "."}]})
+    # ~4%: an orphan SEQ caption in open text — far from any visual it
+    # demotes to text; adjacent to a stray visual it may legitimately
+    # attach (both engines run the same classify)
+    if rng.random() < 0.04:
+        paras.append({"style": "Caption", "seq": True,
+                      "runs": [{"text": f"Figure {rng.randint(30, 99)}: "
+                                + _sentence(rng, 2, 4) + "."}]})
     # ~20%: a DrawingML chart paragraph (reference _handle_drawingml,
     # docx_converter.py:3345-3411; r5 directive #1) — the block is kept
     # even when the chart renders empty
     if rng.random() < 0.2:
         paras.append({"style": "Chart", "chart": _gen_chart(rng)})
+        ccd = rng.random()
+        if ccd < 0.25:
+            # chart captions promote on 图/fig/chart prefixes
+            head = ("chart " if ccd < 0.12
+                    else ("图表 " if ccd < 0.18 else "Fig. "))
+            paras.append(
+                {"style": "Normal",
+                 "runs": [{"text": f"{head}{rng.randint(1, 9)}: "
+                           + _sentence(rng, 2, 4) + "."}]})
     # ~12%: textbox paragraph group anchored mid-document (r5 directive
     # #4; reference docx_converter.py:839-889): containers with
     # position-sorted paras, a duplicate (text,pos) pair that must
@@ -1499,6 +1555,14 @@ def _gen_pptx(rng: random.Random) -> str:
                 shapes.append({"bbox": [cx0, 120.0, cx1, 400.0],
                                "kind": "image",
                                "data_b64": _b64.b64encode(blob).decode()})
+                if rng.random() < 0.3:
+                    # caption text shape under the picture — promoted by
+                    # the 图/fig prefix rule after XY-cut ordering puts
+                    # it right after its image
+                    shapes.append(
+                        {"bbox": [cx0, 410.0, cx1, 440.0], "kind": "body",
+                         "text": f"Fig {rng.randint(1, 9)}: "
+                         + _sentence(rng, 2, 4) + "."})
             elif r < 0.82:
                 # chart graphic frame (reference _handle_chart,
                 # pptx_converter.py:689-720; r5 directive #1)

@@ -60,6 +60,13 @@ from . import emit
 
 _STYLE_HEADING = {"Heading1": 1, "Heading2": 2, "Heading3": 3}
 
+# the reference's known text styles (docx_converter.py:1545-1554): a
+# paragraph in this set is always plain TEXT; only styles OUTSIDE it are
+# eligible for the SEQ-field caption check (:1568-1579)
+_TEXT_STYLES = frozenset({"Paragraph", "Normal", "Subtitle", "Author",
+                          "DefaultText", "ListParagraph", "ListBullet",
+                          "Quote"})
+
 
 def _valid_link_target(target) -> bool:
     """Reference is_valid_hyperlink_target (office_rich_text.py:172-178):
@@ -839,6 +846,20 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
             blocks.append({"type": "code", "text": text,
                            "page_idx": pg[0],
                            "bbox": [0, 0, 0, 0], "level": 1})
+        elif style not in _TEXT_STYLES and p.get("seq") is True:
+            # SEQ-field caption paragraph: a style OUTSIDE the known text
+            # set whose runs carry a `SEQ` field instruction becomes a
+            # CAPTION block (reference _is_caption,
+            # docx_converter.py:3323-3341, branch order :1545-1579 — the
+            # check runs only after the known text styles miss).  The
+            # payload carries the post-XML decision as `seq: true`.
+            # Captions take no anchor (reference caption_block :1575-1579)
+            # and classify/attach to their visual parent downstream
+            # (kernels/captions.py).
+            blocks.append({"type": "caption", "text": text,
+                           "page_idx": pg[0], "bbox": [0, 0, 0, 0],
+                           "level": 1, "pre_rendered": True,
+                           "_runs": recs})
         else:
             blk = {"type": "text", "text": text, "page_idx": pg[0],
                    "bbox": [0, 0, 0, 0], "level": 1,

@@ -199,16 +199,38 @@ def render_block(b: dict) -> str:
     if t == "code":
         lang = b.get("lang", "")
         return f"```{lang}\n{text}\n```" if text else ""
+    if t in ("table", "image", "chart") and "caption_pre" in b:
+        # OFFICE two-layer visual (marked by the caption pass,
+        # kernels/captions.py): the office builder's MM_MD order
+        # (output_builders.py:379-427) — body FIRST (image line /
+        # newline-wrapped html), then each caption appended with a
+        # '  \n' hard break; the block strips \r\n at the end (:431).
+        # An empty chart body skips the whole block, captions included
+        # (the reference `continue`s before its caption loop, :421).
+        if t == "chart" and not text:
+            return ""
+        para = ""
+        if t == "image":
+            if b.get("img_path"):
+                para += f"![]({b['img_path']})"
+        elif text:
+            para += f"\n{replace_eq_tags(text)}\n"
+        for c, pre in zip(b.get("caption", []), b["caption_pre"]):
+            # pre-rendered captions (docx run machinery) already carry
+            # their md escapes; promoted plain texts escape here
+            seg = c if pre else escape_markdown(normalize_text(c))
+            if seg:
+                para += "  \n" + seg
+        return para.strip("\r\n")
     if t == "chart":
-        # chart body renders its HTML data table inline, then captions —
-        # the office builder's MM_MD branch order (output_builders.py:
-        # 410-425); empty content (unparsable chart — the docx route
-        # keeps the typed block) contributes nothing to md
-        segs = ([replace_eq_tags(text)] if text else []) + \
-            [escape_markdown(normalize_text(c))
-             for c in b.get("caption", []) if c]
-        return "\n\n".join(segs)
+        # caption-less chart (docx/pptx/xlsx routes): HTML data table
+        # inline; empty content (unparsable chart — the docx route keeps
+        # the typed block) contributes nothing to md
+        return replace_eq_tags(text) if text else ""
     if t in ("table", "image"):
+        # PIPELINE visual segment order (charstream route; reference
+        # pipeline_middle_json_mkcontent.py:70-204): captions BEFORE the
+        # body, '\n\n'-joined, footnotes after
         segs = [escape_markdown(normalize_text(c))
                 for c in b.get("caption", []) if c]
         if t == "table" and text:

@@ -240,6 +240,18 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                 out.append({"content": content, "type": vt})
         return out
 
+    def caption_runs(b: dict) -> list[dict]:
+        # office captions keep their styled run records (reference
+        # _collect_caption_v2 builds v2 caption spans with
+        # merge_para_with_text_v2 over the caption block,
+        # output_builders.py:344-349); charstream captions stay plain
+        caps = b.get("caption", [])
+        recs = b.get("caption_recs") or [None] * len(caps)
+        out: list[dict] = []
+        for c, rec in zip(caps, recs):
+            out.extend(runs_from_records(rec) if rec else runs(c))
+        return out
+
     pages: dict[int, list[dict]] = {}
     for b in blocks:
         t = b["type"]
@@ -264,8 +276,7 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
             item = {"type": "image",
                     "content": {
                         "image_source": {"path": b.get("img_path", "")},
-                        "image_caption": [r for c in b.get("caption", [])
-                                          for r in runs(c)],
+                        "image_caption": caption_runs(b),
                         "image_footnote": [r for f in b.get("footnote", [])
                                            for r in runs(f)]}}
         elif t == "chart":
@@ -276,15 +287,13 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                     "content": {
                         "image_source": {"path": ""},
                         "content": tbl.replace_eq_tags(text),
-                        "chart_caption": [r for c in b.get("caption", [])
-                                          for r in runs(c)]}}
+                        "chart_caption": caption_runs(b)}}
         elif t == "table":
             nest = 2 if text.count("<table") > 1 else 1
             complex_ = ("colspan" in text or "rowspan" in text or nest > 1)
             item = {"type": "table",
                     "content": {
-                        "table_caption": [r for c in b.get("caption", [])
-                                          for r in runs(c)],
+                        "table_caption": caption_runs(b),
                         "table_footnote": [r for f in b.get("footnote", [])
                                            for r in runs(f)],
                         # v2 html is output-formatted (reference
@@ -529,6 +538,13 @@ def _extract_turn_inner(text: str | None, tool: str | None = None) -> dict:
         metrics = dict(_ZERO_METRICS)
         metrics["blocks_classified"] = 1
 
+    if route in ("pptx", "docx", "xlsx"):
+        # office caption machinery (office_magic_model.py: classify →
+        # tie-up-by-index → two-layer attach; see kernels/captions.py):
+        # caption blocks and prefix-promoted texts ride their visual
+        # parent's `caption` list, orphans demote to text
+        from . import captions as captions_kernel
+        blocks = captions_kernel.attach_office_captions(blocks)
     if route in ("html", "pptx", "docx", "xlsx", "office", "plain",
                  "empty"):
         segs = [emit.render_block(b) for b in blocks]

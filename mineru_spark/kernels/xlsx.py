@@ -72,13 +72,15 @@ GAP_PREFERENCE = {1: 0, 0: 1, 2: 2}
 GAP_PREFERENCE_MARGIN = 0.15
 # Defensive bounds for hostile payloads (a web-scale job must survive a
 # merge range claiming a billion cells without allocating it): merge
-# ranges clamp to 256×64 cells (≤4096 ranges), a detected region's bbox
-# walk clamps to 512×512 — far beyond any real sheet fragment, cheap to
-# enforce.
+# ranges clamp to 256×64 cells (≤4096 ranges), total materialized merge
+# membership to 64Ki cells (a fully merged 256×256 area — far beyond any
+# real sheet fragment; it also caps the flood-fill worst case at ~1s
+# instead of ~4s on a hostile all-merge payload), and a detected
+# region's bbox walk to 512×512.
 MAX_MERGE_ROWS = 256
 MAX_MERGE_COLS = 64
 MAX_MERGES = 4096
-MAX_MERGED_CELLS = 262144
+MAX_MERGED_CELLS = 65536
 MAX_REGION_DIM = 512
 
 

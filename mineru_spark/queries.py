@@ -2433,3 +2433,90 @@ ORACLES["q_dup_spans"] = f"""
     FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 RELATIONAL_QUERIES["q_dup_spans"] = q_dup_spans
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (training-data op): score documents against a fixed
+# query-term set — the retrieval primitive behind decontamination probes,
+# eval-set neighbor lookups, and quality spot-checks over a corpus.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "window", "merge", "vector")
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 (Lucene's +1 idf form) over whitespace tokens:
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1),
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl));
+    top-k by rounded score desc, doc_id asc.
+
+    Scale shape: tokens are REDUCED to the query terms per row before
+    anything aggregates — tf comes from a per-row higher-order filter
+    over the tiny exploded term array (map-only, rows ∝ docs×|q|), df
+    is a |q|-row agg that BROADCASTS back, corpus stats are one scalar
+    agg, and the only data-sized shuffle keys on doc_id for the final
+    per-doc sum.  No posting list, no token explode, no pair join —
+    scan-bound at 100 TB with a takeOrdered top-k."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.expr("filter(split(trim(text), ' +'), w -> w != '')")
+                 .alias("toks"))
+         .select("doc_id", F.size("toks").cast("long").alias("dl"),
+                 "toks"))
+    stats = d.agg(F.count("*").cast("long").alias("n_docs"),
+                  F.avg("dl").alias("avgdl"))
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    tf = (d.select("doc_id", "dl", F.explode(terms).alias("term"), "toks")
+          .select("doc_id", "dl", "term",
+                  F.expr("size(filter(toks, w -> w = term))")
+                  .cast("long").alias("tf"))
+          .filter(F.col("tf") > 0))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    k1, b = BM25_K1, BM25_B
+    part = (F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b
+                                   + b * F.col("dl") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", part.alias("_s"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(BM25_TOPK))
+
+
+ORACLES["q_bm25_topk"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), ' +'),
+                         w -> w != '') AS toks
+      FROM documents
+    ), dd AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dd
+    ), tf AS (
+      SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM dd, UNNEST(toks) AS s(t)
+      WHERE t IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY doc_id, dl, t
+    ), dft AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * ({BM25_K1} + 1.0))
+                     / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                          + {BM25_B} * dl / avgdl))), 6)
+             AS bm25
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {BM25_TOPK}
+"""
+RELATIONAL_QUERIES["q_bm25_topk"] = q_bm25_topk

@@ -2686,3 +2686,121 @@ def test_docx_numbered_headings_and_section_numbers():
                         "file_reader")
     assert "# One" in res2["md"] and "## Sub" in res2["md"] \
         and "section_number" not in res2["middle"]
+
+
+# ---------------------------------------------------------------------------
+# office caption machinery (office_magic_model.py classify + tie-up)
+# ---------------------------------------------------------------------------
+
+def test_office_caption_seq_attach_and_md_order():
+    """A SEQ-field Caption paragraph after an image attaches to it
+    (docx_converter.py:3323-3341 → classify → tie-up) and md renders
+    body FIRST then '  \\n'-joined captions (output_builders.py:
+    379-394); a seq-less Caption style stays plain text
+    (branch order docx_converter.py:1568-1595)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "docx_runs", "paras": [
+        {"style": "Normal", "runs": [{"image": {"data_b64": "aGVsbG8="}}]},
+        {"style": "Caption", "seq": True,
+         "runs": [{"text": "Figure 1: "},
+                  {"text": "styled tail", "italic": True}]},
+        {"style": "Caption", "seq": False,
+         "runs": [{"text": "Source: somewhere."}]},
+    ]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    assert out["md"] == (
+        "![](images/2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e730"
+        "43362938b9824.jpg)  \nFigure 1: *styled tail*"
+        "\n\nSource: somewhere.")
+    cl = json.loads(out["content_list"])
+    assert [b["type"] for b in cl] == ["image", "text"]
+    assert cl[0]["image_caption"] == ["Figure 1: *styled tail*"]
+    # v2 keeps the styled caption runs (caption_recs path)
+    v2 = json.loads(out["content_list_v2"])
+    cap_runs = v2[0][0]["content"]["image_caption"]
+    assert cap_runs == [
+        {"content": "Figure 1:", "type": "text"},
+        {"content": "styled tail", "type": "text", "style": ["italic"]}]
+
+
+def test_office_caption_promotion_contiguity_and_orphan():
+    """Prefix promotion of the text after a visual
+    (classify_caption_blocks rule 5), a before-caption via the
+    next-parent rule, the {body}-gap contiguity bridge
+    (fix_two_layer_blocks, office_magic_model.py:688-696), and orphan
+    demotion to text."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "docx_runs", "paras": [
+        {"style": "Caption", "seq": True,
+         "runs": [{"text": "Table 1: before."}]},
+        {"style": "Table", "rows": [[{"text": "h"}], [{"text": "v"}]]},
+        {"style": "Normal", "runs": [{"text": "Table 1. after."}]},
+        {"style": "Normal", "runs": [{"text": "plain body text."}]},
+        {"style": "Caption", "seq": True,
+         "runs": [{"text": "Figure 7: orphan."}]},
+        {"style": "Normal", "runs": [{"text": "closing text."}]},
+    ]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    cl = json.loads(out["content_list"])
+    assert [b["type"] for b in cl] == ["table", "text", "text", "text"]
+    # both captions attached in index order (before-caption first)
+    assert cl[0]["table_caption"] == ["Table 1: before.", "Table 1. after."]
+    assert cl[1]["text"] == "plain body text."
+    assert cl[2]["text"] == "Figure 7: orphan."
+    # md: table html, then captions '  \n'-joined after the body
+    assert ("</table>\n  \nTable 1: before.  \nTable 1. after."
+            in out["md"])
+
+
+def test_office_caption_tie_up_effective_distance():
+    """Two tables with two captions between them: each caption attaches
+    by EFFECTIVE index distance (other same-kind captions in the gap
+    don't count — calc_effective_index_diff,
+    magic_model_utils.py:86-106), ties going to the FIRST body
+    (include_bbox=False, :120-121)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    # layout: T1, cap_a, cap_b, T2
+    # cap_a: diff(T1)=1; diff(T2)=2-1(other cap between)=1 → tie → T1
+    # cap_b: diff(T1)=2-1=1; diff(T2)=1 → tie → T1 as well (first body)
+    # continuity on T1: caps desc [2,1] contiguous → both kept
+    doc = {"kind": "docx_runs", "paras": [
+        {"style": "Table", "rows": [[{"text": "t1"}]]},
+        {"style": "Caption", "seq": True, "runs": [{"text": "Table A."}]},
+        {"style": "Caption", "seq": True, "runs": [{"text": "Table B."}]},
+        {"style": "Table", "rows": [[{"text": "t2"}]]},
+    ]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    cl = json.loads(out["content_list"])
+    tables = [b for b in cl if b["type"] == "table"]
+    assert tables[0]["table_caption"] == ["Table A.", "Table B."]
+    assert tables[1]["table_caption"] == []
+
+
+def test_pptx_caption_promotion_after_picture():
+    """A pptx text shape starting with 'Fig' right after a picture
+    promotes to an image caption through the shared office pass."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    doc = {"kind": "pptx_shapes", "slides": [{"shapes": [
+        {"bbox": [100.0, 100.0, 300.0, 300.0], "kind": "image",
+         "data_b64": "aGVsbG8="},
+        {"bbox": [100.0, 320.0, 300.0, 350.0], "kind": "body",
+         "text": "Fig 1: a slide picture."},
+    ]}]}
+    out = extract_turn(json.dumps(doc), "file_reader")
+    cl = json.loads(out["content_list"])
+    imgs = [b for b in cl if b["type"] == "image"]
+    assert len(imgs) == 1
+    assert imgs[0]["image_caption"] == ["Fig 1: a slide picture."]
+    assert not any(b["type"] == "text" for b in cl)

@@ -345,3 +345,19 @@ def test_dup_spans_partial_overlap_and_plan(spark, tmp_path):
     plan = _plan(q_dup_spans(spark, SF))
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25 top-k: the only data-sized shuffle keys on doc_id for the
+    final per-doc sum; the |q|-row df table and the 1-row corpus stats
+    BROADCAST (hash join + nested-loop cross); top-k is TakeOrdered.
+    No Python, no CartesianProduct — scan-bound at 100 TB."""
+    from mineru_spark.queries import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, SF))
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("BroadcastExchange") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
