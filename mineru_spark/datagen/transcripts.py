@@ -1189,6 +1189,14 @@ def _gen_docx(rng: random.Random) -> str:
                 row.append(cell)
                 c += adv
             rows.append(row)
+        # ~12%: inflate one data row's gridSpan when the table carries
+        # no rowspan (the mammoth virtual-grid artifact) — the kernel's
+        # _normalize_table_colspans analog must shrink it back to the
+        # modal row width (docx_converter.py:1284-1372)
+        has_rowspan = any("rowspan" in c for row in rows for c in row)
+        if not has_rowspan and rng.random() < 0.12:
+            ri = 1 + rng.randint(0, nrows - 1)
+            rows[ri][0]["colspan"] = int(rows[ri][0].get("colspan", 1)) + 1
         # ~12% a SEQ caption BEFORE the table (next-parent rule), ~5%
         # with an after-caption too (the {body} gap is contiguous,
         # fix_two_layer_blocks office_magic_model.py:688-696); ~16% a

@@ -397,7 +397,13 @@ def _table_grid(rows_payload: list):
                                  header=bool(c.get("header"))))
         if crow:
             cell_rows.append(crow)
-    return tbl.grid_from_rows(cell_rows) if cell_rows else None
+    if not cell_rows:
+        return None
+    # mammoth gridSpan artifact fix before the occupancy resolve
+    # (reference _normalize_table_colspans, docx_converter.py:1284-1372,
+    # applied to every docx table at :1264/:1277)
+    tbl.normalize_row_colspans(cell_rows)
+    return tbl.grid_from_rows(cell_rows)
 
 
 def _detect_heading_numids(paras: list) -> set:

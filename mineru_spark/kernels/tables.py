@@ -159,6 +159,39 @@ def grid_from_rows(rows: list[list[Cell]]) -> TableGrid | None:
     return grid if grid.rows else None
 
 
+def normalize_row_colspans(rows: list[list[Cell]]) -> None:
+    """Fix mammoth gridSpan artifacts in borderless DOCX tables
+    (reference _normalize_table_colspans, docx_converter.py:1284-1372;
+    call sites :1264/:1277 — the docx table path only): w:gridSpan comes
+    from Word's virtual grid and can inflate a row's effective column
+    count.  When NO cell carries rowspan > 1 (rowspans break the
+    per-row sum assumption — the reference skips the table), compute
+    each row's colspan sum, take the MOST COMMON sum as the target
+    (Counter.most_common: ties go to the count seen first), and shrink
+    over-wide rows left-to-right starting at the first colspan > 1 cell
+    (each shrinks by at most span − 1).  Rows below the target and
+    single-count tables are untouched.  In place."""
+    from collections import Counter
+
+    if any(c.rowspan > 1 for row in rows for c in row):
+        return
+    counts = [sum(max(1, c.colspan) for c in row) for row in rows]
+    if len(set(counts)) <= 1:
+        return
+    target = Counter(counts).most_common(1)[0][0]
+    for row, count in zip(rows, counts):
+        if count <= target:
+            continue
+        excess = count - target
+        for c in row:
+            if excess <= 0:
+                break
+            if c.colspan > 1:
+                reduce_by = min(c.colspan - 1, excess)
+                c.colspan -= reduce_by
+                excess -= reduce_by
+
+
 def span_of(value) -> int:
     """Tolerant rowspan/colspan attribute parse (shared contract with
     _TableParser)."""

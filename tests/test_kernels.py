@@ -2804,3 +2804,66 @@ def test_pptx_caption_promotion_after_picture():
     assert len(imgs) == 1
     assert imgs[0]["image_caption"] == ["Fig 1: a slide picture."]
     assert not any(b["type"] == "text" for b in cl)
+
+
+def test_docx_table_colspan_normalize():
+    """Mammoth gridSpan artifact fix (_normalize_table_colspans,
+    docx_converter.py:1284-1372): over-wide rows shrink left-to-right
+    to the MODAL column count; rowspan tables and already-consistent
+    tables are untouched; under-target rows stay as-is."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def table_md(rows):
+        doc = {"kind": "docx_runs",
+               "paras": [{"style": "Table", "rows": rows}]}
+        return extract_turn(json.dumps(doc), "file_reader")["md"]
+
+    # 3 rows of width 2, one row inflated to width 3 → shrinks back
+    rows = [[{"text": "a", "header": True}, {"text": "b", "header": True}],
+            [{"text": "c", "colspan": 2}, {"text": "d"}],   # width 3
+            [{"text": "e"}, {"text": "f"}]]
+    assert table_md(rows) == (
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>c</td><td>d</td></tr>"
+        "<tr><td>e</td><td>f</td></tr></table>")
+
+    # with a rowspan anywhere the fix is skipped: the occupancy algebra
+    # resolves the inflated row by widening the grid instead
+    rows = [[{"text": "a", "rowspan": 2}, {"text": "b"}],
+            [{"text": "c", "colspan": 2}],                  # width 3
+            [{"text": "d"}, {"text": "e"}]]
+    md = table_md(rows)
+    assert 'colspan="2"' in md and 'rowspan="2"' in md
+
+    # modal TIE (two rows each of width 2 and 3): Counter.most_common
+    # keeps the count seen FIRST (width 2 from row 0) → width-3 rows
+    # shrink
+    rows = [[{"text": "a"}, {"text": "b"}],
+            [{"text": "g"}, {"text": "h"}],
+            [{"text": "c", "colspan": 2}, {"text": "d"}],   # width 3
+            [{"text": "e"}, {"text": "f", "colspan": 2}]]   # width 3
+    assert table_md(rows) == (
+        "<table><tr><td>a</td><td>b</td></tr>"
+        "<tr><td>g</td><td>h</td></tr>"
+        "<tr><td>c</td><td>d</td></tr>"
+        "<tr><td>e</td><td>f</td></tr></table>")
+    # clear majority the other way: width 3 is modal, width-2 rows are
+    # UNDER target and stay untouched
+    rows = [[{"text": "a"}, {"text": "b"}],
+            [{"text": "c", "colspan": 2}, {"text": "d"}],   # width 3
+            [{"text": "e"}, {"text": "f"}, {"text": "g"}]]  # width 3
+    assert table_md(rows) == (
+        "<table><tr><td>a</td><td>b</td></tr>"
+        '<tr><td colspan="2">c</td><td>d</td></tr>'
+        "<tr><td>e</td><td>f</td><td>g</td></tr></table>")
+
+    # an UNDER-target row is never padded or widened
+    rows = [[{"text": "a"}, {"text": "b"}],
+            [{"text": "c"}],
+            [{"text": "d"}, {"text": "e"}]]
+    assert table_md(rows) == (
+        "<table><tr><td>a</td><td>b</td></tr>"
+        "<tr><td>c</td></tr>"
+        "<tr><td>d</td><td>e</td></tr></table>")
