@@ -2520,3 +2520,55 @@ ORACLES["q_bm25_topk"] = f"""
     LIMIT {BM25_TOPK}
 """
 RELATIONAL_QUERIES["q_bm25_topk"] = q_bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (training-data op): symmetric max-abs
+# quantization of the embedding column — the storage/serving compaction
+# step between embedding generation and ANN index build (4x smaller
+# vectors; the IVF/SRP operators above consume either form).
+# ---------------------------------------------------------------------------
+
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization per vector: amax = max|x|,
+    q_i = clamp(round(x_i * 127 / amax), ±127), scale = amax/127
+    (an all-zero vector quantizes to zeros with scale 0).  The quantize
+    expression is written with the IDENTICAL operation order
+    (x*127/amax) in both engines so IEEE double rounding matches bit
+    for bit.
+
+    Scale shape: pure per-row higher-order expressions — map-only, no
+    shuffle, no Python; at 100 TB this is a scan-bound rewrite pass."""
+    e = _t(spark, sf_dir, "embeddings")
+    amax = ("aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")
+    q = ("CASE WHEN _amax > 0.0 THEN "
+         "transform(embedding, x -> CAST(least(127.0, greatest(-127.0, "
+         "round(CAST(x AS DOUBLE) * 127.0 / _amax))) AS INT)) "
+         "ELSE transform(embedding, x -> 0) END")
+    return (e.select("vec_id", "embedding",
+                     F.expr(amax).alias("_amax"))
+            .select("vec_id",
+                    F.size("embedding").cast("long").alias("dim"),
+                    F.round(F.col("_amax") / 127.0, 9).alias("scale"),
+                    F.expr(q).alias("qvec")))
+
+
+ORACLES["q_embed_quantize"] = """
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(amax / 127.0, 9) AS scale,
+           CASE WHEN amax > 0.0 THEN
+             list_transform(embedding, x -> CAST(least(127.0,
+               greatest(-127.0, round(CAST(x AS DOUBLE) * 127.0 / amax)))
+               AS INTEGER))
+           ELSE list_transform(embedding, x -> 0) END AS qvec
+    FROM base
+"""
+RELATIONAL_QUERIES["q_embed_quantize"] = q_embed_quantize

@@ -361,3 +361,14 @@ def test_bm25_topk_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_embed_quantize_is_map_only(spark):
+    """int8 quantization is per-row higher-order expressions only:
+    no Exchange, no Python — a scan-bound rewrite pass at 100 TB."""
+    from mineru_spark.queries import q_embed_quantize
+
+    plan = _plan(q_embed_quantize(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
