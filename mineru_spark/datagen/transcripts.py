@@ -994,10 +994,14 @@ def _gen_docx(rng: random.Random) -> str:
                       "runs": [{"text": _sentence(rng, 3, 6).title()}]})
     h1 = {"style": "Heading1",
           "runs": [{"text": _sentence(rng, 3, 6).title()}]}
-    if head_anchor is not None:
+    if head_anchor is not None and rng.random() >= 0.15:
         # the first TOC anchor lands on the heading it targets
         # (bookmarkStart extraction, docx_converter.py:3017-3042) →
-        # md/content_list/middle all carry the target
+        # md/content_list/middle all carry the target; the OTHER TOC
+        # anchors dangle and must lose their links
+        # (_link_index_entries_by_anchor).  ~15% of TOC docs mount NO
+        # body anchor at all — the reference's early-return quirk then
+        # keeps every TOC link
         h1["anchor"] = head_anchor
     paras.append(h1)
     # one numbering chain id per doc: a later group with the same numId

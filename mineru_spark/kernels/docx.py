@@ -501,6 +501,37 @@ def _assign_section_numbers(blocks: list[dict]) -> None:
                             counters[d] = 0
 
 
+def _mount_toc_anchor_links(blocks: list[dict]) -> None:
+    """Validate TOC entry anchors against the parsed body blocks, then
+    mount [text](#anchor) links (reference _link_index_entries_by_anchor,
+    model_output_to_middle_json.py:94-123 + the leaf render
+    output_builders.py:269-292): an entry keeps its anchor only when
+    some body block carries that bookmark; dangling anchors are removed
+    so no dead internal link renders.  QUIRK preserved: when NO body
+    block carries any anchor the reference returns before filtering, so
+    every TOC anchor survives and links mount for all of them."""
+    valid = {b["anchor"].strip() for b in blocks
+             if isinstance(b.get("anchor"), str) and b["anchor"].strip()}
+    for b in blocks:
+        items = b.get("toc_items")
+        if b.get("type") != "index" or not items:
+            continue
+        lines: list[str] = []
+        for it in items:
+            a = it.get("anchor")
+            a = a.strip() if isinstance(a, str) else ""
+            if a and valid and a not in valid:
+                it.pop("anchor", None)
+                a = ""
+            elif a:
+                it["anchor"] = a
+            text = it["text"]
+            if a:
+                text = f"[{text}](#{_escape_link_url(a)})"
+            lines.append(f"{'    ' * it['ilevel']}- {text}")
+        b["text"] = "\n".join(lines)
+
+
 def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     blocks: list[dict] = []
     tables_parsed = 0
@@ -568,10 +599,10 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 lvl = _correct_toc_level_by_text(
                     max(0, it["ilvl"] - base), it["plain"])
                 indent = "    " * lvl
-                text = it["md"]
-                if it["anchor"]:
-                    text = f"[{text}](#{_escape_link_url(it['anchor'])})"
-                lines.append(f"{indent}- {text}")
+                # link mounting deferred: _mount_toc_anchor_links
+                # validates anchors against the parsed body blocks at
+                # document end, then mounts [text](#anchor)
+                lines.append(f"{indent}- {it['md']}")
                 rec = {"text": it["md"], "ilevel": lvl,
                        "prefix": f"{indent}-", "recs": it["recs"]}
                 if it["anchor"]:
@@ -879,6 +910,7 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
     flush_list()
     flush_toc()
     _assign_section_numbers(blocks)
+    _mount_toc_anchor_links(blocks)
     discarded = _header_footer_blocks(payload)
     blocks.extend(discarded)
     return blocks, {"blocks_classified": len(blocks) - len(discarded),

@@ -2117,7 +2117,10 @@ def test_docx_hierarchical_toc_index():
     body tails kept, tabs→spaces), uniform-style collapse, TOC
     hyperlinks render visible text only, anchors mount as internal
     links, the anchor-less cover guard, and the bookmark target on the
-    heading (md <a id> line + content_list/middle anchor fields)."""
+    heading (md <a id> line + content_list/middle anchor fields).
+    The _Toc22222222 entry's anchor DANGLES (no body block carries it)
+    so its link is stripped by the validation pass
+    (_link_index_entries_by_anchor)."""
     import json
 
     from mineru_spark.kernels.oracle import extract_turn
@@ -2148,7 +2151,7 @@ def test_docx_hierarchical_toc_index():
     assert ("Cover Line\n\n"
             "- [Introduction](#_Toc11111111)\n"
             "    - 4.1 Scope\n"
-            "    - [*Details of work*](#_Toc22222222)\n"
+            "    - *Details of work*\n"
             "- Methods see chapter notes\n"
             "- Linked entry\n\n"
             '<a id="_Toc11111111"></a>\n# Introduction') == out["md"]
@@ -2157,7 +2160,7 @@ def test_docx_hierarchical_toc_index():
     assert idx["list_items"] == [
         "- [Introduction](#_Toc11111111)",
         "    - 4.1 Scope",
-        "    - [*Details of work*](#_Toc22222222)",
+        "    - *Details of work*",
         "- Methods see chapter notes",
         "- Linked entry"]
     title = next(b for b in cl if b["type"] == "title")
@@ -2168,6 +2171,7 @@ def test_docx_hierarchical_toc_index():
     assert [it["ilevel"] for it in items] == [0, 1, 1, 0, 0]
     assert items[0]["prefix"] == "-" and items[1]["prefix"] == "    -"
     assert items[0]["anchor"] == "_Toc11111111"
+    assert "anchor" not in items[2]     # dangling anchor removed
     assert "anchor" not in items[3]
     # v2 keeps the typed hyperlink run with its url
     assert items[4]["item_content"] == [
@@ -2867,3 +2871,38 @@ def test_docx_table_colspan_normalize():
         "<table><tr><td>a</td><td>b</td></tr>"
         "<tr><td>c</td></tr>"
         "<tr><td>d</td><td>e</td></tr></table>")
+
+
+def test_toc_anchor_link_validation():
+    """TOC anchors validate against body-block bookmarks
+    (_link_index_entries_by_anchor, model_output_to_middle_json.py:
+    94-123): a dangling anchor loses its link AND its anchor field;
+    when NO body block carries any anchor the reference returns early
+    and every TOC link survives (quirk preserved)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def doc(mount_on_heading):
+        h1 = {"style": "Heading1", "runs": [{"text": "Target"}]}
+        if mount_on_heading:
+            h1["anchor"] = "_Toc11111111"
+        return {"kind": "docx_runs", "paras": [
+            {"style": "TOC", "ilvl": 0, "anchor": "_Toc11111111",
+             "runs": [{"text": "Alpha"}]},
+            {"style": "TOC", "ilvl": 1, "anchor": "_Toc99999999",
+             "runs": [{"text": "Beta"}]},
+            h1,
+        ]}
+
+    out = extract_turn(json.dumps(doc(True)), "file_reader")
+    assert "- [Alpha](#_Toc11111111)" in out["md"]
+    assert "[Beta]" not in out["md"] and "- Beta" in out["md"]
+    v2 = json.loads(out["content_list_v2"])
+    leaf = [x for pg in v2 for x in pg if x["type"] == "list"]
+    # dangling anchor removed from the structured items too
+    assert "_Toc99999999" not in out["content_list_v2"]
+
+    out2 = extract_turn(json.dumps(doc(False)), "file_reader")
+    assert "- [Alpha](#_Toc11111111)" in out2["md"]
+    assert "    - [Beta](#_Toc99999999)" in out2["md"]
