@@ -948,7 +948,9 @@ def _gen_docx(rng: random.Random) -> str:
                 # uniform-style item: every run shares one style → ONE
                 # marker around the joined text
                 style_key = "italic" if ed < 0.2 else "bold"
-                runs = [{"text": entry, style_key: True},
+                # runs carry their own whitespace (Word concatenates run
+                # texts directly; the converter adds no separators)
+                runs = [{"text": entry + " ", style_key: True},
                         {"text": _sentence(rng, 1, 2), style_key: True}]
             elif ed < 0.32:
                 runs = [{"text": entry},
@@ -968,7 +970,7 @@ def _gen_docx(rng: random.Random) -> str:
                 tgt = runs[-1] if "math" not in runs[-1] else runs[0]
                 tgt["text"] = str(tgt.get("text", "")) + "\t" + tok
             elif td < 0.45:
-                runs.append({"text": "see\tchapter notes"})
+                runs.append({"text": " see\tchapter notes"})
             elif td < 0.6:
                 runs.append({"text": str(rng.randint(1, 40)),
                              "hidden": True})
@@ -1035,14 +1037,19 @@ def _gen_docx(rng: random.Random) -> str:
                                       "runs": [{"text":
                                                 _sentence(rng, 2, 4)}]})
         else:
+            # runs carry their OWN whitespace like real Word runs (the
+            # converter concatenates run texts with no separator;
+            # inline_renderer joins parts with '').  The joiner space
+            # attaches to either the preceding or the following run.
             runs = []
             for _k in range(rng.randint(1, 4)):
                 run = {"text": _sentence(rng, 3, 8, special=True) + ".",
                        "bold": rng.random() < 0.2,
                        "italic": rng.random() < 0.15}
-                # full style chain (r4): underline/strikethrough render
-                # as HTML tags (reference complex styles), super/sub as
-                # <sup>/<sub>; all land in v2 style lists
+                # full style chain (r4): underline/strikethrough/super/
+                # subscript (+ emphasis, r5) are COMPLEX styles — one
+                # such run switches the whole block to HTML inline tags
+                # (inline_renderer.py:559-582)
                 sd = rng.random()
                 if sd < 0.06:
                     run["underline"] = True
@@ -1050,8 +1057,45 @@ def _gen_docx(rng: random.Random) -> str:
                     run["strikethrough"] = True
                 elif sd < 0.13:
                     run["script"] = "super" if sd < 0.115 else "sub"
+                elif sd < 0.15:
+                    run["emphasis"] = True
+                if runs:
+                    if rng.random() < 0.5:
+                        runs[-1]["text"] = str(runs[-1]["text"]) + " "
+                    else:
+                        run["text"] = " " + run["text"]
                 runs.append(run)
-            # OMML inline math run (oMath2Latex analog: latex on the run)
+            rcd = rng.random()
+            if rcd < 0.12 and runs:
+                # mid-word split: one run's sentence splits at an interior
+                # character into two SAME-STYLE runs — they must regroup
+                # into one wrapper and concatenate seamlessly
+                # (_append_markdown_grouped_text_parts,
+                # inline_renderer.py:753-790)
+                ri = rng.randint(0, len(runs) - 1)
+                t = str(runs[ri]["text"])
+                if len(t) > 6:
+                    cut = rng.randint(2, len(t) - 3)
+                    left = dict(runs[ri]); right = dict(runs[ri])
+                    left["text"], right["text"] = t[:cut], t[cut:]
+                    runs[ri:ri + 1] = [left, right]
+            elif rcd < 0.18:
+                # markdown boundary-space rule: a bold run ending in
+                # punctuation directly abuts a plain text run — the
+                # renderer must insert ONE space so CommonMark can close
+                # the wrapper (_needs_markdown_boundary_space :194-222)
+                runs.append({"text": " " + _sentence(rng, 1, 2) + ":",
+                             "bold": True})
+                runs.append({"text": _sentence(rng, 2, 4) + "."})
+            elif rcd < 0.23 and runs:
+                # visible-space run: whitespace styled underline /
+                # strikethrough renders as '_'/'-' markers
+                # (_render_visible_space_marker_text :317-356)
+                key = "underline" if rcd < 0.205 else "strikethrough"
+                runs.append({"text": " " * rng.randint(1, 3), key: True})
+                runs.append({"text": _sentence(rng, 2, 4) + "."})
+            # OMML inline math run (oMath2Latex analog: latex on the run;
+            # the join pads inline equations with spaces, :230-240)
             if rng.random() < 0.15:
                 runs.append({"math": rng.choice(
                     (r"E=mc^2", r"\sum_{i} x_i", r"a_n"))})
@@ -1068,9 +1112,13 @@ def _gen_docx(rng: random.Random) -> str:
                     "https://example.org/p(1)?q=2",
                     "https://example.org/docs#s3",
                     "", "."))
+                if runs:
+                    runs[-1]["text"] = str(runs[-1].get("text", "")) + " "
                 if hld < 0.08:
                     # split styled group: two adjacent runs, one target
-                    runs.append({"text": _sentence(rng, 1, 2),
+                    # (a mixed-style label forces the whole block to
+                    # HTML via _hyperlink_requires_html :494-516)
+                    runs.append({"text": _sentence(rng, 1, 2) + " ",
                                  "bold": True, "link": url})
                     runs.append({"text": _sentence(rng, 1, 2),
                                  "link": url})
@@ -1080,7 +1128,7 @@ def _gen_docx(rng: random.Random) -> str:
                         label = f"see [{label}]"
                     runs.append({"text": label, "link": url,
                                  "italic": rng.random() < 0.3})
-                runs.append({"text": _sentence(rng, 2, 4) + "."})
+                runs.append({"text": " " + _sentence(rng, 2, 4) + "."})
             paras.append({"style": "Normal", "runs": runs})
             # occasional inline picture: image-run paragraph (reference
             # picture refs -> IMAGE blocks); sometimes image-only
@@ -1287,7 +1335,7 @@ def _gen_docx(rng: random.Random) -> str:
                 fparas = [[{"text": str(rng.randint(1, 99))}]]
             elif fd < 0.55:
                 # footer with a hyperlink run (full run machinery)
-                fparas = [[{"text": _sentence(rng, 1, 3)},
+                fparas = [[{"text": _sentence(rng, 1, 3) + " "},
                            {"text": _sentence(rng, 1, 2),
                             "link": "https://example.org/legal"}]]
             else:
@@ -1585,11 +1633,12 @@ def _gen_pptx(rng: random.Random) -> str:
                 # styled/hyperlink body runs through the shared office
                 # run machinery (reference routes pptx runs through the
                 # same office_rich_text helpers as docx)
-                runs = [{"text": _sentence(rng, 3, 6) + "."},
+                runs = [{"text": _sentence(rng, 3, 6) + ". "},
                         {"text": _sentence(rng, 1, 3),
                          "bold": rng.random() < 0.5,
                          "italic": rng.random() < 0.3}]
                 if rng.random() < 0.4:
+                    runs[-1]["text"] = str(runs[-1]["text"]) + " "
                     runs.append({"text": _sentence(rng, 1, 2),
                                  "link": f"https://example.org/s/{sidx}"})
                 if rng.random() < 0.3:

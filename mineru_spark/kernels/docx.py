@@ -83,38 +83,23 @@ def _valid_link_target(target) -> bool:
     return bool(t and t != ".")
 
 
-def _escape_link_label(text: str) -> str:
-    """Square brackets break the []() form — the reference escapes them in
-    link text (_escape_hyperlink_text, docx_converter.py:209-222); the
-    shared conservative escape handles the rest."""
-    return emit.escape_markdown(emit.normalize_text(text)) \
-        .replace("[", "\\[").replace("]", "\\]")
-
-
 def _escape_link_url(url: str) -> str:
     """Parens break the []() form — %-encode them (reference
-    _escape_hyperlink_url, docx_converter.py:226-240)."""
+    _escape_hyperlink_url, docx_converter.py:226-240; the helper is
+    latent in the current snapshot but kept for markdown validity)."""
     return str(url).strip().replace("(", "%28").replace(")", "%29")
 
 
-# pure-markdown wrapper per style SET (reference
-# OFFICE_MARKDOWN_STYLE_WRAPPERS, inline_renderer.py:29-34); any other
-# combination renders with the HTML tag nesting of _apply_html_style
-# (:91-117) — the reference switches such blocks to HTML inline syntax,
-# we apply the same tags at run granularity
-_MD_STYLE_WRAPPERS = {
-    frozenset({"bold"}): "**",
-    frozenset({"italic"}): "*",
-    frozenset({"strikethrough"}): "~~",
-    frozenset({"bold", "italic"}): "***",
-}
+_VISIBLE_SPACE_STYLES = ("underline", "emphasis", "strikethrough")
 
 
 def _run_styles(r: dict) -> tuple[str, ...]:
     """Ordered style names of a run (reference formatting_to_style_str,
-    office_rich_text.py:44-62; script 'super'/'sub' → super/subscript)."""
+    office_rich_text.py:44-62: bold, italic, underline, emphasis,
+    strikethrough, then super/subscript)."""
     styles = []
-    for k in ("bold", "italic", "underline", "strikethrough"):
+    for k in ("bold", "italic", "underline", "emphasis",
+              "strikethrough"):
         if r.get(k):
             styles.append(k)
     if r.get("script") == "super":
@@ -124,76 +109,74 @@ def _run_styles(r: dict) -> tuple[str, ...]:
     return tuple(styles)
 
 
-def _apply_styles(t: str, styles: tuple[str, ...]) -> str:
-    if not styles or not t:
-        return t
-    key = frozenset(styles)
-    wrapper = _MD_STYLE_WRAPPERS.get(key)
-    if wrapper:
-        return f"{wrapper}{t}{wrapper}"
-    # HTML nesting, innermost first (inline_renderer.py:91-117)
-    if "superscript" in key:
-        t = f"<sup>{t}</sup>"
-    elif "subscript" in key:
-        t = f"<sub>{t}</sub>"
-    if "underline" in key:
-        t = f"<u>{t}</u>"
-    if "bold" in key:
-        t = f"<strong>{t}</strong>"
-    if "italic" in key:
-        t = f"<em>{t}</em>"
-    if "strikethrough" in key:
-        t = f"<s>{t}</s>"
-    return t
+def _norm_blank_styles(content: str,
+                       styles: tuple[str, ...]) -> tuple[str, ...]:
+    """Blank-run style normalization (reference normalize_format_for_text,
+    office_rich_text.py:88-115): a whitespace-only run drops its
+    non-visible bold/italic; if no visible style (underline / emphasis /
+    strikethrough) remains, the whole style set drops."""
+    if content.strip() or not styles:
+        return styles
+    if not any(s in _VISIBLE_SPACE_STYLES for s in styles):
+        return ()
+    return tuple(s for s in styles if s not in ("bold", "italic"))
 
 
-def _styled_md(text: str, styles: tuple[str, ...], *, link: bool = False) -> str:
-    t = (_escape_link_label(text) if link
-         else emit.escape_markdown(emit.normalize_text(text)))
-    if not t:
-        return ""
-    return _apply_styles(t, styles)
+def _record_of(content: str, styles: tuple[str, ...]):
+    """One text span → one typed v2 record (oracle.runs_from_records):
+    (type, content) with type text|bold|italic|bold_italic, or
+    ("styled", content, [styles...]) for the full chain.  Content is
+    normalized (the repo's v2 contract); a whitespace-only span with a
+    VISIBLE style keeps its raw width-normalized content so the span
+    survives — reference _span_has_content_for_v2
+    (output_builders.py:716-731)."""
+    plain = emit.normalize_text(content)
+    if not plain:
+        if content and any(s in ("underline", "strikethrough")
+                           for s in styles):
+            return ("styled", emit.fullwidth_to_halfwidth(content),
+                    list(styles))
+        return None
+    sset = frozenset(styles)
+    if not styles:
+        return ("text", plain)
+    if sset == {"bold", "italic"}:
+        return ("bold_italic", plain)
+    if sset in ({"bold"}, {"italic"}):
+        return (styles[0], plain)
+    return ("styled", plain, list(styles))
 
 
-def _render_runs(runs: list) -> tuple[str, list[tuple]]:
-    """Inline runs → (markdown text, typed run records).
+def _spans_and_records(runs: list) -> tuple[list, list]:
+    """Payload runs → (inline span stream, typed v2 records).
 
-    Records feed content_list_v2's span runs (oracle._content_list_v2_json
-    runs_from_records): 2-tuples (type, content) with type in
-    text|bold|italic|bold_italic|inline_equation, plus 3-tuple
-    ("hyperlink", label, url) for link runs.
-
-    Hyperlinks: consecutive runs sharing one valid target render as ONE
-    link — Word splits a styled link into several runs and the reference
-    groups them back (format_hyperlink_group / _format_hyperlink_segments,
-    office_rich_text.py:195-228) — with per-run bold/italic styling kept
-    INSIDE the label (_render_hyperlink_children_label,
-    inline_renderer.py:830-842) and the []()-breaking characters escaped
-    (docx_converter.py:209-240).  An invalid target (None/blank/'.')
-    degrades to plain styled text, like format_text_with_hyperlink's
-    fallback (office_rich_text.py:180-192)."""
-    parts: list[str] = []
-    records: list[tuple] = []
+    Spans feed the shared office inline renderer (kernels/inline.py, the
+    inline_renderer.py analog); records feed content_list_v2
+    (oracle.runs_from_records).  Runs carry their OWN whitespace like
+    Word's (the converter concatenates run texts directly); hidden runs
+    (webHidden TOC page-number fields) drop; consecutive runs sharing
+    one valid link target group into ONE hyperlink span with styled
+    children (format_hyperlink_group / _format_hyperlink_segments,
+    office_rich_text.py:195-228; invalid targets — None/blank/'.' —
+    degrade to plain styled text per :180-192)."""
+    spans: list = []
+    records: list = []
     i, n = 0, len(runs)
     while i < n:
         r = runs[i]
-        if not isinstance(r, dict):
+        if not isinstance(r, dict) or r.get("hidden"):
             i += 1
             continue
-        if r.get("hidden"):
-            i += 1
-            continue  # webHidden: TOC page-number field runs
         if "math" in r:
             m = r.get("math")
             m = m.strip() if isinstance(m, str) else ""
             if m:
-                parts.append(f"${m}$")
+                spans.append({"type": "inline_equation", "content": m})
                 records.append(("inline_equation", m))
             i += 1
             continue
         link = r.get("link")
         if _valid_link_target(link):
-            # greedily take the whole same-target group
             group = [r]
             j = i + 1
             while j < n and isinstance(runs[j], dict) \
@@ -202,36 +185,48 @@ def _render_runs(runs: list) -> tuple[str, list[tuple]]:
                     and str(runs[j].get("link", "")) == str(link):
                 group.append(runs[j])
                 j += 1
-            label_md = " ".join(
-                s for s in (_styled_md(str(g.get("text", "")),
-                                       _run_styles(g), link=True)
-                            for g in group) if s)
-            label_plain = " ".join(
-                s for s in (emit.normalize_text(str(g.get("text", "")))
-                            for g in group) if s)
-            if label_md:
-                parts.append(f"[{label_md}]({_escape_link_url(link)})")
-                records.append(("hyperlink", label_plain, str(link).strip()))
+            children = []
+            for g in group:
+                raw = emit.fullwidth_to_halfwidth(str(g.get("text", "")))
+                st = _norm_blank_styles(raw, _run_styles(g))
+                children.append({"type": "text", "content": raw,
+                                 "style": list(st)})
+            label_plain = emit.normalize_text(
+                "".join(c["content"] for c in children))
+            if label_plain:
+                spans.append({"type": "hyperlink",
+                              "url": _escape_link_url(link),
+                              "children": children})
+                records.append(("hyperlink", label_plain,
+                                str(link).strip()))
             i = j
             continue
-        styles = _run_styles(r)
-        t = _styled_md(str(r.get("text", "")), styles)
-        if t:
-            parts.append(t)
-            plain = emit.normalize_text(str(r.get("text", "")))
-            sset = frozenset(styles)
-            if not styles:
-                records.append(("text", plain))
-            elif sset == {"bold", "italic"}:
-                records.append(("bold_italic", plain))
-            elif sset in ({"bold"}, {"italic"}):
-                records.append((styles[0], plain))
-            else:
-                # full style chain → generic styled record with the
-                # ordered style list (v2 text run with style=[...])
-                records.append(("styled", plain, list(styles)))
+        raw = emit.fullwidth_to_halfwidth(str(r.get("text", "")))
+        if raw:
+            styles = _norm_blank_styles(raw, _run_styles(r))
+            spans.append({"type": "text", "content": raw,
+                          "style": list(styles)})
+            rec = _record_of(raw, styles)
+            if rec is not None:
+                records.append(rec)
         i += 1
-    return " ".join(parts), records
+    return spans, records
+
+
+def _render_runs(runs: list) -> tuple[str, list[tuple]]:
+    """Inline runs → (UNFINALIZED paragraph text, typed run records).
+
+    The text is the reference's merge_para_with_text render core
+    (kernels/inline.py): block-level markdown/HTML syntax selection,
+    style-key grouping, visible-space markers, equation padding and the
+    markdown boundary-space rule.  NO text-block post-processing is
+    applied — callers finalize per block kind (inline.finalize_text_block
+    for TEXT blocks and list items, .strip() for titles/captions, per
+    merge_para_with_text :954-959 and output_builders.py:93)."""
+    from . import inline
+
+    spans, records = _spans_and_records(runs)
+    return inline.render_spans(spans), records
 
 
 import re as _re
@@ -293,59 +288,68 @@ def _render_toc_item(runs: list) -> tuple[str, str, list[tuple]]:
     """One TOC paragraph's runs → (md text, plain text, v2 records).
 
     Reference _render_index_leaf_item (output_builders.py:269-292):
-    page tail stripped first; hyperlink runs keep their VISIBLE text
-    only (plain_text_only=True — style kept, target dropped); when every
-    non-empty non-math run shares one identical non-empty style tuple
-    the item renders with a SINGLE style wrapper around the joined text
-    (_render_uniform_index_item :220-236 — avoids fragmented ** markers),
-    else per-run like any office paragraph."""
+    page tail stripped first; the block's inline syntax is selected with
+    hyperlink spans included; hyperlink items keep their VISIBLE text
+    only (plain_text_only=True — style kept, target dropped,
+    _render_mixed_index_item :238-267); when every non-empty non-math
+    item shares one identical non-empty style the leaf renders with a
+    SINGLE style wrapper around the ''-joined escaped text
+    (_render_uniform_index_item :220-236 — avoids fragmented markers).
+    Typed v2 records keep the hyperlink URL (the index block retains its
+    HYPERLINK spans; only the renderer drops the target)."""
+    from . import inline
+
     stripped = _strip_toc_page_tail(runs)
-    # typed v2 records keep the hyperlink URL — plain_text_only applies
-    # to the RENDERED item, not the span types (the reference's index
-    # leaf block retains its HYPERLINK spans; only _render_mixed_index_item
-    # drops the target at render time)
-    _, records = _render_runs(stripped)
-    cleaned = []
-    for r in stripped:
-        if isinstance(r, dict) and "link" in r and "math" not in r:
-            r = {k: v for k, v in r.items() if k != "link"}
-        cleaned.append(r)
+    spans, records = _spans_and_records(stripped)
+    syntax = inline.select_syntax(spans)
+    # flatten to (content, kind, style) items (_collect_index_span_items
+    # :143-154; hyperlink children keep their per-child styles)
+    items: list[tuple] = []
+    for sp in spans:
+        if sp["type"] == "inline_equation":
+            items.append((sp["content"], "inline_equation", []))
+        elif sp["type"] == "hyperlink":
+            for c in sp.get("children") or []:
+                items.append((str(c.get("content", "")), "hyperlink",
+                              list(c.get("style") or [])))
+        else:
+            items.append((str(sp.get("content", "")), "text",
+                          list(sp.get("style") or [])))
+    plain = emit.normalize_text(
+        "".join(c for c, k, _ in items if k != "inline_equation"))
 
-    styles_seen = []
-    for r in cleaned:
-        if not isinstance(r, dict) or r.get("hidden") or "math" in r:
-            continue
-        if emit.normalize_text(str(r.get("text", ""))):
-            styles_seen.append(_run_styles(r))
+    non_eq_styles = [tuple(st) for c, k, st in items
+                     if c and k != "inline_equation"]
     uniform = None
-    if styles_seen and styles_seen[0] \
-            and all(s == styles_seen[0] for s in styles_seen):
-        uniform = styles_seen[0]
+    if non_eq_styles and non_eq_styles[0] \
+            and all(s == non_eq_styles[0] for s in non_eq_styles):
+        uniform = list(non_eq_styles[0])
 
-    md, _ = _render_runs(cleaned)
-    plain = " ".join(
-        s for s in (emit.normalize_text(str(r.get("text", "")))
-                    for r in cleaned
-                    if isinstance(r, dict) and not r.get("hidden")
-                    and "math" not in r) if s)
     if uniform:
-        parts = []
-        for r in cleaned:
-            if not isinstance(r, dict) or r.get("hidden"):
+        raw_parts = []
+        for c, k, _st in items:
+            if not c:
                 continue
-            if "math" in r:
-                m = r.get("math")
-                m = m.strip() if isinstance(m, str) else ""
-                if m:
-                    parts.append(f"${m}$")
-                continue
-            t = emit.escape_markdown(emit.normalize_text(
-                str(r.get("text", ""))))
-            if t:
-                parts.append(t)
-        joined = " ".join(parts).strip()
-        if joined:
-            md = _apply_styles(joined, uniform)
+            if k == "inline_equation":
+                raw_parts.append(f"${c}$")
+            else:
+                raw_parts.append(inline._esc(c, syntax))
+        text = "".join(raw_parts).strip()
+        md = inline._apply_style(text, uniform, syntax) if text else ""
+        return md, plain, records
+
+    parts: list = []
+    for c, k, st in items:
+        if not c:
+            continue
+        if k == "inline_equation":
+            parts.append(inline._part("inline_equation", f"${c}$"))
+        elif k == "hyperlink":
+            inline._append_hyperlink_part(parts, c, st, syntax,
+                                          plain_text_only=True)
+        else:
+            inline._append_text_part(parts, c, st, syntax)
+    md = inline.join_parts(parts).strip()
     return md, plain, records
 
 
@@ -709,7 +713,9 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                                             e[0] if e[0] is not None
                                             else 0.0))
                 for pos, tp in entries:
-                    ttext, trecs = _render_runs(tp.get("runs") or [])
+                    from . import inline
+                    traw, trecs = _render_runs(tp.get("runs") or [])
+                    ttext = inline.finalize_text_block(traw)
                     if not ttext:
                         continue
                     key = (ttext, pos)
@@ -789,7 +795,14 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                     end_section()
                 continue
             style = "Normal"
-        text, recs = _render_runs(runs_payload)
+        # raw = the un-postprocessed paragraph render; finalization is
+        # per block kind (reference merge_para_with_text :954-959 applies
+        # strip + standalone-marker + prefix escape to TEXT blocks only;
+        # list items skip the prefix escape, output_builders.py:93;
+        # titles/captions/code take the stripped render)
+        from . import inline
+        raw, recs = _render_runs(runs_payload)
+        text = raw.strip()
         imgs = image_blocks(runs_payload)
         if not text:
             if imgs:
@@ -852,9 +865,13 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 for k in [k for k in counters
                           if k[0] == numid and k[1] > ilvl]:
                     del counters[k]
-                pending_items.append(f"{indent}{counters[key]}. {text}")
+                item_text = inline.finalize_text_block(
+                    raw, escape_prefix=False)
+                pending_items.append(f"{indent}{counters[key]}. {item_text}")
             else:
-                pending_items.append(f"{indent}- {text}")
+                item_text = inline.finalize_text_block(
+                    raw, escape_prefix=False)
+                pending_items.append(f"{indent}- {item_text}")
             pending_imgs.extend(imgs)
             if sect_end:
                 end_section()
@@ -898,7 +915,9 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                            "level": 1, "pre_rendered": True,
                            "_runs": recs})
         else:
-            blk = {"type": "text", "text": text, "page_idx": pg[0],
+            blk = {"type": "text",
+                   "text": inline.finalize_text_block(raw),
+                   "page_idx": pg[0],
                    "bbox": [0, 0, 0, 0], "level": 1,
                    "pre_rendered": True, "_runs": recs}
             if anchor:
@@ -964,6 +983,7 @@ def _header_footer_blocks(payload: dict) -> list[dict]:
                 for runs in (ent.get("paras") or []):
                     if isinstance(runs, list):
                         t, _ = _render_runs(runs)
+                        t = t.strip()
                         if t:
                             parts.append(t)
                 text = " ".join(parts)

@@ -130,15 +130,16 @@ def _escape_block_prefix(s: str) -> str:
     return f"{s[:i]}\\{s[i:]}"
 
 
-def escape_markdown(text: str) -> str:
-    """Conservative markdown escape (reference markdown_utils.py:6-48):
-    backslash-escape ``* _ ~ $ ``` `` when not already escaped, and escape a
-    leading block marker (#{1,6} or +/-, ≤3 indent, space/tab after)."""
+def escape_inline(text: str) -> str:
+    """Conservative INLINE markdown escape (reference
+    escape_conservative_markdown_text, markdown_utils.py:12-35):
+    backslash-escape ``* _ ~ $ ``` `` when not already escaped.  No
+    block-prefix handling — that applies once per assembled text block
+    (escape_text_block_markdown_prefix :38-48), not per span."""
     if not text:
         return text
     if _HAS_SPECIAL.search(text) is None:
-        # fast path: nothing to escape except a possible leading marker
-        return _escape_block_prefix(text)
+        return text
     out = []
     bs_run = 0
     for ch in text:
@@ -150,8 +151,16 @@ def escape_markdown(text: str) -> str:
             out.append("\\")
         out.append(ch)
         bs_run = 0
-    s = "".join(out)
-    return _escape_block_prefix(s)
+    return "".join(out)
+
+
+def escape_markdown(text: str) -> str:
+    """Conservative markdown escape (reference markdown_utils.py:6-48):
+    backslash-escape ``* _ ~ $ ``` `` when not already escaped, and escape a
+    leading block marker (#{1,6} or +/-, ≤3 indent, space/tab after)."""
+    if not text:
+        return text
+    return _escape_block_prefix(escape_inline(text))
 
 
 def normalize_text(text: str) -> str:

@@ -215,10 +215,17 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                 continue
             if rec[0] == "styled":
                 # ("styled", content, [styles...]): full style chain
-                # (underline/strikethrough/super/subscript combos)
+                # (underline/emphasis/strikethrough/super/subscript).
+                # A whitespace-only span with a VISIBLE style keeps its
+                # raw content — reference _span_has_content_for_v2
+                # (output_builders.py:716-731)
                 _, content, styles = rec
-                content = emit.normalize_text(content)
-                if content:
+                norm = emit.normalize_text(content)
+                if norm:
+                    out.append({"content": norm, "type": "text",
+                                "style": list(styles)})
+                elif content and any(s in ("underline", "strikethrough")
+                                     for s in styles):
                     out.append({"content": content, "type": "text",
                                 "style": list(styles)})
                 continue

@@ -270,8 +270,10 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                 # same office_rich_text helpers as docx,
                 # pptx_converter.py:570 _build_paragraph_rich_text +
                 # :1009-1028 hyperlink tag; office_rich_text.py:180-228)
+                from . import inline
                 from .docx import _render_runs
-                rtext, rrecs = _render_runs(sp["runs"])
+                rraw, rrecs = _render_runs(sp["runs"])
+                rtext = inline.finalize_text_block(rraw)
                 if rtext:
                     rec.update(text=rtext, pre_rendered=True, _runs=rrecs)
                 elif not text:

@@ -1198,7 +1198,10 @@ def test_docx_route_styled_runs():
     payload = {"kind": "docx_runs", "paras": [
         {"style": "Heading1", "runs": [{"text": "Doc Title"}]},
         {"style": "Normal", "runs": [
-            {"text": "plain start"}, {"text": "bold bit", "bold": True},
+            {"text": "plain start "}, {"text": "bold bit", "bold": True},
+            {"text": " more", "bold": True}]},
+        {"style": "Normal", "runs": [
+            {"text": "mixed ", "bold": True},
             {"text": "it_x", "italic": True}]},
         {"style": "ListParagraph", "runs": [{"text": "first"}]},
         {"style": "ListParagraph", "runs": [{"text": "second"}]},
@@ -1206,8 +1209,15 @@ def test_docx_route_styled_runs():
     ]}
     out = extract_turn(json.dumps(payload), "file_reader")
     assert out["route"] == "docx"
+    # runs carry their own whitespace and concatenate directly; two
+    # same-key bold runs group into ONE wrapper
+    # (_append_markdown_grouped_text_parts, inline_renderer.py:753-790);
+    # a block mixing TWO distinct markdown style keys (bold + italic)
+    # switches to HTML inline syntax (_select_block_inline_syntax
+    # :559-582) with edge whitespace outside the tags
     assert out["md"] == ("# Doc Title\n\n"
-                         "plain start **bold bit** *it\\_x*\n\n"
+                         "plain start **bold bit more**\n\n"
+                         "<strong>mixed</strong> <em>it\\_x</em>\n\n"
                          "- first\n- second\n\n"
                          "after list")
 
@@ -1369,27 +1379,36 @@ def test_docx_hyperlink_runs():
     from mineru_spark.kernels.docx import extract_docx
     p = {"paras": [
         {"style": "Normal", "runs": [
-            {"text": "see"},
+            {"text": "see "},
             {"text": "the docs", "link": "https://ex.org/p(1)?q=2"},
-            {"text": "now."}]},
+            {"text": " now."}]},
         {"style": "Normal", "runs": [
-            {"text": "Part", "bold": True, "link": "https://ex.org/a"},
+            {"text": "Part ", "bold": True, "link": "https://ex.org/a"},
             {"text": "two", "link": "https://ex.org/a"},
-            {"text": "done."}]},
+            {"text": " done."}]},
         {"style": "Normal", "runs": [
             {"text": "click [here]", "link": "https://ex.org/b"}]},
         {"style": "Normal", "runs": [
-            {"text": "dead link", "link": "."},
+            {"text": "dead link ", "link": "."},
             {"text": "blank", "bold": True, "link": "  "}]},
+        {"style": "Normal", "runs": [
+            {"text": "uniform ", "bold": True, "link": "https://ex.org/u"},
+            {"text": "bold", "bold": True, "link": "https://ex.org/u"},
+            {"text": " tail."}]},
     ]}
     blocks, _ = extract_docx(p)
     texts = [b["text"] for b in blocks]
     assert texts[0] == "see [the docs](https://ex.org/p%281%29?q=2) now."
-    # one grouped link, bold preserved inside the label
-    assert texts[1] == "[**Part** two](https://ex.org/a) done."
+    # MIXED-style children force the whole block to HTML inline syntax
+    # (_hyperlink_requires_html, inline_renderer.py:494-516: a bold and
+    # a plain child are two distinct style keys)
+    assert texts[1] == ('<a href="https://ex.org/a"><strong>Part</strong> '
+                        "two</a> done.")
     assert texts[2] == "[click \\[here\\]](https://ex.org/b)"
     # invalid targets: plain styled text, no link syntax
     assert texts[3] == "dead link **blank**"
+    # uniform-style children keep markdown link syntax with ONE wrapper
+    assert texts[4] == "[**uniform bold**](https://ex.org/u) tail."
     # typed v2 records carry the hyperlink runs
     recs = blocks[0]["_runs"]
     assert ("hyperlink", "the docs", "https://ex.org/p(1)?q=2") in recs
@@ -1597,15 +1616,30 @@ def test_docx_full_style_chain():
     payload = {"kind": "docx_runs", "paras": [
         {"style": "Normal", "runs": [
             {"text": "gone", "strikethrough": True},
-            {"text": "both", "bold": True, "italic": True},
+            {"text": " both ", "bold": True, "italic": True},
             {"text": "under", "underline": True},
-            {"text": "x2", "script": "super"},
-            {"text": "h2o", "script": "sub"},
+            {"text": " x2", "script": "super"},
+            {"text": " h2o ", "script": "sub"},
             {"text": "bu", "bold": True, "underline": True}]},
+        {"style": "Normal", "runs": [
+            {"text": "cut ", "strikethrough": True},
+            {"text": "also cut", "strikethrough": True}]},
+        {"style": "Normal", "runs": [
+            {"text": "big", "bold": True, "italic": True}]},
     ]}
     out = extract_turn(json.dumps(payload), "file_reader")
-    assert out["md"] == ("~~gone~~ ***both*** <u>under</u> <sup>x2</sup> "
-                         "<sub>h2o</sub> <strong><u>bu</u></strong>")
+    md_blocks = out["md"].split("\n\n")
+    # complex styles in the block → the WHOLE block renders with HTML
+    # inline tags through the wrapper-stack renderer
+    # (_select_block_inline_syntax :559-582, _render_style_range_tokens
+    # :728-750; stack order emphasis>s>em>strong>u>sup/sub :688-705)
+    assert md_blocks[0] == ("<s>gone</s> <em><strong>both</strong></em> "
+                            "<u>under</u> <sup>x2</sup> "
+                            "<sub>h2o</sub> <strong><u>bu</u></strong>")
+    # single-key blocks keep the enumerable markdown wrappers, adjacent
+    # same-key runs grouped into ONE wrapper
+    assert md_blocks[1] == "~~cut also cut~~"
+    assert md_blocks[2] == "***big***"
     v2 = json.loads(out["content_list_v2"])
     para = v2[0][0]["content"]["paragraph_content"]
     assert {"content": "gone", "type": "text",
@@ -1628,8 +1662,8 @@ def test_pptx_rich_body_runs():
         {"slide_idx": 0, "size": [960, 540], "shapes": [
             {"bbox": [80, 30, 880, 80], "kind": "title", "text": "Deck"},
             {"bbox": [80, 120, 460, 400], "kind": "body", "text": "",
-             "runs": [{"text": "plain bit."},
-                      {"text": "hot", "bold": True},
+             "runs": [{"text": "plain bit. "},
+                      {"text": "hot ", "bold": True},
                       {"text": "docs", "link": "https://ex.org/d"}]},
         ]}]}
     out = extract_turn(json.dumps(payload), "file_reader")
@@ -1655,7 +1689,9 @@ def test_docx_hostile_run_payloads():
         {"text": "y", "script": 42}, "junk", None]}]}
     out = extract_turn(json.dumps(p), "file_reader")
     assert out["route"] == "docx"
-    assert out["md"] == "5 x z y"
+    # runs concatenate directly (no separator injection): hostile
+    # non-string fields degrade to their text content only
+    assert out["md"] == "5xzy"
 
 
 def test_office_and_html_image_blocks():
@@ -2038,13 +2074,13 @@ def test_docx_header_footer_discard_contract():
                "first_page": True,
                "headers": [
                    {"variant": "default",
-                    "paras": [[{"text": "Annual"}, {"text": "Report"}]]},
+                    "paras": [[{"text": "Annual "}, {"text": "Report"}]]},
                    {"variant": "even",
                     "paras": [[{"text": "EVEN HDR"}]]},     # gated OFF
                    {"variant": "first",
                     "paras": [[{"text": "Cover Page"}]]},
                    {"variant": "default",
-                    "paras": [[{"text": "Annual"}, {"text": "Report"}]]},
+                    "paras": [[{"text": "Annual "}, {"text": "Report"}]]},
                ],
                "footers": [
                    {"variant": "default", "paras": [[{"text": "42"}]]},
@@ -2135,11 +2171,11 @@ def test_docx_hierarchical_toc_index():
          "runs": [{"text": "4.1 Scope\tiv"}]},
         # uniform italic split runs → ONE marker; letter page stripped
         {"style": "TOC", "ilvl": 2, "anchor": "_Toc22222222",
-         "runs": [{"text": "Details", "italic": True},
+         "runs": [{"text": "Details ", "italic": True},
                   {"text": "of work\tB", "italic": True}]},
         # non-page tail after the tab is BODY: kept, tab → space
         {"style": "TOC", "ilvl": 1,
-         "runs": [{"text": "Methods"}, {"text": "see\tchapter notes"}]},
+         "runs": [{"text": "Methods"}, {"text": " see\tchapter notes"}]},
         # hyperlink keeps visible text in the rendered item, url in v2
         {"style": "TOC", "ilvl": 1,
          "runs": [{"text": "Linked entry", "link": "https://e.org/x"}]},
