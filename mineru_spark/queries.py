@@ -2436,6 +2436,101 @@ RELATIONAL_QUERIES["q_dup_spans"] = q_dup_spans
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style paragraph dedup WITH corpus rewrite (training-data op): the
+# transformation step (Wenzek et al. 2019 §4.1 dedups at paragraph
+# granularity and rewrites the corpus keeping one occurrence), where
+# q_dup_spans only scores.  The synthetic corpus has no newlines, so a
+# "paragraph" is a deterministic non-overlapping PARA_SEG_WORDS-word
+# segment (final partial segment included).
+# ---------------------------------------------------------------------------
+
+PARA_SEG_WORDS = 20
+
+
+def q_para_dedup(spark, sf_dir):
+    """Per-document segment dedup + rewrite: explode every document into
+    consecutive word segments, keep a segment iff it is corpus-unique OR
+    it is the globally-first occurrence of its text (min (doc_id,
+    seg_idx) — the deterministic analog of CCNet's keep-first-seen), and
+    emit the cleaned text rebuilt from the kept segments in order.
+
+    Scale shape: segment explode is map-only (rows ∝ corpus_words /
+    seg); ONE partial+final agg keyed by the segment text computes
+    (occurrence count, keeper position) with map-side combine; the join
+    back is a narrow equi-join on the same key; the per-doc rebuild is a
+    second combiner agg whose sort/filter/join run as JVM higher-order
+    array expressions — no Python anywhere.  At 100 TB the group key
+    becomes xxhash64(seg_text) with an exact text tiebreak, same plan."""
+    s = PARA_SEG_WORDS
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " +").alias("w"))
+    n_segs = F.expr(f"CAST((size(w) + {s} - 1) DIV {s} AS BIGINT)")
+    segs = (d.withColumn("seg_idx",
+                         F.explode(F.sequence(F.lit(0).cast("long"),
+                                              F.greatest(n_segs,
+                                                         F.lit(1)) - 1)))
+            .select("doc_id", "seg_idx",
+                    F.array_join(
+                        F.expr(f"slice(w, seg_idx * {s} + 1, {s})"),
+                        " ").alias("seg_text")))
+    stats = segs.groupBy("seg_text").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("doc_id", "seg_idx")).alias("keeper"))
+    marked = (segs.join(stats, "seg_text")
+              .withColumn("keep",
+                          (F.col("occ") == 1)
+                          | ((F.col("doc_id") == F.col("keeper.doc_id"))
+                             & (F.col("seg_idx")
+                                == F.col("keeper.seg_idx")))))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_segs"),
+                 F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct("seg_idx", "seg_text")))),
+                         lambda x: x.seg_text),
+                     " ").alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+ORACLES["q_para_dedup"] = f"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      FROM documents
+    ), n AS (
+      SELECT doc_id, w,
+             GREATEST((len(w) + {PARA_SEG_WORDS} - 1)
+                      // {PARA_SEG_WORDS}, 1) AS n_segs
+      FROM base
+    ), segs AS (
+      SELECT doc_id, CAST(u.k AS BIGINT) AS seg_idx,
+             array_to_string(
+               list_slice(w, u.k * {PARA_SEG_WORDS} + 1,
+                          u.k * {PARA_SEG_WORDS} + {PARA_SEG_WORDS}),
+               ' ') AS seg_text
+      FROM n, UNNEST(range(n.n_segs)) AS u(k)
+    ), ranked AS (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY seg_text) AS occ,
+             ROW_NUMBER() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN occ > 1 AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(
+             CASE WHEN occ = 1 OR rn = 1 THEN seg_text END,
+             ' ' ORDER BY seg_idx), '') AS clean_text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+RELATIONAL_QUERIES["q_para_dedup"] = q_para_dedup
+
+
+# ---------------------------------------------------------------------------
 # BM25 top-k retrieval (training-data op): score documents against a fixed
 # query-term set — the retrieval primitive behind decontamination probes,
 # eval-set neighbor lookups, and quality spot-checks over a corpus.

@@ -372,3 +372,40 @@ def test_embed_quantize_is_map_only(spark):
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_para_dedup_keep_first_rewrite(spark, tmp_path):
+    """CCNet-style segment dedup + rewrite: duplicated segments keep only
+    the globally-first occurrence (min (doc_id, seg_idx)), unique
+    segments always survive, and clean_text is rebuilt in segment order;
+    the plan is two combiner aggs + an equi-join — no Python."""
+    from mineru_spark.queries import PARA_SEG_WORDS, q_para_dedup
+
+    s = PARA_SEG_WORDS
+    seg_a = " ".join(f"a{i}" for i in range(s))
+    seg_b = " ".join(f"b{i}" for i in range(s))
+    seg_c = " ".join(f"c{i}" for i in range(s))
+    tail = "t0 t1 t2"                     # partial final segment
+    rows = [
+        (1, f"{seg_a} {seg_b}"),          # first occurrence of a and b
+        (2, f"{seg_b} {seg_c} {tail}"),   # b duplicates doc 1's
+        (3, seg_a),                       # a duplicates doc 1's → empty
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r.asDict()
+           for r in q_para_dedup(spark, sf).collect()}
+    assert got[1]["n_segs"] == 2 and got[1]["n_dropped"] == 0
+    assert got[1]["clean_text"] == f"{seg_a} {seg_b}"
+    # doc 2 loses its copy of seg_b, keeps seg_c and the partial tail
+    assert got[2]["n_segs"] == 3 and got[2]["n_dropped"] == 1
+    assert got[2]["clean_text"] == f"{seg_c} {tail}"
+    # doc 3 is entirely a duplicate → rewritten to empty text
+    assert got[3]["n_segs"] == 1 and got[3]["n_dropped"] == 1
+    assert got[3]["clean_text"] == ""
+
+    plan = _plan(q_para_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
