@@ -2531,6 +2531,49 @@ RELATIONAL_QUERIES["q_para_dedup"] = q_para_dedup
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe split assignment (training-data op): deterministic
+# train/val/test bucketing keyed on the CONTENT hash, not the row id —
+# exact duplicates (and re-crawls of the same text) always land in the
+# SAME split, so dedup-later cannot leak eval text into train.  The
+# standard step between cleaning and shard packing.
+# ---------------------------------------------------------------------------
+
+# hex-prefix thresholds over 256 md5 buckets: [00, f6) train = 246/256,
+# [f6, fb) val = 5/256, [fb, ff] test = 5/256.  String comparison on the
+# lowercase hex prefix is engine-portable (no hex→int conversion needed).
+SPLIT_VAL_LO = "f6"
+SPLIT_TEST_LO = "fb"
+
+
+def q_split_assign(spark, sf_dir):
+    """Per-document split: bucket = first two hex chars of md5(text);
+    split by fixed bucket ranges.  Map-only (no shuffle, no Python) —
+    a scan-bound pass at 100 TB; the downstream anti-leak property is
+    structural: identical text ⇒ identical bucket ⇒ identical split."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text")), 1, 2)
+    return (d.select(
+        "doc_id", bucket.alias("bucket_hex"),
+        F.when(bucket < SPLIT_VAL_LO, F.lit("train"))
+         .when(bucket < SPLIT_TEST_LO, F.lit("val"))
+         .otherwise(F.lit("test")).alias("split"))
+        .orderBy("doc_id"))
+
+
+ORACLES["q_split_assign"] = f"""
+    SELECT doc_id,
+           substr(md5(text), 1, 2) AS bucket_hex,
+           CASE WHEN substr(md5(text), 1, 2) < '{SPLIT_VAL_LO}'
+                  THEN 'train'
+                WHEN substr(md5(text), 1, 2) < '{SPLIT_TEST_LO}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+"""
+RELATIONAL_QUERIES["q_split_assign"] = q_split_assign
+
+
+# ---------------------------------------------------------------------------
 # BM25 top-k retrieval (training-data op): score documents against a fixed
 # query-term set — the retrieval primitive behind decontamination probes,
 # eval-set neighbor lookups, and quality spot-checks over a corpus.
