@@ -1556,8 +1556,32 @@ def _gen_xlsx(rng: random.Random) -> str:
 def _gen_pptx(rng: random.Random) -> str:
     slides = []
     for sidx in range(rng.randint(1, 2)):
-        shapes = [{"bbox": [80.0, 30.0, 880.0, 80.0], "kind": "title",
-                   "text": _sentence(rng, 3, 6).title()}]
+        shapes = []
+        pskip = rng.random()
+        if pskip < 0.10:
+            # near-full-slide picture FIRST in z-order: the later text
+            # shapes drawn on top cover ≥10% of it → BACKGROUND skip
+            # (reference _is_background_picture :497-530); slides that
+            # happen to end with no text shape keep it (the negative)
+            import base64 as _b64
+            import hashlib as _hl
+            blob = _hl.sha256(
+                f"pptbg-{sidx}-{rng.randint(0, 999)}".encode()).digest() * 2
+            shapes.append({"bbox": [0.0, 0.0, 960.0, 540.0],
+                           "kind": "image",
+                           "data_b64": _b64.b64encode(blob).decode()})
+        shapes.append({"bbox": [80.0, 30.0, 880.0, 80.0], "kind": "title",
+                       "text": _sentence(rng, 3, 6).title()})
+        if pskip >= 0.10 and pskip < 0.18:
+            # tiny decorative logo: both dimensions < 10% of the slide →
+            # SMALL skip (reference _is_small_picture :470-495)
+            import base64 as _b64
+            import hashlib as _hl
+            blob = _hl.sha256(
+                f"pptlogo-{sidx}-{rng.randint(0, 999)}".encode()).digest() * 2
+            shapes.append({"bbox": [900.0, 500.0, 950.0, 535.0],
+                           "kind": "image",
+                           "data_b64": _b64.b64encode(blob).decode()})
         # two content placeholders side by side (xy-cut orders them)
         for cx0, cx1 in ((80.0, 460.0), (500.0, 880.0)):
             r = rng.random()

@@ -52,6 +52,103 @@ from . import emit
 from . import tables as tbl
 from .xycut import xy_cut_order
 
+# picture skip thresholds (reference pptx_converter.py:38-40)
+MIN_PICTURE_DIMENSION_RATIO = 0.1
+MIN_PICTURE_AREA_RATIO = 0.01
+BACKGROUND_PICTURE_TEXT_COVERAGE_RATIO = 0.1
+
+
+def _rect_union_area(rects: list) -> float:
+    """Area of the union of axis-aligned rectangles via an x-sweep with
+    y-interval merging (the standard coordinate-compression algorithm;
+    the reference's _rectangles_union_area :406-443 computes the same
+    quantity)."""
+    if not rects:
+        return 0.0
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    total = 0.0
+    for x0, x1 in zip(xs, xs[1:]):
+        if x1 <= x0:
+            continue
+        ys = sorted((r[1], r[3]) for r in rects if r[0] < x1 and r[2] > x0)
+        if not ys:
+            continue
+        height = 0.0
+        cy0, cy1 = ys[0]
+        for y0, y1 in ys[1:]:
+            if y0 <= cy1:
+                cy1 = max(cy1, y1)
+            else:
+                height += max(0.0, cy1 - cy0)
+                cy0, cy1 = y0, y1
+        height += max(0.0, cy1 - cy0)
+        total += (x1 - x0) * height
+    return total
+
+
+def _nonempty_text_shape(sp: dict) -> bool:
+    """Reference _is_nonempty_text_shape/_shape_has_raw_text (:445-468):
+    a text-frame shape with any non-blank text (math <m:t> counts)."""
+    if sp.get("kind") not in ("title", "body", "bullets"):
+        return False
+    if str(sp.get("text", "") or "").strip():
+        return True
+    runs = sp.get("runs")
+    if isinstance(runs, list):
+        for r in runs:
+            if not isinstance(r, dict):
+                continue
+            if str(r.get("text", "") or "").strip():
+                return True
+            m = r.get("math")
+            if isinstance(m, str) and m.strip():
+                return True
+    items = sp.get("items")
+    if isinstance(items, list):
+        for it in items:
+            if isinstance(it, dict) \
+                    and str(it.get("text", "") or "").strip():
+                return True
+    return False
+
+
+def _skip_picture(sp: dict, later: list[dict],
+                  sw: float, sh: float) -> bool:
+    """Reference _should_skip_picture (:532-547): drop decorative
+    pictures — SMALL (either dimension < 10% of the slide's, or area
+    < 1% of the slide's, :470-495) or BACKGROUND (the union of later
+    non-empty text shapes' overlaps covers ≥ 10% of the picture,
+    :497-530; 'later' = shapes after it in flattened z-order, i.e. the
+    text drawn ON TOP of it)."""
+    b = sp.get("bbox")
+    if not isinstance(b, (list, tuple)) or len(b) < 4:
+        return False
+    w, h = b[2] - b[0], b[3] - b[1]
+    if w > 0 and h > 0 and sw * sh > 0:
+        if w < MIN_PICTURE_DIMENSION_RATIO * sw \
+                or h < MIN_PICTURE_DIMENSION_RATIO * sh:
+            return True
+        if (w * h) / (sw * sh) < MIN_PICTURE_AREA_RATIO:
+            return True
+    area = max(0.0, w) * max(0.0, h)
+    if area <= 0:
+        return False
+    overlaps = []
+    for nxt in later:
+        if not _nonempty_text_shape(nxt):
+            continue
+        nb = nxt.get("bbox")
+        if not isinstance(nb, (list, tuple)) or len(nb) < 4:
+            continue
+        x0, y0 = max(b[0], nb[0]), max(b[1], nb[1])
+        x1, y1 = min(b[2], nb[2]), min(b[3], nb[3])
+        if x1 > x0 and y1 > y0:
+            overlaps.append((x0, y0, x1, y1))
+    if not overlaps:
+        return False
+    return (_rect_union_area(overlaps) / area
+            >= BACKGROUND_PICTURE_TEXT_COVERAGE_RATIO)
+
 
 def _flatten_shapes(shapes: list, sx: float = 1.0, sy: float = 1.0,
                     dx: float = 0.0, dy: float = 0.0) -> list[dict]:
@@ -192,6 +289,13 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
         sidx = int(slide.get("slide_idx", 0))
         sw, sh = (slide.get("size") or [960.0, 540.0])[:2]
         shapes = _flatten_shapes(slide.get("shapes") or [])
+        # decorative-picture skip decided in flattened z-order (the
+        # payload order), BEFORE reading-order sorting: 'later' shapes
+        # are the ones drawn on top (reference _collect_shape_blocks)
+        skip = {i for i, sp in enumerate(shapes)
+                if sp.get("kind") == "image"
+                and _skip_picture(sp, shapes[i + 1:], float(sw),
+                                  float(sh))}
         order = xy_cut_order([sp["bbox"] for sp in shapes])
         slide_start = len(blocks)  # slice for per-slide title promotion
         for i in order:
@@ -223,6 +327,8 @@ def extract_pptx(payload: dict) -> tuple[list[dict], dict]:
                                    "level": 1})
                 continue
             if kind == "image":
+                if i in skip:
+                    continue  # small/background decorative picture
                 # picture shape → image block via the SHARED office
                 # image contract (emit.office_image_block: strict base64,
                 # sha256-of-bytes path, degrade on bad data) — one

@@ -2942,3 +2942,50 @@ def test_toc_anchor_link_validation():
     out2 = extract_turn(json.dumps(doc(False)), "file_reader")
     assert "- [Alpha](#_Toc11111111)" in out2["md"]
     assert "    - [Beta](#_Toc99999999)" in out2["md"]
+
+
+def test_pptx_picture_skip_rules():
+    """Decorative PPTX pictures drop (reference _should_skip_picture,
+    pptx_converter.py:470-547): SMALL = either dimension < 10% of the
+    slide or area < 1%; BACKGROUND = later z-order non-empty text
+    shapes cover ≥ 10% of the picture.  Content pictures stay; a
+    background-sized picture with no text on top stays too."""
+    import base64
+    import hashlib
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def img(bbox, tag):
+        blob = hashlib.sha256(tag.encode()).digest() * 2
+        return {"bbox": bbox, "kind": "image",
+                "data_b64": base64.b64encode(blob).decode()}
+
+    payload = {"kind": "pptx_shapes", "slides": [
+        # slide 0: background picture UNDER a body text (covers ~20% of
+        # it) → skipped; tiny logo → skipped; normal picture → kept
+        {"slide_idx": 0, "size": [960, 540], "shapes": [
+            img([0.0, 0.0, 960.0, 540.0], "bg"),
+            {"bbox": [80.0, 120.0, 460.0, 400.0], "kind": "body",
+             "text": "on top of the background."},
+            img([900.0, 500.0, 950.0, 535.0], "logo"),
+            img([500.0, 120.0, 880.0, 400.0], "content"),
+        ]},
+        # slide 1: the same background-sized picture with NO text shape
+        # after it in z-order → kept (the negative)
+        {"slide_idx": 1, "size": [960, 540], "shapes": [
+            {"bbox": [80.0, 120.0, 460.0, 400.0], "kind": "body",
+             "text": "before the picture."},
+            img([0.0, 0.0, 960.0, 540.0], "bg2"),
+        ]},
+    ]}
+    out = extract_turn(json.dumps(payload), "file_reader")
+    assert out["route"] == "pptx"
+    cl = json.loads(out["content_list"])
+    imgs_by_page = {}
+    for b in cl:
+        if b["type"] == "image":
+            imgs_by_page.setdefault(b["page_idx"], []).append(b)
+    want = f"images/{hashlib.sha256(hashlib.sha256(b'content').digest() * 2).hexdigest()}.jpg"
+    assert [b["img_path"] for b in imgs_by_page.get(0, [])] == [want]
+    assert len(imgs_by_page.get(1, [])) == 1  # bg2 kept
