@@ -2574,6 +2574,132 @@ RELATIONAL_QUERIES["q_split_assign"] = q_split_assign
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (training-data op): per-source
+# approximate distinct-document estimate — the cardinality primitive
+# behind dedup planning and shard sizing at 100 TB, where exact
+# count-distinct shuffles every key.  Built FROM SCRATCH to be
+# bit-identical across engines: md5-derived registers, rho from hex
+# string algebra (no engine bit intrinsics), register sums as EXACT
+# dyadic integers (sum of 2^(57-M) in decimal(38,0) — every term is a
+# power of two, so no float fold-order drift), and the final estimate
+# rounded to 4 decimals so the one ln()/division step cannot diverge in
+# the last ulp.  Flajolet et al. 2007 estimator with the small-range
+# correction; p=8 (256 registers).
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 256            # 2^p registers, keyed by the first 2 md5 hex chars
+HLL_WBITS = 57         # 14 hex chars of rank material + 1
+_HLL_POW = 144115188075855872  # 2^57, the common denominator
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-source HLL distinct-text estimate + the exact count to judge
+    it against.  Scale shape: ONE partial+final max-agg keyed by
+    (source, register) — 256 rows per source cross the wire regardless
+    of corpus size — then a tiny per-source fold; the exact-distinct
+    column is gate-scale instrumentation (at 100 TB you ship only the
+    sketch).  rho = leading zero BITS of the 56-bit suffix + 1, computed
+    as 4×(leading '0' hex chars) + a first-nonzero-nibble table."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h"))
+    w = F.substring("h", 3, 14)
+    stripped = F.expr("TRIM(LEADING '0' FROM substring(h, 3, 14))")
+    first = F.substring(stripped, 1, 1)
+    extra = (F.when(first.isin("4", "5", "6", "7"), 1)
+             .when(first.isin("2", "3"), 2)
+             .when(first == "1", 3)
+             .otherwise(0))
+    rho = (F.when(stripped == "", F.lit(HLL_WBITS))
+           .otherwise((F.lit(14) - F.length(stripped)) * 4 + extra + 1))
+    regs = (d.select("source", F.substring("h", 1, 2).alias("reg"),
+                     rho.alias("rho"),
+                     F.col("h").alias("hh"))
+            .groupBy("source", "reg")
+            .agg(F.max("rho").alias("m_j"),
+                 F.count("*").alias("n_rows_reg"),
+                 F.countDistinct("hh").alias("n_distinct_reg")))
+    per_src = (regs.groupBy("source").agg(
+        F.sum("n_rows_reg").cast("long").alias("n_rows"),
+        F.sum("n_distinct_reg").cast("long").alias("exact_distinct"),
+        F.count("*").cast("long").alias("hll_registers"),
+        F.sum(F.expr(f"CAST(POW(CAST(2 AS DOUBLE), "
+                     f"{HLL_WBITS} - m_j) AS DECIMAL(38, 0))"))
+        .alias("s_seen")))
+    # zero registers contribute 2^-0 = 1 → 2^57 each (exact integers)
+    s_total = (F.col("s_seen")
+               + (F.lit(HLL_M) - F.col("hll_registers"))
+               * F.lit(_HLL_POW).cast("decimal(38,0)"))
+    v = F.lit(HLL_M) - F.col("hll_registers")
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    raw = (F.lit(alpha * HLL_M * HLL_M)
+           * (F.lit(float(_HLL_POW)) / s_total.cast("double")))
+    est = (F.when((v > 0) & (raw <= 2.5 * HLL_M),
+                  F.lit(float(HLL_M))
+                  * F.log(F.lit(float(HLL_M)) / v.cast("double")))
+           .otherwise(raw))
+    return (per_src.select(
+        "source", "n_rows", "exact_distinct", "hll_registers",
+        F.round(est, 4).alias("hll_estimate"))
+        .orderBy("source"))
+
+
+ORACLES["q_hll_distinct"] = f"""
+    WITH d AS (
+      SELECT source, md5(text) AS h FROM documents
+    ), r AS (
+      SELECT source, substr(h, 1, 2) AS reg, h,
+             CASE WHEN ltrim(substr(h, 3, 14), '0') = ''
+                  THEN {HLL_WBITS}
+                  ELSE (14 - len(ltrim(substr(h, 3, 14), '0'))) * 4
+                       + (CASE WHEN substr(ltrim(substr(h, 3, 14), '0'),
+                                           1, 1) IN ('4','5','6','7')
+                                 THEN 1
+                               WHEN substr(ltrim(substr(h, 3, 14), '0'),
+                                           1, 1) IN ('2','3') THEN 2
+                               WHEN substr(ltrim(substr(h, 3, 14), '0'),
+                                           1, 1) = '1' THEN 3
+                               ELSE 0 END) + 1 END AS rho
+      FROM d
+    ), regs AS (
+      SELECT source, reg, MAX(rho) AS m_j,
+             COUNT(*) AS n_rows_reg,
+             COUNT(DISTINCT h) AS n_distinct_reg
+      FROM r GROUP BY source, reg
+    ), per_src AS (
+      SELECT source,
+             CAST(SUM(n_rows_reg) AS BIGINT) AS n_rows,
+             CAST(SUM(n_distinct_reg) AS BIGINT) AS exact_distinct,
+             CAST(COUNT(*) AS BIGINT) AS hll_registers,
+             SUM(CAST(POW(CAST(2 AS DOUBLE), {HLL_WBITS} - m_j)
+                      AS DECIMAL(38, 0))) AS s_seen
+      FROM regs GROUP BY source
+    )
+    SELECT source, n_rows, exact_distinct, hll_registers,
+           ROUND(CASE WHEN ({HLL_M} - hll_registers) > 0
+                       AND (CAST({0.7213 / (1.0 + 1.079 / HLL_M)} AS DOUBLE)
+                            * {HLL_M} * {HLL_M})
+                           * (CAST({_HLL_POW} AS DOUBLE)
+                              / CAST(s_seen + ({HLL_M} - hll_registers)
+                                     * CAST({_HLL_POW} AS DECIMAL(38, 0))
+                                     AS DOUBLE))
+                           <= {2.5 * HLL_M}
+                  THEN CAST({HLL_M} AS DOUBLE)
+                       * ln(CAST({HLL_M} AS DOUBLE)
+                            / CAST({HLL_M} - hll_registers AS DOUBLE))
+                  ELSE (CAST({0.7213 / (1.0 + 1.079 / HLL_M)} AS DOUBLE)
+                        * {HLL_M} * {HLL_M})
+                       * (CAST({_HLL_POW} AS DOUBLE)
+                          / CAST(s_seen + ({HLL_M} - hll_registers)
+                                 * CAST({_HLL_POW} AS DECIMAL(38, 0))
+                                 AS DOUBLE))
+                  END, 4) AS hll_estimate
+    FROM per_src ORDER BY source
+"""
+RELATIONAL_QUERIES["q_hll_distinct"] = q_hll_distinct
+
+
+# ---------------------------------------------------------------------------
 # BM25 top-k retrieval (training-data op): score documents against a fixed
 # query-term set — the retrieval primitive behind decontamination probes,
 # eval-set neighbor lookups, and quality spot-checks over a corpus.

@@ -409,3 +409,24 @@ def test_para_dedup_keep_first_rewrite(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hll_distinct_register_bounded(spark):
+    """The HLL sketch ships ≤ 256 rows per source through the register
+    agg (partial max combines map-side) and stays JVM-only; the
+    estimate must track the exact distinct count within the sketch's
+    ~1.04/sqrt(256) error band on the gate corpus."""
+    from mineru_spark.queries import HLL_M, q_hll_distinct
+
+    df = q_hll_distinct(spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["hll_registers"] <= HLL_M
+        if r["exact_distinct"] >= 10:
+            err = abs(r["hll_estimate"] - r["exact_distinct"]) \
+                / r["exact_distinct"]
+            assert err < 0.35, (r["source"], err)
