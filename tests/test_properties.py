@@ -250,3 +250,55 @@ def test_lang_of_total_and_deterministic(text):
     out = lang_of(text)
     assert out == lang_of(text)
     assert out in {"ko", "ja", "zh", "ru", "en", "de", "fr", "es", "und"}
+
+
+_style_strategy = st.dictionaries(
+    st.sampled_from(["bold", "italic", "underline", "emphasis",
+                     "strikethrough"]),
+    st.booleans(), max_size=3)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(st.text(max_size=24), _style_strategy),
+                max_size=5))
+def test_inline_render_total_deterministic_and_balanced(run_specs):
+    """The inline renderer is total and deterministic over arbitrary
+    styled runs, and every HTML wrapper it opens it also closes (the
+    stack-diff invariant)."""
+    from mineru_spark.kernels.docx import _render_runs
+
+    runs = [{"text": t, **flags} for t, flags in run_specs]
+    out1, recs1 = _render_runs(runs)
+    out2, recs2 = _render_runs(runs)
+    assert out1 == out2 and recs1 == recs2
+    for open_tag, close_tag in (("<strong>", "</strong>"),
+                                ("<em>", "</em>"), ("<u>", "</u>"),
+                                ("<s>", "</s>"), ("<sup>", "</sup>"),
+                                ("<sub>", "</sub>"),
+                                ("<span ", "</span>")):
+        assert out1.count(open_tag) == out1.count(close_tag), \
+            (open_tag, out1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_finalize_text_block_idempotent(text):
+    """strip + standalone-marker escape + prefix escape reach a fixed
+    point after one application."""
+    from mineru_spark.kernels.inline import finalize_text_block
+
+    once = finalize_text_block(text)
+    assert finalize_text_block(once) == once
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(
+    blacklist_characters="*_~$`\\<>&"), max_size=20), max_size=4))
+def test_inline_plain_runs_concatenate_exactly(texts):
+    """Unstyled special-free runs concatenate to exactly the normalized
+    ''-join (whitespace ownership lives in the runs)."""
+    from mineru_spark.kernels.docx import _render_runs
+    from mineru_spark.kernels.emit import fullwidth_to_halfwidth
+
+    out, _ = _render_runs([{"text": t} for t in texts])
+    assert out == "".join(fullwidth_to_halfwidth(t) for t in texts)
