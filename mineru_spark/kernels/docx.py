@@ -42,7 +42,8 @@ Semantics re-expressed:
 - NUMBERING CHAINS: ordered items keep a per-(numId, ilvl) counter that
   SURVIVES interruptions — a later group with the same numId continues
   3., 4., … exactly like Word (reference counter cache :101);
-- ilvl nesting indents items two spaces per level;
+- ilvl nesting indents items four spaces per level (the shared
+  office list builder, output_builders.py:86);
 - consecutive TOC paragraphs coalesce into one index block;
 - TABLES: a `Table` para carries cell rows (vMerge/gridSpan already
   resolved to rowspan/colspan, the post-XML analog of the reference's
@@ -844,7 +845,9 @@ def extract_docx(payload: dict) -> tuple[list[dict], dict]:
                 flush_list()
             pending_numid = numid
             pending_ordered = ordered
-            indent = "  " * ilvl
+            # four spaces per level like the reference's shared
+            # list builder (output_builders.py:86)
+            indent = "    " * ilvl
             if ordered and numid is not None:
                 # first appearance starts at the level definition's start
                 # value (payload `num.start` = the resolved lvlOverride/

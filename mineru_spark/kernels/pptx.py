@@ -32,9 +32,8 @@ r5 additions mirroring the reference's text-element machinery:
   1661-1702, ordered-restart rule _should_restart_ordered_list
   :1718-1733, contiguous-level normalization
   _normalize_contiguous_list_level :1686-1693) and renders marked
-  items in the repo's pinned office list convention (two-space indent,
-  docx.py flush_list — the reference's shared builder indents four,
-  output_builders.py:86; documented divergence).
+  items with the reference's four-space-per-level indent
+  (output_builders.py:86), shared with the docx route.
 - TITLE PROMOTION: body shapes may carry `font_size` (pt) and
   `all_bold`; per slide, the most-common non-bold text size is the
   body size, the single largest all-bold text block promotes to a
@@ -224,7 +223,8 @@ def _build_list_lines(items: list) -> tuple[list[str], str]:
         node = stack[level]
         marker = (f"{node['start'] + node['count']}. "
                   if node["attr"] == "ordered" else "- ")
-        lines.append("  " * level + marker + emit.escape_markdown(text))
+        lines.append("    " * level + marker
+                     + emit.escape_markdown(text))
         node["count"] += 1
     return lines, root_attr
 

@@ -1250,7 +1250,7 @@ def test_docx_numbering_chain_toc_omml():
     assert [b["type"] for b in blocks] == ["index", "list", "title", "list"]
     # hidden page number gone; the anchor mounts as an internal link
     assert blocks[0]["text"] == "- [Intro](#_Toc10000001)"
-    assert blocks[1]["text"] == "1. one\n  1. sub"
+    assert blocks[1]["text"] == "1. one\n    1. sub"
     assert "$E=mc^2$" in blocks[2]["text"]
     assert blocks[3]["text"] == "2. two continues"  # chain continued
     assert blocks[1]["attribute"] == "ordered"
@@ -2409,12 +2409,12 @@ def test_pptx_nested_lists_and_ordered_restart():
         ]}]}]}
     out = extract_turn(json.dumps(payload), "file_reader")
     assert out["md"] == ("- alpha\n"
-                         "  1. beta\n"
-                         "  2. gamma\n"
+                         "    1. beta\n"
+                         "    2. gamma\n"
                          "- delta\n"
-                         "  5. eps\n"
-                         "  6. zeta\n"
-                         "  1. eta")
+                         "    5. eps\n"
+                         "    6. zeta\n"
+                         "    1. eta")
 
 
 def test_pptx_font_size_title_promotion():
@@ -2670,8 +2670,8 @@ def test_docx_numbering_start_and_child_reset():
     ]
     blocks, _ = extract_docx({"kind": "docx_runs", "paras": paras})
     lists = [b["text"] for b in blocks if b["type"] == "list"]
-    assert lists[0] == ("4. parent one\n  1. sub a\n  2. sub b\n"
-                        "5. parent two\n  1. sub c")
+    assert lists[0] == ("4. parent one\n    1. sub a\n    2. sub b\n"
+                        "5. parent two\n    1. sub c")
     assert lists[1] == "1. other chain"
     assert lists[2] == "6. parent three"
     # hostile start values degrade to 1
@@ -2712,7 +2712,7 @@ def test_docx_numbered_headings_and_section_numbers():
     assert "# 3 Methods" in md and "## 3.1 Data" in md \
         and "# 4 Results" in md
     assert "1. alpha" in md and "2. beta" in md          # stayed a list
-    assert "1. contig" in md and "  1. uous" in md
+    assert "1. contig" in md and "    1. uous" in md
     titles = [b for pg in json.loads(res["middle"])["pdf_info"]
               for b in pg["para_blocks"] if b["type"] == "title"]
     assert [t.get("section_number") for t in titles] == \
