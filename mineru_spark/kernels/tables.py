@@ -507,15 +507,55 @@ def _row_vcols(rows: list[list[Cell]], row_idx: int) -> list[int]:
     return []
 
 
+def _cell_semantic(c: Cell) -> bool:
+    """User-visible semantic content (reference
+    _cell_has_semantic_content, table_merge.py:810-818: stripped text
+    or an embedded img/eq/… element — our cells carry those as the
+    typed media/math fields)."""
+    return bool(c.text.strip() or c.media or c.math)
+
+
+def _carry_rowspan_structure(rows: list[list[Cell]], k: int) -> None:
+    """Sink blank STRUCTURAL rowspan placeholders of row ``k`` into row
+    ``k+1`` before the row is dropped (reference
+    _carry_rowspan_structure_to_next_row, table_merge.py:841-867 +
+    _insert_cell_before_visual_column :826-838): each contentless
+    rowspan>1 cell re-inserts into the next row at its visual column
+    with rowspan-1, so deleting the row cannot shift later columns.
+    The next row's visual mapping is computed with row ``k`` still in
+    place, exactly like the reference."""
+    if k + 1 >= len(rows):
+        return
+    cur = rows[k]
+    vmap = _row_vcols(rows, k)
+    carried = []
+    for cell, start in zip(cur, vmap):
+        if cell.rowspan <= 1 or _cell_semantic(cell):
+            continue
+        carried.append((start, Cell(text="", rowspan=cell.rowspan - 1,
+                                    colspan=cell.colspan,
+                                    header=cell.header)))
+    for start, nc in sorted(carried, key=lambda t: t[0], reverse=True):
+        nxt = rows[k + 1]
+        nvmap = _row_vcols(rows, k + 1)
+        for idx, sv in enumerate(nvmap):
+            if sv >= start:
+                nxt.insert(idx, nc)
+                break
+        else:
+            nxt.append(nc)
+
+
 def _apply_cell_merge(rows_a: list[list[Cell]], rows_b: list[list[Cell]],
                       k: int, cell_merge: list) -> None:
     """Cross-page CELL continuation (reference _apply_cell_merge
     :938-1017): for each visual column flagged 1, the continuation's
-    first data-row cell content appends into the anchor's last-row cell
-    at the same visual column and the source cell empties; a first data
-    row left with no content is dropped (simplification vs the
-    reference: only when none of its cells carry a rowspan — the
-    reference sinks blank rowspan placeholders instead)."""
+    first data-row cell CONTENT (text + typed media/math) appends into
+    the anchor's last-row cell at the same visual column and the source
+    cell empties; a first data row left with no semantic content is
+    dropped, with its blank structural rowspan placeholders SUNK into
+    the following row (rowspan-1, re-inserted at their visual columns)
+    so later rows keep their alignment."""
     if not rows_a or k >= len(rows_b):
         return
     last, first = rows_a[-1], rows_b[k]
@@ -539,11 +579,16 @@ def _apply_cell_merge(rows_a: list[list[Cell]], rows_b: list[list[Cell]],
         if first[c2].text:
             last[c1].text = (f"{last[c1].text} {first[c2].text}"
                              if last[c1].text else first[c2].text)
+        if first[c2].media:
+            last[c1].media = tuple(last[c1].media) + tuple(first[c2].media)
+        if first[c2].math:
+            last[c1].math = tuple(last[c1].math) + tuple(first[c2].math)
         first[c2].text = ""
+        first[c2].media = ()
+        first[c2].math = ()
         transferred.add((c1, c2))
-    if (transferred
-            and not any(c.text for c in first)
-            and all(c.rowspan == 1 for c in first)):
+    if not any(_cell_semantic(c) for c in first):
+        _carry_rowspan_structure(rows_b, k)
         del rows_b[k]
 
 

@@ -2989,3 +2989,31 @@ def test_pptx_picture_skip_rules():
     want = f"images/{hashlib.sha256(hashlib.sha256(b'content').digest() * 2).hexdigest()}.jpg"
     assert [b["img_path"] for b in imgs_by_page.get(0, [])] == [want]
     assert len(imgs_by_page.get(1, [])) == 1  # bg2 kept
+
+
+def test_cell_merge_sinks_blank_rowspan_placeholders():
+    """A merged-away first data row whose blank rowspan>1 cell is pure
+    structure SINKS that placeholder into the next row with rowspan-1
+    at its visual column (reference _carry_rowspan_structure_to_next_row,
+    table_merge.py:841-867) — the row drops and later columns stay
+    aligned."""
+    from mineru_spark.kernels import tables as tbl
+
+    def grid(h):
+        return tbl.parse_tables(h)[0]
+
+    a = grid("<table><tr><th>k</th><th>v</th></tr>"
+             "<tr><td>key one</td><td>value starts</td></tr></table>")
+    # continuation: first data row = blank rowspan-2 structural cell +
+    # the flagged continuation text; second row has ONE cell (the other
+    # column covered by the rowspan)
+    b = grid('<table><tr><td rowspan="2"></td><td>and ends</td></tr>'
+             "<tr><td>v2</td></tr></table>")
+    m = tbl.merge_structural(a, b, cell_merge=[0, 1])
+    html = tbl.render_table_html(m)
+    assert "<td>value starts and ends</td>" in html
+    # the emptied row dropped; its rowspan placeholder sank into the
+    # next row (now a plain blank cell, rowspan reduced 2 → 1)
+    assert html.count("<tr>") == 3
+    assert "<tr><td></td><td>v2</td></tr>" in html
+    assert "rowspan" not in html
