@@ -412,6 +412,23 @@ def _gen_split_table(rng: random.Random) -> tuple[str, str, bool, list | None]:
         flags = [1 if rng.random() < 0.6 else 0 for _ in range(ncols)]
         if not any(flags):
             flags[rng.randrange(ncols)] = 1
+        unflagged = [i for i, f in enumerate(flags) if not f]
+        if unflagged and rng.random() < 0.3:
+            # blank STRUCTURAL rowspan placeholder on an unflagged
+            # column: the emptied first row must drop AND sink the
+            # placeholder into the narrow next row
+            # (_carry_rowspan_structure_to_next_row analog)
+            sink_col = rng.choice(unflagged)
+            half = "<tr>" + "".join(
+                (f"<td>{_sentence(rng, 1, 2)}</td>" if f
+                 else ('<td rowspan="2"></td>' if i == sink_col
+                       else "<td></td>"))
+                for i, f in enumerate(flags)) + "</tr>"
+            narrow = "<tr>" + "".join(
+                f"<td>{_sentence(rng, 1, 2)}</td>"
+                for i in range(ncols) if i != sink_col) + "</tr>"
+            cont = f"<table>{half}{narrow}</table>"
+            return anchor, cont, False, flags
         half = "<tr>" + "".join(
             (f"<td>{_sentence(rng, 1, 2)}</td>" if f else "<td></td>")
             for f in flags) + "</tr>"
