@@ -541,10 +541,15 @@ def classify_text_block(lines: list[str], lbb: "np.ndarray",
     - else text.
 
     `lines` are the assembled line texts, `lbb` the (n,4) line bbox array.
+
+    Returns ``(kind, starts)``: kind in {"text","list","index"}; for
+    list/index, ``starts`` marks the ITEM-START lines (the reference's
+    ListLineTag.IS_LIST_START_LINE) that the md join hard-breaks before;
+    None for text.
     """
     n = len(lines)
     if n < 2:
-        return "text"
+        return "text", None
     # bbox_fs: union of line bboxes (reference __process_blocks)
     ux0, uy0 = float(lbb[:, 0].min()), float(lbb[:, 1].min())
     ux1, uy1 = float(lbb[:, 2].max()), float(lbb[:, 3].max())
@@ -552,7 +557,7 @@ def classify_text_block(lines: list[str], lbb: "np.ndarray",
     bw = ux1 - ux0
     bh = uy1 - uy0
     if lh <= 0 or bw <= 0:
-        return "text"
+        return "text", None
     bw_ratio = bw / page_w if page_w else 0.0
 
     x0, x1 = lbb[:, 0], lbb[:, 2]
@@ -584,16 +589,47 @@ def classify_text_block(lines: list[str], lbb: "np.ndarray",
 
     lc, rc = int(left_close.sum()), int(right_close.sum())
     if (lc / n >= 0.8 or rc / n >= 0.8) and line_num_flag:
-        return "index"
+        return "index", [True] * n
     if (int(both_clear.sum()) >= 2 and int(center_close.sum()) == n
             and both_clear.sum() / n >= 0.5 and bh / bw > 0.4):
-        return "list"
+        # centered list: every line is its own item (para_split.py:196-200)
+        return "list", [True] * n
     if (lc >= 2
             and (int(right_not_close.sum()) >= 2 or line_end_flag
                  or int(left_not_close.sum()) >= 2)
             and not multiple_para):
-        return "list"
-    return "text"
+        # ITEM-START line marking, the reference's five sub-cases
+        # (IS_LIST_START_LINE assignment, para_split.py:202-256) — the
+        # md join hard-breaks exactly before start lines
+        starts = [False] * n
+        if lc / n > 0.8:
+            if flag_end == 0 and rc / n < 0.5:
+                # short one-line items, all flush left (:210-215)
+                starts = [bool(f) for f in left_close]
+            elif line_end_flag:
+                # items delimited by end punctuation (:216-226)
+                for i, t in enumerate(lines):
+                    if t and t[-1] in LIST_END_FLAG and i + 1 < n:
+                        starts[i + 1] = True
+            else:
+                # right-gap ends delimit items (:227-240)
+                pending = False
+                for i in range(n):
+                    if pending:
+                        starts[i] = True
+                        pending = False
+                    if abs(ux1 - float(x1[i])) > 0.1 * bw:
+                        pending = True
+        elif num_start >= 2 and num_start == flag_end:
+            # indented ordered list: digit-led lines start items
+            # (:241-248)
+            starts = [bool(t and t[0].isdigit()) for t in lines]
+        else:
+            # normal indented list: flush-left lines start items
+            # (:249-255)
+            starts = [bool(f) for f in left_close]
+        return "list", starts
+    return "text", None
 
 
 def strip_list_markers(lines: list[str]) -> list[str]:
@@ -1232,20 +1268,33 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                     rec["text"] = "\n".join(lines)
                     rec["lang"] = guess_code_lang(rec["text"])
                 elif label == "list":
-                    items = [ln.lstrip("•◦-* ").strip() for ln in lines]
-                    rec["text"] = "\n".join(it for it in items if it)
+                    # model-labeled list: lines kept VERBATIM (the
+                    # reference renders span content as-is — markers are
+                    # part of the text); marker lines start items
+                    kept = [ln.strip() for ln in lines if ln.strip()]
+                    rec["text"] = "\n".join(kept)
+                    rec["_starts"] = [bool(_LIST_MARKER.match(ln))
+                                      for ln in kept]
                 elif label == "text" and is_list_block(lines):
-                    # D1: unlabeled marker list detected from line structure
+                    # D1: unlabeled marker list detected from line
+                    # structure; the marker IS the item-start signal
                     rec["type"] = "list"
-                    rec["text"] = "\n".join(strip_list_markers(lines))
-                elif label == "text" and len(lines) >= 2 and (kind := (
+                    kept = [ln.strip() for ln in lines if ln.strip()]
+                    rec["text"] = "\n".join(kept)
+                    rec["_starts"] = [bool(_LIST_MARKER.match(ln))
+                                      for ln in kept]
+                elif label == "text" and len(lines) >= 2 and (ks := (
                         classify_text_block(lines, lbb,
                                             (bx0, by0, bx1, by1), pw))
-                        ) != "text":
-                    # D1: geometric list/index classification (edge stats)
-                    rec["type"] = kind
-                    rec["text"] = "\n".join(
-                        ln.strip() for ln in lines if ln.strip())
+                        )[0] != "text":
+                    # D1: geometric list/index classification (edge
+                    # stats) + the reference's IS_LIST_START_LINE marks
+                    # (kept aligned through the blank-line filter)
+                    rec["type"] = ks[0]
+                    kept_pairs = [(ln.strip(), st) for ln, st in
+                                  zip(lines, ks[1]) if ln.strip()]
+                    rec["text"] = "\n".join(p[0] for p in kept_pairs)
+                    rec["_starts"] = [p[1] for p in kept_pairs]
                 else:
                     rec["text"] = emit.merge_lines(lines)
                     # typed span runs for content_list_v2 (text / sup /
@@ -1492,7 +1541,14 @@ def _merge_split_paras(blocks: list[dict]) -> tuple[list[dict], int]:
                 and out[-1]["type"] == b["type"]
                 and out[-1]["text"] and b["text"]):
             p = out[-1]
-            out[-1] = {**p, "text": p["text"] + "\n" + b["text"]}
+            pn = len(p["text"].split("\n"))
+            bn = len(b["text"].split("\n"))
+            # line start flags travel with their lines through the merge
+            # (reference __merge_2_list_blocks extends the marked lines)
+            starts = (list(p.get("_starts") or [True] * pn)
+                      + list(b.get("_starts") or [True] * bn))
+            out[-1] = {**p, "text": p["text"] + "\n" + b["text"],
+                       "_starts": starts}
             if b["page_idx"] > p["page_idx"]:
                 out[-1]["cross_page"] = True
             merged += 1

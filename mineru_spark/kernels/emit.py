@@ -115,6 +115,48 @@ def merge_lines(lines: list[str]) -> str:
     return out
 
 
+def join_list_lines(lines: list[str], starts: list[bool]) -> str:
+    """Pipeline LIST/INDEX markdown join (reference _merge_para_text +
+    _line_prefix, pipeline_middle_json_mkcontent.py:305-338/:422-427):
+    a '  \\n' HARD BREAK precedes every item-start line after the first;
+    continuation lines join with the block-level M2 language rule
+    (CJK no-space / hyphen splice / space).  No list markers are added —
+    the reference renders the line text verbatim (markers, if any, are
+    part of the span content) — and no block-prefix escape applies
+    (merge_para_with_text escapes the prefix for TEXT blocks only).
+
+    The block language is detected ONCE over the whole block like the
+    reference (detect_lang over the collected text), then each item
+    group merges under that flag."""
+    from .langid import CJK_LANGS, lang_of
+
+    pairs = [(ln, st) for ln, st in
+             zip(lines, list(starts) + [True] * len(lines))
+             if ln.strip()]
+    if not pairs:
+        return ""
+    cjk_block = lang_of(" ".join(p[0].strip() for p in pairs)) in CJK_LANGS
+    items: list[str] = []
+    cur = ""
+    for i, (ln, st) in enumerate(pairs):
+        ln = ln.strip()
+        if i > 0 and st:
+            items.append(cur)
+            cur = ln
+        elif not cur:
+            cur = ln
+        elif cjk_block:
+            cur = cur + ln
+        elif _LINE_END_HYPHEN_RE.search(cur) and ln[:1].islower():
+            cur = cur[:-1] + ln
+        else:
+            cur = cur + " " + ln
+    items.append(cur)
+    return "  \n".join(
+        s for s in (escape_inline(normalize_text(it)) for it in items)
+        if s)
+
+
 _HAS_SPECIAL = re.compile(r"[*_~$`\\]")
 # reference TEXT_BLOCK_MARKDOWN_PREFIX_RE (markdown_utils.py:7-9): up to 3
 # leading spaces/tabs, then #{1,6} or +/-, followed by space/tab
@@ -281,6 +323,17 @@ def render_block(b: dict) -> str:
                 return "\n".join(it for it in text.split("\n") if it.strip())
             return "\n".join("- " + it for it in text.split("\n") if it)
         return text
+    if t in ("list", "index") and "_starts" in b:
+        # PIPELINE list/index blocks (charstream route, D1): hard-break
+        # join per item-start line, NO markers added (reference renders
+        # the lines verbatim through merge_para_with_text — mk md list
+        # branch, pipeline_middle_json_mkcontent.py:27-33).  Office/html
+        # lists never carry _starts and keep their builder rendering.
+        lines = text.split("\n")
+        starts = b.get("_starts")
+        if not isinstance(starts, list) or len(starts) != len(lines):
+            starts = [True] * len(lines)
+        return join_list_lines(lines, starts)
     return render_md_block(t, text, b.get("level", 1))
 
 

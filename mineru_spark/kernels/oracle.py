@@ -156,6 +156,14 @@ def _content_list_json(blocks: list[dict]) -> str:
             # are already mounted as [text](#anchor) links)
             item["list_items"] = [ln for ln in b["text"].split("\n")
                                   if ln.strip()]
+        elif (b["type"] in ("list", "index")
+                and "_starts" in b and not b.get("pre_rendered")):
+            # PIPELINE list/index: content_list carries the SAME
+            # hard-break-joined text as md (reference
+            # make_blocks_to_content_list routes LIST/INDEX through
+            # merge_para_with_text, pipeline_middle_json_mkcontent.py:
+            # 612-621)
+            item["text"] = emit.render_block(b)
         else:
             text = b["text"]
             if b["type"] == "title":
@@ -332,6 +340,28 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                     if ti.get("anchor"):
                         rec["anchor"] = ti["anchor"]
                     items.append(rec)
+            elif "_starts" in b and not b.get("pre_rendered"):
+                # PIPELINE list/index: v2 items are the START-LINE
+                # groups (reference _split_list_item_blocks groups
+                # lines between IS_LIST_START_LINE marks,
+                # pipeline_middle_json_mkcontent.py:925-957), each
+                # merged with the block-level language join
+                lines = [ln for ln in text.split("\n")]
+                starts = b.get("_starts")
+                if not isinstance(starts, list) or len(starts) != len(lines):
+                    starts = [True] * len(lines)
+                groups: list[list[str]] = []
+                for i, ln in enumerate(lines):
+                    if not ln.strip():
+                        continue
+                    if groups and not (i > 0 and starts[i]):
+                        groups[-1].append(ln)
+                    else:
+                        groups.append([ln])
+                items = [{"item_type": "text",
+                          "item_content": runs(emit.merge_lines(g))}
+                         for g in groups
+                         if emit.normalize_text(emit.merge_lines(g))]
             else:
                 items = [{"item_type": "text", "item_content": runs(it)}
                          for it in text.split("\n") if it.strip()]

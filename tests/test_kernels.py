@@ -468,7 +468,9 @@ def test_adjacent_list_blocks_merge():
     cl = json.loads(out["content_list"])
     lists = [b for b in cl if b["type"] == "list"]
     assert len(lists) == 1
-    assert lists[0]["text"] == "one\ntwo\nthree"
+    # content_list carries the same hard-break join as md (reference
+    # routes LIST through merge_para_with_text)
+    assert lists[0]["text"] == "• one  \n• two  \n• three"
 
 
 def test_d1_geometric_index_block():
@@ -774,7 +776,9 @@ def test_list_block_bullets():
     layout = [{"bbox": [45, 95, 300, 130], "label": "list", "index": 0}]
     blocks, _, _ = extract_pdf(_page(l1 + l2, layout))
     assert blocks[0]["type"] == "list"
-    assert blocks_to_md(blocks) == "- alpha beta\n- gamma"
+    # model-labeled list: lines verbatim (markers are span content),
+    # hard break per item-start line (pipeline md list join)
+    assert blocks_to_md(blocks) == "• alpha beta  \n• gamma"
 
 
 def test_vertical_text_assembly():
@@ -1148,7 +1152,7 @@ def test_d1_list_classification():
     layout = [{"bbox": [45, 95, 300, 140], "label": "text", "index": 0}]
     blocks, _, _ = extract_pdf(_page(l1 + l2 + l3, layout))
     assert blocks[0]["type"] == "list"
-    assert blocks_to_md(blocks) == "- alpha beta\n- gamma\n- delta"
+    assert blocks_to_md(blocks) == "1. alpha beta  \n2. gamma  \n3. delta"
 
 
 def test_pptx_route():
@@ -3017,3 +3021,47 @@ def test_cell_merge_sinks_blank_rowspan_placeholders():
     assert html.count("<tr>") == 3
     assert "<tr><td></td><td>v2</td></tr>" in html
     assert "rowspan" not in html
+
+
+def test_d1_list_start_line_marking_and_join():
+    """IS_LIST_START_LINE sub-cases (para_split.py:202-256) + the
+    pipeline md list join (hard break before start lines, language join
+    for continuation lines, no markers added)."""
+    import numpy as np
+
+    from mineru_spark.kernels import emit
+    from mineru_spark.kernels.charstream import classify_text_block
+
+    # normal indented list (≥2 indented continuations): flush-left lines
+    # start items; indented continuation lines join their item with a
+    # space (:249-255)
+    lines = ["first item starts", "continues here", "still continues",
+             "second item ends"]
+    lbb = np.array([[50.0, 100, 280, 110],
+                    [70.0, 112, 260, 122],     # indented continuation
+                    [70.0, 124, 250, 134],     # indented continuation
+                    [50.0, 136, 240, 146]])
+    kind, starts = classify_text_block(lines, lbb, (50, 100, 300, 150),
+                                       612.0)
+    assert kind == "list"
+    assert starts == [True, False, False, True]
+    assert emit.join_list_lines(lines, starts) == \
+        ("first item starts continues here still continues  \n"
+         "second item ends")
+
+    # end-flag delimited items: the line AFTER a '.'-terminated line
+    # starts the next item (flag_end >= 80%, :216-226)
+    lines2 = ["alpha beta gamma.", "delta epsilon.", "zeta eta theta."]
+    lbb2 = np.array([[50.0, 100, 280, 110],
+                     [50.0, 112, 280, 122],
+                     [50.0, 124, 280, 134]])
+    kind2, starts2 = classify_text_block(lines2, lbb2,
+                                         (50, 100, 300, 140), 612.0)
+    assert kind2 == "list"
+    assert starts2 == [False, True, True]
+    assert emit.join_list_lines(lines2, starts2) == \
+        "alpha beta gamma.  \ndelta epsilon.  \nzeta eta theta."
+
+    # index blocks hard-break every line
+    assert emit.join_list_lines(["Intro 3", "Scope 9"], [True, True]) == \
+        "Intro 3  \nScope 9"
