@@ -540,14 +540,15 @@ def _gen_pdf(rng: random.Random) -> str:
             chars.extend(blk_chars)
             li += 1
 
-        def add_multiline_block(label, lines, y):
+        def add_multiline_block(label, lines, y, x0s=None):
             nonlocal ci, li
             blk_chars: list = []
             j = ci
             yy = y
-            x_max = 50.0
-            for line in lines:
-                x = 50.0
+            x_min = min(x0s) if x0s else 50.0
+            x_max = x_min
+            for li_n, line in enumerate(lines):
+                x = x0s[li_n] if x0s else 50.0
                 for word in line.split(" "):
                     for chx in word:
                         blk_chars.append({
@@ -564,8 +565,8 @@ def _gen_pdf(rng: random.Random) -> str:
                 x_max = max(x_max, x)
                 yy += LINE_H
             ci = j
-            layout.append({"bbox": [50.0, round(y, 2), round(x_max, 2),
-                                    round(yy, 2)],
+            layout.append({"bbox": [round(x_min, 2), round(y, 2),
+                                    round(x_max, 2), round(yy, 2)],
                            "label": label, "index": -1 if no_index else li})
             if spans_mode and blk_chars:
                 layout[-1]["spans"] = _row_spans(blk_chars)
@@ -735,12 +736,41 @@ def _gen_pdf(rng: random.Random) -> str:
             ))
             y = add_multiline_block("code", code_lines, y) + 12.0
         elif r_rich < 0.85:
-            if rng.random() < 0.4:
+            ld = rng.random()
+            if ld < 0.3:
                 # numbered list that the layout model mislabels as text —
                 # the kernel's D1 classifier must recover it
                 items = [f"{k + 1}. {_sentence(rng, 2, 5)}"
                          for k in range(rng.randint(3, 5))]
                 y = add_multiline_block("text", items, y) + 12.0
+            elif ld < 0.45:
+                # MARKERLESS sentence-per-line items: the geometric D1
+                # classifier fires on the end-flag statistics and marks
+                # the line AFTER each '.'-terminated line as an item
+                # start (para_split.py:216-226)
+                items = [f"{_sentence(rng, 2, 5)}."
+                         for _ in range(rng.randint(3, 5))]
+                y = add_multiline_block("text", items, y) + 12.0
+            elif ld < 0.55:
+                # right-gap delimited items (no end flags, no markers):
+                # equal-width long lines + short ragged tails — the gap
+                # after each tail starts the next item (:227-240)
+                base = "kernel merge window table batch stream"
+                lines = [base, _sentence(rng, 1, 2),
+                         base, _sentence(rng, 1, 2)]
+                y = add_multiline_block("text", lines, y) + 12.0
+            elif ld < 0.63:
+                # indented digit-led ordered items with flush-left
+                # continuations (num_start == flag_end, :241-248); the
+                # last continuation is the longest line so the
+                # multi-paragraph veto stays off
+                lines = [f"1. {_sentence(rng, 2, 3)}.",
+                         _sentence(rng, 2, 3),
+                         f"2. {_sentence(rng, 2, 3)}.",
+                         "window batch merge table stream kernel row"]
+                y = add_multiline_block("text", lines, y,
+                                        x0s=[70.0, 50.0, 70.0, 50.0]) \
+                    + 12.0
             else:
                 items = [f"• {_sentence(rng, 2, 5)}"
                          for _ in range(rng.randint(2, 4))]
