@@ -151,6 +151,15 @@ def x_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(spark, sf_dir, k=10, radius=2)
 
 
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (iterative argmax loop; oracle = independent
+    plain-Python Sennrich-style trainer, golden.ensure_golden_bpe)."""
+    from mineru_spark.golden import ensure_golden_bpe
+    from mineru_spark.textops import bpe_train_merges
+    ensure_golden_bpe(_oracle_sf_dir(sf_dir))
+    return bpe_train_merges(spark, sf_dir)
+
+
 def _oracle_sf_dir(sf_dir: str) -> str:
     """The directory golden oracles are built from: oracle_sql() strings are
     static and pinned to sf0.01 (the driver's correctness scale), so golden
@@ -174,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["x_ann_topk"] = x_ann_topk
     out["x_kmeans"] = x_kmeans
     out["x_media_probe"] = x_media_probe
+    out["x_bpe_merges"] = x_bpe_merges
     return out
 
 
@@ -202,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
             ensure_golden_fingerprints(sf01)
             ensure_golden_ann(sf01, k=10, radius=2)
             ensure_golden_kmeans(sf01)
+            from mineru_spark.golden import ensure_golden_bpe
+            ensure_golden_bpe(sf01)
     except Exception:
         pass  # each query function also ensures its own golden
 
@@ -254,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
     out["x_kmeans"] = f"""
         SELECT vec_id, cent, dist2
         FROM read_parquet('{golden_path("golden_kmeans")}')"""
+    out["x_bpe_merges"] = f"""
+        SELECT merge_rank, "left", "right", merged, pair_count
+        FROM read_parquet('{golden_path("golden_bpe")}')"""
     out["x_media_probe"] = f"""
         SELECT media_id, mime_sniffed, width, height, duration_ms,
                meta_match

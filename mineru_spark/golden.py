@@ -417,3 +417,67 @@ def ensure_golden_kmeans(sf_dir: str, sf: float = ORACLE_SF) -> str:
     })
     _write_atomic(table, path)
     return path
+
+
+def ensure_golden_bpe(sf_dir: str, sf: float = ORACLE_SF) -> str:
+    """Independent plain-Python BPE trainer (Sennrich et al. 2016) over
+    the same word-frequency table textops.bpe_train_merges builds:
+    identical word split (' +' on trimmed text), identical </w> end
+    symbol, identical argmax tie-break (count DESC, then lexicographic
+    (left, right)), identical greedy left-to-right non-overlapping
+    apply, identical <2-count stop.  Exact integer counting throughout,
+    so the gate is bit-stable by construction."""
+    path = golden_path("golden_bpe", sf)
+    if os.path.exists(path):
+        return path
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .textops import BPE_MERGES, _EOW
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["text"])
+    freq: Counter = Counter()
+    for t in pdf["text"]:
+        for w in _re.split(r" +", str(t).strip()):
+            if w:
+                freq[w] += 1
+    vocab = {tuple(list(w) + [_EOW]): n for w, n in freq.items()}
+
+    rows = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), n = sorted(pairs.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < 2:
+            break
+        merged = left + right
+        rows.append((rank, left, right, merged, int(n)))
+        out = {}
+        for syms, cnt in vocab.items():
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == left and s == right:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            k = tuple(acc)
+            out[k] = out.get(k, 0) + cnt
+        vocab = out
+    table = pa.table({
+        "merge_rank": pa.array([r[0] for r in rows], pa.int64()),
+        "left": pa.array([r[1] for r in rows], pa.string()),
+        "right": pa.array([r[2] for r in rows], pa.string()),
+        "merged": pa.array([r[3] for r in rows], pa.string()),
+        "pair_count": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    _write_atomic(table, path)
+    return path

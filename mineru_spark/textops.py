@@ -106,3 +106,80 @@ def fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str,
                      F.col("b.doc_id").alias("db"))
             .agg(F.count("*").cast("long").alias("shared_fp"))
             .filter(F.col("shared_fp") >= min_shared))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016): learn the top-K merge rules
+# from the corpus — the tokenizer-construction step of a training-data
+# pipeline.  Iterative like Lloyd's k-means; the cross-engine gate is a
+# golden parquet from an independent plain-Python implementation
+# (golden.ensure_golden_bpe), so the whole loop is value-hash-checked.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 12
+_EOW = "</w>"   # classic word-end symbol
+
+
+def _merge_pair_col(col, a: str, bsym: str, merged: str):
+    """Greedy left-to-right non-overlapping merge of the symbol pair
+    (a, b) inside one symbol array, as a JVM left fold: push each
+    symbol unless the accumulator ends with `a` and the symbol is `b`,
+    in which case the tail rewrites to the merged token.  Matches the
+    reference BPE apply exactly (after a merge the NEW token sits at
+    the tail, so an overlapping occurrence cannot re-fire)."""
+    return F.aggregate(
+        col, F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(bsym)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_MERGES merge rules over the documents corpus.
+
+    Scale shape: the working set is the DISTINCT word-frequency table
+    (the standard BPE scalability fact — vocabulary, not corpus,
+    bounds the loop), built with ONE explode+count agg; each iteration
+    runs one combiner pair-count agg (rows ∝ distinct adjacent pairs),
+    collects exactly ONE argmax row to the driver (count DESC, then
+    lexicographic (left, right) — the deterministic tie-break the
+    golden mirrors), and rewrites the symbol arrays map-only via the
+    fold above.  localCheckpoint truncates the per-iteration plan
+    growth exactly like the dedup-components loop.  No Python rows
+    ever cross the wire."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (docs.select(F.explode(F.split(F.trim("text"), " +"))
+                         .alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .select(F.concat(F.split(F.col("w"), ""),
+                              F.array(F.lit(_EOW))).alias("syms"),
+                     "freq"))
+    words = words.localCheckpoint()
+    rules = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = (words
+                 .where(F.size("syms") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(1, size(syms) - 1), "
+                     "i -> struct(element_at(syms, i) AS l, "
+                     "element_at(syms, i + 1) AS r))")).alias("p"),
+                     "freq")
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("freq").alias("n"))
+                 .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                 .limit(1).collect())
+        if not pairs or pairs[0]["n"] < 2:
+            break
+        left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["n"])
+        merged = left + right
+        rules.append((rank, left, right, merged, n))
+        words = words.select(
+            _merge_pair_col(F.col("syms"), left, right, merged)
+            .alias("syms"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        rules, "merge_rank long, left string, right string, "
+               "merged string, pair_count long")
