@@ -665,6 +665,30 @@ def _gen_pdf(rng: random.Random) -> str:
                           cjk=rng.random() < 0.05)
                 y += h + 14.0
 
+        # document-level label tail (reference PP-DocLayoutV2 labels,
+        # pipeline_magic_model.py:18-41): an ABSTRACT paragraph near the
+        # top of page 0 (breaks merge groups like titles), a "content"
+        # TOC block (INDEX: every line an item), and a bibliography tail
+        # of ADJACENT reference_content blocks on the last page (they
+        # must group into ONE reference list in content_list/v2)
+        if p == 0 and rng.random() < 0.12:
+            h = rng.randint(2, 4) * LINE_H
+            add_block("abstract", [50.0, y, 562.0, y + h],
+                      rng.randint(1, 2))
+            y += h + 14.0
+        if p == 0 and rng.random() < 0.10:
+            toc_lines = [f"{_sentence(rng, 2, 3).title()} "
+                         f"{rng.randint(1, 40)}"
+                         for _ in range(rng.randint(3, 5))]
+            y = add_multiline_block("content", toc_lines, y) + 12.0
+        if p == n_pages - 1 and rng.random() < 0.15:
+            for _r in range(rng.randint(2, 4)):
+                ref_lines = [f"[{_r + 1}] {_sentence(rng, 3, 6)}."]
+                if rng.random() < 0.3:
+                    ref_lines.append(_sentence(rng, 2, 4) + ".")
+                y = add_multiline_block("reference_content",
+                                        ref_lines, y) + 8.0
+
         # rich block kinds (each with its own extraction kernel path)
         r_rich = rng.random()
         if r_rich < 0.25:
@@ -728,13 +752,26 @@ def _gen_pdf(rng: random.Random) -> str:
             li += 1
             y += 30.0
         elif r_rich < 0.70:
-            code_lines = rng.choice((
-                ["def run(x):", "return x + 1"],
-                ["import os", "print(os.name)"],
-                ["SELECT a FROM t", "WHERE a > 1"],
-                ["const f = (x) => x", "var y = f(2)"],
-            ))
-            y = add_multiline_block("code", code_lines, y) + 12.0
+            if rng.random() < 0.3:
+                # ALGORITHM label: pseudo-code that guesses NO language
+                # (reference "algorithm" -> BlockType.CODE with the
+                # ALGORITHM sub_type kept, pipeline_magic_model.py:
+                # 145-156 -> pre-wrap HTML render)
+                algo_lines = rng.choice((
+                    ["for each x in S do", "  y <- f(x)", "end for"],
+                    ["while queue not empty do", "  pop u", "end while"],
+                    ["procedure MERGE(a, b)", "  join halves",
+                     "end procedure"],
+                ))
+                y = add_multiline_block("algorithm", algo_lines, y) + 12.0
+            else:
+                code_lines = rng.choice((
+                    ["def run(x):", "return x + 1"],
+                    ["import os", "print(os.name)"],
+                    ["SELECT a FROM t", "WHERE a > 1"],
+                    ["const f = (x) => x", "var y = f(2)"],
+                ))
+                y = add_multiline_block("code", code_lines, y) + 12.0
         elif r_rich < 0.85:
             ld = rng.random()
             if ld < 0.3:

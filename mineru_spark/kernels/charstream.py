@@ -49,7 +49,13 @@ ABNORMAL_RATIO = 0.03    # C7: control/PUA/replacement char ratio → ocr
 DISCARD_LABELS = {"header", "footer", "page_number", "aside_text",
                   "page_footnote"}
 
-# PP-DocLayoutV2-style label → (block type, title level)
+# PP-DocLayoutV2-style label → (block type, title level) — the reference
+# label set (pipeline_magic_model.py:18-41 PP_DOCLAYOUT_V2_LABELS_TO_
+# BLOCK_TYPES); "algorithm" is the reference's code label (CODE blocks
+# whose text guesses no language keep the ALGORITHM sub_type and render
+# as the pre-wrap HTML div), "content" is the TOC label (INDEX), and
+# "reference_content" is the bibliography label (REF_TEXT — adjacent
+# blocks group in content_list/v2)
 LABEL_MAP = {
     "doc_title": ("title", 1),
     "paragraph_title": ("title", 2),
@@ -58,6 +64,10 @@ LABEL_MAP = {
     "table": ("table", 1),
     "image": ("image", 1),
     "code": ("code", 1),
+    "algorithm": ("code", 1),
+    "abstract": ("abstract", 1),
+    "content": ("index", 1),
+    "reference_content": ("ref_text", 1),
     "interline_equation": ("equation", 1),
     "vertical_text": ("text", 1),
 }
@@ -1264,9 +1274,18 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                     rec["text"] = text
                     rec["_vert"] = True
                     rec["_vmg"] = _vertical_merge_geometry(pc, sel)
-                elif label == "code":
+                elif rec["type"] == "code":
+                    # "code" and "algorithm" labels both map here; an
+                    # empty language guess marks the ALGORITHM sub_type
+                    # downstream (pre-wrap HTML render)
                     rec["text"] = "\n".join(lines)
                     rec["lang"] = guess_code_lang(rec["text"])
+                elif rec["type"] == "index":
+                    # "content" label (the reference's TOC/INDEX): every
+                    # line is an item-start (para_split.py:62-64)
+                    kept = [ln.strip() for ln in lines if ln.strip()]
+                    rec["text"] = "\n".join(kept)
+                    rec["_starts"] = [True] * len(kept)
                 elif label == "list":
                     # model-labeled list: lines kept VERBATIM (the
                     # reference renders span content as-is — markers are

@@ -249,7 +249,27 @@ def render_block(b: dict) -> str:
         return f"$$\n{text}\n$$" if text else ""
     if t == "code":
         lang = b.get("lang", "")
+        if text and not lang:
+            # ALGORITHM sub_type: a code block whose text guesses no
+            # language renders as the pre-wrap HTML div preserving
+            # indentation (reference render_algorithm_html_from_lines,
+            # markdown_utils.py:51-96 + the sub_type promotion,
+            # pipeline_magic_model.py:145-156/:216-218)
+            from html import escape as _hesc
+            body = _hesc(text, quote=False)
+            return ('<div class="mineru-algorithm" style="white-space: '
+                    'pre-wrap; font-family:monospace;">\n'
+                    f"{body}\n</div>")
         return f"```{lang}\n{text}\n```" if text else ""
+    if t == "abstract":
+        # ABSTRACT blocks render as plain text (reference md TEXT-family
+        # branch, pipeline_middle_json_mkcontent.py:27-33; the type also
+        # BREAKS paragraph-merge groups like titles, para_split.py:43-48)
+        return escape_markdown(normalize_text(text))
+    if t == "ref_text":
+        # bibliography reference entry: merged line text, conservative
+        # escape only (REF_TEXT is not TEXT → no block-prefix escape)
+        return escape_inline(normalize_text(text))
     if t in ("table", "image", "chart") and "caption_pre" in b:
         # OFFICE two-layer visual (marked by the caption pass,
         # kernels/captions.py): the office builder's MM_MD order

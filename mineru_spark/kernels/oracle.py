@@ -112,9 +112,37 @@ def _content_list_json(blocks: list[dict]) -> str:
     page-relative bbox (reference make_blocks_to_content_list,
     mkcontent :609-742); key order fixed for byte equality."""
     items = []
+    ref_group: list[dict] = []
+
+    def flush_refs():
+        # adjacent REF_TEXT blocks group into ONE reference list item
+        # (reference merge_adjacent_ref_text_blocks_for_content,
+        # pipeline_middle_json_mkcontent.py:448-475 + the content_list
+        # REF_TEXT branch :633-641: type LIST, sub_type ref_text,
+        # list_items = the per-block merged text)
+        nonlocal ref_group
+        if not ref_group:
+            return
+        first = ref_group[0]
+        items.append({
+            "type": "list",
+            "page_idx": first["page_idx"],
+            "bbox": [int(v) for v in first["bbox"]],
+            "sub_type": "ref_text",
+            "list_items": [t for t in
+                           (emit.render_block(r) for r in ref_group) if t],
+        })
+        ref_group = []
+
     for b in blocks:
+        if b["type"] == "ref_text":
+            if ref_group and ref_group[-1]["page_idx"] != b["page_idx"]:
+                flush_refs()
+            ref_group.append(b)
+            continue
+        flush_refs()
         item = {
-            "type": b["type"],
+            "type": "text" if b["type"] == "abstract" else b["type"],
             "page_idx": b["page_idx"],
             "bbox": [int(v) for v in b["bbox"]],
         }
@@ -147,8 +175,14 @@ def _content_list_json(blocks: list[dict]) -> str:
             item["text"] = b["text"]
             item["text_format"] = "latex"
         elif b["type"] == "code":
+            # sub_type promotion (reference pipeline_magic_model.py:
+            # 145-156/:216-218): a language guess makes it CODE; no
+            # guess keeps the ALGORITHM sub_type
             item["text"] = b["text"]
-            item["code_language"] = b.get("lang", "")
+            lang = b.get("lang", "")
+            item["sub_type"] = "code" if lang else "algorithm"
+            if lang:
+                item["code_language"] = lang
         elif b["type"] == "index" and b.get("toc_items") is not None:
             # hierarchical TOC: rendered indented item strings (reference
             # make_blocks_to_content_list INDEX branch,
@@ -181,6 +215,7 @@ def _content_list_json(blocks: list[dict]) -> str:
             # output_builders.py:546-549)
             item["anchor"] = anchor.strip()
         items.append(item)
+    flush_refs()
     return json.dumps(items, ensure_ascii=False, sort_keys=True,
                       separators=(",", ":"))
 
@@ -268,8 +303,33 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
         return out
 
     pages: dict[int, list[dict]] = {}
+    ref_group: list[dict] = []
+
+    def flush_refs():
+        # adjacent REF_TEXT blocks → ONE reference_list item (reference
+        # merge_adjacent_ref_text_blocks_for_content + the v2 REF_TEXT
+        # branch, pipeline_middle_json_mkcontent.py:909-923)
+        nonlocal ref_group
+        if not ref_group:
+            return
+        first = ref_group[0]
+        li = [{"item_type": "text", "item_content": runs(r["text"])}
+              for r in ref_group if emit.normalize_text(r["text"])]
+        pages.setdefault(first["page_idx"], []).append(
+            {"type": "list",
+             "content": {"list_type": "reference_list",
+                         "list_items": li},
+             "bbox": [int(v) for v in first["bbox"]]})
+        ref_group = []
+
     for b in blocks:
         t = b["type"]
+        if t == "ref_text":
+            if ref_group and ref_group[-1]["page_idx"] != b["page_idx"]:
+                flush_refs()
+            ref_group.append(b)
+            continue
+        flush_refs()
         text = b.get("text", "")
         blk_runs = (runs_from_records(b["_runs"]) if b.get("_runs")
                     else None) or None
@@ -318,11 +378,19 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                         else "simple_table",
                         "table_nest_level": nest}}
         elif t == "code":
-            item = {"type": "code",
-                    "content": {"code_caption": [],
-                                "code_content": runs(text),
-                                "code_footnote": [],
-                                "code_language": b.get("lang", "") or "txt"}}
+            if b.get("lang", ""):
+                item = {"type": "code",
+                        "content": {"code_caption": [],
+                                    "code_content": runs(text),
+                                    "code_footnote": [],
+                                    "code_language": b.get("lang", "")}}
+            else:
+                # ALGORITHM sub_type (reference v2 encoding,
+                # pipeline_middle_json_mkcontent.py:898-905)
+                item = {"type": "algorithm",
+                        "content": {"algorithm_caption": [],
+                                    "algorithm_content": runs(text),
+                                    "algorithm_footnote": []}}
         elif t in ("list", "index"):
             if t == "index" and b.get("toc_items") is not None:
                 # hierarchical TOC items (reference v2 INDEX branch,
@@ -397,6 +465,7 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
             item["anchor"] = anchor.strip()
         item["bbox"] = [int(v) for v in b["bbox"]]
         pages.setdefault(b["page_idx"], []).append(item)
+    flush_refs()
     out = [pages[p] for p in sorted(pages)]
     return json.dumps(out, ensure_ascii=False, sort_keys=True,
                       separators=(",", ":"))

@@ -3065,3 +3065,77 @@ def test_d1_list_start_line_marking_and_join():
     # index blocks hard-break every line
     assert emit.join_list_lines(["Intro 3", "Scope 9"], [True, True]) == \
         "Intro 3  \nScope 9"
+
+
+def test_label_tail_abstract_algorithm_content_ref_text():
+    """The PP-DocLayoutV2 label tail (pipeline_magic_model.py:18-41):
+    'abstract' renders as plain text but keeps its own middle type and
+    never merges into neighbors; 'algorithm' maps to CODE and, with no
+    language guess, renders the pre-wrap HTML div
+    (render_algorithm_html_from_lines) and encodes as v2 ALGORITHM;
+    'content' is INDEX (hard break per line); adjacent
+    'reference_content' blocks group into ONE reference list in
+    content_list (type list / sub_type ref_text) and v2
+    (reference_list)."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def block(label, lines, y, idx):
+        chars, j = [], idx * 1000
+        for r, ln in enumerate(lines):
+            for k, c in enumerate(ln):
+                chars.append(_char(c, 50 + 5 * k, y + 12 * r, idx=j))
+                j += 1
+        lo = {"bbox": [45, y - 5, 560, y + 12 * len(lines)],
+              "label": label, "index": idx}
+        return chars, lo
+
+    specs = [
+        ("abstract", ["summary of the document body."], 60),
+        ("content", ["Intro 3", "Methods 9"], 100),
+        ("algorithm", ["for each x in S do", "  y <- f(x)", "end for"],
+         160),
+        ("text", ["plain body paragraph here."], 240),
+        ("reference_content", ["[1] first citation entry."], 300),
+        ("reference_content", ["[2] second citation entry."], 330),
+    ]
+    chars, layout = [], []
+    for i, (lbl, lines, y) in enumerate(specs):
+        c, lo = block(lbl, lines, y, i)
+        chars.extend(c)
+        layout.append(lo)
+    out = extract_turn(json.dumps(_page(chars, layout)), "pdf_reader")
+    md = out["md"]
+    assert "summary of the document body." in md
+    assert "Intro 3  \nMethods 9" in md
+    assert '<div class="mineru-algorithm" style="white-space: pre-wrap; ' \
+           'font-family:monospace;">' in md
+    assert "for each x in S do" in md and "end for" in md
+    assert "[1] first citation entry." in md
+
+    cl = json.loads(out["content_list"])
+    # abstract emits as content_list TEXT
+    assert any(b["type"] == "text"
+               and b.get("text", "").startswith("summary") for b in cl)
+    # algorithm code item keeps the sub_type, no code_language
+    alg = next(b for b in cl if b["type"] == "code")
+    assert alg["sub_type"] == "algorithm" and "code_language" not in alg
+    # the two adjacent reference blocks grouped into ONE list item
+    refs = [b for b in cl if b.get("sub_type") == "ref_text"]
+    assert len(refs) == 1 and len(refs[0]["list_items"]) == 2
+    assert refs[0]["list_items"][0].startswith("[1]")
+
+    v2 = json.loads(out["content_list_v2"])
+    flat = [b for pg in v2 for b in pg]
+    assert any(b["type"] == "algorithm"
+               and b["content"]["algorithm_content"] for b in flat)
+    rlists = [b for b in flat
+              if b["type"] == "list"
+              and b["content"].get("list_type") == "reference_list"]
+    assert len(rlists) == 1 and len(rlists[0]["content"]["list_items"]) == 2
+
+    mid = json.loads(out["middle"])
+    types = [b["type"] for pg in mid["pdf_info"]
+             for b in pg["para_blocks"]]
+    assert "abstract" in types and "ref_text" in types
