@@ -700,12 +700,19 @@ def _gen_pdf(rng: random.Random) -> str:
                            "html": html})
             li += 1
             y += 64.0
+            # ~25% use the GENERIC figure_title / vision_footnote labels
+            # (the reference PIPELINE path's only child labels) — the
+            # kind-agnostic attach must still find the table
+            cap_lbl = ("figure_title" if rng.random() < 0.25
+                       else "table_caption")
             add_text_line_block(
-                "table_caption", f"Table {p + 1}: {_sentence(rng, 3, 6)}.", y)
+                cap_lbl, f"Table {p + 1}: {_sentence(rng, 3, 6)}.", y)
             y += 24.0
             if rng.random() < 0.4:
+                fn_lbl = ("vision_footnote" if rng.random() < 0.25
+                          else "table_footnote")
                 add_text_line_block(
-                    "table_footnote", f"Note: {_sentence(rng, 2, 4)}.", y)
+                    fn_lbl, f"Note: {_sentence(rng, 2, 4)}.", y)
                 y += 24.0
         elif r_rich < 0.40:
             if rng.random() < 0.3:
@@ -731,8 +738,10 @@ def _gen_pdf(rng: random.Random) -> str:
                                "index": -1 if no_index else li})
                 li += 1
                 y += 84.0
+                cap_lbl = ("figure_title" if rng.random() < 0.25
+                           else "image_caption")
                 add_text_line_block(
-                    "image_caption",
+                    cap_lbl,
                     f"Figure {p + 1}: {_sentence(rng, 3, 6)}.", y)
                 y += 24.0
         elif r_rich < 0.55:

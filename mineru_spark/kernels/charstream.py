@@ -73,11 +73,20 @@ LABEL_MAP = {
 }
 
 # caption/footnote labels → (parent block type, slot)   (B10)
+# kind None = the reference PIPELINE path's GENERIC child labels
+# ("figure_title" → CAPTION, "vision_footnote" → FOOTNOTE,
+# pipeline_magic_model.py:27/:42): find_best_visual_parent runs over
+# ALL visual mains (main_type_to_visual_type maps every main type to
+# itself, :476-481), not a kind-matched subset; orphans demote to text
+# (:384-387).  Charstream visual mains are table/image (chart is
+# office-only; code captions out of scope, documented).
 CAPTION_LABELS = {
     "table_caption": ("table", "caption"),
     "table_footnote": ("table", "footnote"),
     "image_caption": ("image", "caption"),
     "image_footnote": ("image", "footnote"),
+    "figure_title": (None, "caption"),
+    "vision_footnote": (None, "footnote"),
 }
 
 PUNCT_RUN_RATIO = 0.25   # C10: chars inside punct runs ≥ 4 long
@@ -1378,7 +1387,8 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
             slot = CAPTION_LABELS.get(r["label"])
             if slot:
                 kind, field = slot
-                cands = [j for j, v in visuals.items() if v["label"] == kind]
+                cands = [j for j, v in visuals.items()
+                         if kind is None or v["label"] == kind]
                 if cands:
                     dmin = min(abs(visuals[j]["pos"] - r["pos"])
                                for j in cands)
@@ -1394,9 +1404,13 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                             pick = min(tied,
                                        key=lambda j: (ed[j],
                                                       visuals[j]["pos"]))
-                        elif field == "caption" and kind == "table":
+                        elif field == "caption" and all(
+                                visuals[j]["label"] == "table"
+                                for j in tied):
                             # a caption between two near-equidistant tables
-                            # belongs to the LATER one
+                            # belongs to the LATER one (applies to the
+                            # generic figure_title label too when every
+                            # tied parent is a table)
                             pick = max(tied, key=lambda j: visuals[j]["pos"])
                         elif field == "footnote":
                             pick = min(tied, key=lambda j: visuals[j]["pos"])

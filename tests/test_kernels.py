@@ -3139,3 +3139,44 @@ def test_label_tail_abstract_algorithm_content_ref_text():
     types = [b["type"] for pg in mid["pdf_info"]
              for b in pg["para_blocks"]]
     assert "abstract" in types and "ref_text" in types
+
+
+def test_generic_caption_labels_kind_agnostic_attach():
+    """The pipeline's GENERIC child labels (figure_title → CAPTION,
+    vision_footnote → FOOTNOTE, pipeline_magic_model.py:27/:42) attach
+    to the best visual parent of ANY kind — an image-adjacent
+    figure_title lands on the image even with a table elsewhere, and an
+    orphan (no visuals at all) demotes to text."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def cap(text, y, idx, label):
+        chars = [_char(c, 150 + 5 * k, y, idx=idx * 1000 + k)
+                 for k, c in enumerate(text)]
+        return chars, {"bbox": [145, y - 5, 400, y + 12],
+                       "label": label, "index": idx}
+
+    chars, layout = [], []
+    layout.append({"bbox": [150, 60, 450, 140], "label": "image",
+                   "index": 0})
+    c, lo = cap("Figure 1: the picture.", 150, 1, "figure_title")
+    chars += c; layout.append(lo)
+    layout.append({"bbox": [50, 220, 562, 280], "label": "table",
+                   "index": 2,
+                   "html": "<table><tr><td>x</td></tr></table>"})
+    c, lo = cap("Note: under the table.", 290, 3, "vision_footnote")
+    chars += c; layout.append(lo)
+    out = extract_turn(json.dumps(_page(chars, layout)), "pdf_reader")
+    cl = json.loads(out["content_list"])
+    img = next(b for b in cl if b["type"] == "image")
+    assert img["image_caption"] == ["Figure 1: the picture."]
+    tbl_b = next(b for b in cl if b["type"] == "table")
+    assert tbl_b["table_footnote"] == ["Note: under the table."]
+
+    # orphan generic caption with no visual present → text block
+    c2, lo2 = cap("Figure 9: nothing here.", 60, 0, "figure_title")
+    out2 = extract_turn(json.dumps(_page(c2, [lo2])), "pdf_reader")
+    cl2 = json.loads(out2["content_list"])
+    assert any(b["type"] == "text"
+               and b["text"].startswith("Figure 9") for b in cl2)
