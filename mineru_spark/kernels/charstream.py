@@ -1421,10 +1421,20 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
                                     r["_raw"], visuals[j]["_raw"]),
                                     visuals[j]["pos"]))
                     visuals[pick][field].append(r["text"])
+                    # keep the child's READING-ORDER position so the md
+                    # render can interleave children with the body in
+                    # index order (reference get_blocks_in_index_order,
+                    # pipeline_middle_json_mkcontent.py:91-101)
+                    visuals[pick].setdefault("_vsegs", []).append(
+                        (r["pos"], field, r["text"]))
                     continue
                 r["type"] = "text"  # orphan caption degrades to text
             page_blocks.append(r)
         for r in page_blocks:
+            if "_vsegs" in r:
+                segs = sorted(r.pop("_vsegs")
+                              + [(r["pos"], "body", None)])
+                r["_vorder"] = [(f, t) for _, f, t in segs]
             r.pop("label", None)
             r.pop("pos", None)
             r.pop("_raw", None)
@@ -1534,10 +1544,24 @@ def _merge_cross_page_tables(blocks: list[dict]) -> tuple[list[dict], int]:
                 if m is not None:
                     keep_caps = [c for c in b.get("caption", [])
                                  if not tbl.is_continuation_text(c)]
+                    # continuation children render AFTER the anchor's
+                    # (their reading-order indices are later); the
+                    # continuation marker caption drops entirely
+                    tail = [(f, t) for f, t in b.get("_vorder", [])
+                            if f != "body"
+                            and not (f == "caption"
+                                     and tbl.is_continuation_text(t))]
+                    vorder = (p.get("_vorder")
+                              or [("caption", c)
+                                  for c in p.get("caption", [])]
+                              + [("body", None)]
+                              + [("footnote", f)
+                                 for f in p.get("footnote", [])])
                     out[-1] = {**p, "text": tbl.render_table_html(m),
                                "caption": p.get("caption", []) + keep_caps,
                                "footnote": p.get("footnote", [])
-                               + b.get("footnote", [])}
+                               + b.get("footnote", []),
+                               "_vorder": vorder + tail}
                     merged += 1
                     continue
         out.append(b)

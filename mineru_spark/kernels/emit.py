@@ -299,24 +299,49 @@ def render_block(b: dict) -> str:
         # the typed block) contributes nothing to md
         return replace_eq_tags(text) if text else ""
     if t in ("table", "image"):
-        # PIPELINE visual segment order (charstream route; reference
-        # pipeline_middle_json_mkcontent.py:70-204): captions BEFORE the
-        # body, '\n\n'-joined, footnotes after
-        segs = [escape_markdown(normalize_text(c))
-                for c in b.get("caption", []) if c]
-        if t == "table" and text:
-            # canonical HTML body; <eq> bookends from cell-anchored math
-            # unescape to inline $..$ at output time only (reference
-            # _format_embedded_html, output_builders.py:405 — middle
-            # keeps the raw bookends)
-            segs.append(replace_eq_tags(text))
-        if t == "image" and b.get("img_path"):
-            # S8: the reference's image body line
-            # (pipeline_middle_json_mkcontent.py:152-155)
-            segs.append(f"![]({b['img_path']})")
-        segs += [escape_markdown(normalize_text(f))
-                 for f in b.get("footnote", []) if f]
-        return "\n\n".join(s for s in segs if s)
+        # PIPELINE visual rendering (charstream route; reference
+        # merge_visual_blocks_to_markdown, pipeline_middle_json_
+        # mkcontent.py:70-104): children and body render in READING
+        # ORDER (get_blocks_in_index_order :91-101) as segments —
+        # captions/footnotes are markdown lines, a table html body is an
+        # html_block — with the separator rules of
+        # get_visual_block_separator (:191-204): '  \n' hard break
+        # between markdown lines, '\n' before an html block, '\n\n'
+        # after one.
+        order = b.get("_vorder")
+        if not isinstance(order, list) or not order:
+            order = ([("caption", c) for c in b.get("caption", [])]
+                     + [("body", None)]
+                     + [("footnote", f) for f in b.get("footnote", [])])
+        segs: list[tuple[str, str]] = []
+        for field, content in order:
+            if field == "body":
+                if t == "table" and text:
+                    # canonical HTML body; <eq> bookends from
+                    # cell-anchored math unescape to inline $..$ at
+                    # output time only (middle keeps the raw bookends)
+                    segs.append((replace_eq_tags(text), "html_block"))
+                elif t == "image" and b.get("img_path"):
+                    # S8: the reference's image body line (:152-155)
+                    segs.append((f"![]({b['img_path']})",
+                                 "markdown_line"))
+            else:
+                s = escape_markdown(normalize_text(str(content or "")))
+                if s:
+                    segs.append((s, "markdown_line"))
+        para = ""
+        prev_kind = None
+        for seg, kind in segs:
+            if para:
+                if prev_kind == "html_block":
+                    para += "\n\n"
+                elif kind == "html_block":
+                    para += "\n"
+                else:
+                    para += "  \n"
+            para += seg
+            prev_kind = kind
+        return para.strip()
     if b.get("pre_rendered"):
         # run-level renderers (docx styled runs) escape inline; don't
         # double-escape here

@@ -544,8 +544,11 @@ def test_visual_caption_matching():
     assert blocks[0]["caption"] == ["Table 1: demo."]
     assert m["tables_parsed"] == 1
     md = blocks_to_md(blocks)
-    assert md == ("Table 1: demo.\n\n"
-                  "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")
+    # children render in READING order (the caption sits BELOW the
+    # table), with a blank line after the html body
+    # (merge_visual_blocks_to_markdown + get_visual_block_separator)
+    assert md == ("<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"
+                  "\n\nTable 1: demo.")
 
 
 def test_cross_page_table_merge_in_document():
@@ -3180,3 +3183,48 @@ def test_generic_caption_labels_kind_agnostic_attach():
     cl2 = json.loads(out2["content_list"])
     assert any(b["type"] == "text"
                and b["text"].startswith("Figure 9") for b in cl2)
+
+
+def test_visual_segment_order_and_separators():
+    """Visual children render in reading order with the reference's
+    separators (merge_visual_blocks_to_markdown :70-104 +
+    get_visual_block_separator :191-204): markdown lines join with a
+    '  \\n' hard break, an html body takes '\\n' before and '\\n\\n'
+    after."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    def cap(text, y, idx, label):
+        chars = [_char(c, 150 + 5 * k, y, idx=idx * 1000 + k)
+                 for k, c in enumerate(text)]
+        return chars, {"bbox": [145, y - 5, 400, y + 12],
+                       "label": label, "index": idx}
+
+    chars, layout = [], []
+    # caption ABOVE the table, footnote below → caption  \n<html>\n\nnote
+    c, lo = cap("Table 1: demo.", 60, 0, "table_caption")
+    chars += c; layout.append(lo)
+    layout.append({"bbox": [50, 80, 560, 140], "label": "table",
+                   "index": 1,
+                   "html": "<table><tr><td>v</td></tr></table>"})
+    c, lo = cap("Note: below.", 150, 2, "table_footnote")
+    chars += c; layout.append(lo)
+    out = extract_turn(json.dumps(_page(chars, layout)), "pdf_reader")
+    assert ("Table 1: demo.\n"
+            "<table><tr><td>v</td></tr></table>\n\n"
+            "Note: below.") in out["md"]
+
+    # image with caption above and footnote below: all markdown lines →
+    # hard breaks between every pair
+    chars2, layout2 = [], []
+    c, lo = cap("Figure 2: pic.", 60, 0, "image_caption")
+    chars2 += c; layout2.append(lo)
+    layout2.append({"bbox": [150, 80, 450, 160], "label": "image",
+                    "index": 1})
+    c, lo = cap("Source: here.", 170, 2, "image_footnote")
+    chars2 += c; layout2.append(lo)
+    out2 = extract_turn(json.dumps(_page(chars2, layout2)), "pdf_reader")
+    img_path = json.loads(out2["content_list"])
+    ip = next(b for b in img_path if b["type"] == "image")["img_path"]
+    assert (f"Figure 2: pic.  \n![]({ip})  \nSource: here.") in out2["md"]
