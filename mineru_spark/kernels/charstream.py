@@ -651,10 +651,6 @@ def classify_text_block(lines: list[str], lbb: "np.ndarray",
     return "text", None
 
 
-def strip_list_markers(lines: list[str]) -> list[str]:
-    return [_LIST_MARKER.sub("", ln).strip() for ln in lines if ln.strip()]
-
-
 # B12 language guess: the shared deterministic token-weight classifier
 # (kernels/langid.py) replaces the old 3-keyword early-exit — same magika
 # stand-in role (reference guess_suffix_or_lang.py:73-85), 8 languages
