@@ -1377,8 +1377,14 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         # spread), else table-caption→later table / footnote→earlier
         # parent, else min center distance
         page_blocks: list[dict] = []
+        # CODE is a visual main type in the reference pipeline
+        # (VISUAL_MAIN_TYPES, pipeline_magic_model.py:44) — only the
+        # GENERIC child labels can reach it (typed caption labels carry
+        # a table/image kind), exactly like the reference whose pipeline
+        # children are generic-only
         visuals = {i: r for i, r in enumerate(raw)
-                   if r["label"] in ("table", "image")}
+                   if r["label"] in ("table", "image", "code",
+                                     "algorithm")}
         for i, r in enumerate(raw):
             slot = CAPTION_LABELS.get(r["label"])
             if slot:

@@ -233,6 +233,27 @@ def render_md_block(btype: str, text: str, level: int = 1) -> str:
     return escape_markdown(normalize_text(text))
 
 
+def _join_visual_segments(segs: list) -> str:
+    """Segment join for two-layer visual blocks (reference
+    get_visual_block_separator, pipeline_middle_json_mkcontent.py:
+    191-204): '  \\n' hard break between markdown lines, '\\n' before an
+    html block, '\\n\\n' after one; the assembled text strips edges
+    (mk_blocks :65)."""
+    para = ""
+    prev_kind = None
+    for seg, kind in segs:
+        if para:
+            if prev_kind == "html_block":
+                para += "\n\n"
+            elif kind == "html_block":
+                para += "\n"
+            else:
+                para += "  \n"
+        para += seg
+        prev_kind = kind
+    return para.strip()
+
+
 def render_block(b: dict) -> str:
     """Rich block dict → markdown segment (M5 visual segments; M2 display
     math `$$...$$`, reference mkcontent :207-219; code fences with the B12
@@ -249,18 +270,44 @@ def render_block(b: dict) -> str:
         return f"$$\n{text}\n$$" if text else ""
     if t == "code":
         lang = b.get("lang", "")
+        body = None
+        body_kind = "markdown_line"
         if text and not lang:
             # ALGORITHM sub_type: a code block whose text guesses no
             # language renders as the pre-wrap HTML div preserving
             # indentation (reference render_algorithm_html_from_lines,
-            # markdown_utils.py:51-96 + the sub_type promotion,
-            # pipeline_magic_model.py:145-156/:216-218)
+            # markdown_utils.py:51-96 — the family's algorithm render —
+            # + the sub_type promotion, pipeline_magic_model.py:
+            # 145-156/:216-218)
             from html import escape as _hesc
-            body = _hesc(text, quote=False)
-            return ('<div class="mineru-algorithm" style="white-space: '
+            body = ('<div class="mineru-algorithm" style="white-space: '
                     'pre-wrap; font-family:monospace;">\n'
-                    f"{body}\n</div>")
-        return f"```{lang}\n{text}\n```" if text else ""
+                    f"{_hesc(text, quote=False)}\n</div>")
+            body_kind = "html_block"
+        elif text:
+            body = f"```{lang}\n{text}\n```"
+        # CODE is a visual main type: generically-labeled captions /
+        # footnotes attach and render in reading order with the same
+        # separator rules as the other visuals
+        # (merge_visual_blocks_to_markdown)
+        if b.get("caption") or b.get("footnote"):
+            order = b.get("_vorder")
+            if not isinstance(order, list) or not order:
+                order = ([("caption", c) for c in b.get("caption", [])]
+                         + [("body", None)]
+                         + [("footnote", f)
+                            for f in b.get("footnote", [])])
+            segs = []
+            for field, content in order:
+                if field == "body":
+                    if body:
+                        segs.append((body, body_kind))
+                else:
+                    s = escape_markdown(normalize_text(str(content or "")))
+                    if s:
+                        segs.append((s, "markdown_line"))
+            return _join_visual_segments(segs)
+        return body or ""
     if t == "abstract":
         # ABSTRACT blocks render as plain text (reference md TEXT-family
         # branch, pipeline_middle_json_mkcontent.py:27-33; the type also
@@ -329,19 +376,7 @@ def render_block(b: dict) -> str:
                 s = escape_markdown(normalize_text(str(content or "")))
                 if s:
                     segs.append((s, "markdown_line"))
-        para = ""
-        prev_kind = None
-        for seg, kind in segs:
-            if para:
-                if prev_kind == "html_block":
-                    para += "\n\n"
-                elif kind == "html_block":
-                    para += "\n"
-                else:
-                    para += "  \n"
-            para += seg
-            prev_kind = kind
-        return para.strip()
+        return _join_visual_segments(segs)
     if b.get("pre_rendered"):
         # run-level renderers (docx styled runs) escape inline; don't
         # double-escape here

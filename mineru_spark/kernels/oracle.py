@@ -177,12 +177,19 @@ def _content_list_json(blocks: list[dict]) -> str:
         elif b["type"] == "code":
             # sub_type promotion (reference pipeline_magic_model.py:
             # 145-156/:216-218): a language guess makes it CODE; no
-            # guess keeps the ALGORITHM sub_type
+            # guess keeps the ALGORITHM sub_type.  Generic children
+            # attach to code visuals too (reference content_list CODE
+            # branch, pipeline_middle_json_mkcontent.py:718-733)
             item["text"] = b["text"]
             lang = b.get("lang", "")
             item["sub_type"] = "code" if lang else "algorithm"
             if lang:
                 item["code_language"] = lang
+            if b.get("caption") or b.get("footnote"):
+                item["code_caption"] = [emit.normalize_text(c)
+                                        for c in b.get("caption", [])]
+                item["code_footnote"] = [emit.normalize_text(f)
+                                         for f in b.get("footnote", [])]
         elif b["type"] == "index" and b.get("toc_items") is not None:
             # hierarchical TOC: rendered indented item strings (reference
             # make_blocks_to_content_list INDEX branch,
@@ -378,19 +385,21 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
                         else "simple_table",
                         "table_nest_level": nest}}
         elif t == "code":
+            caps = [r for c in b.get("caption", []) for r in runs(c)]
+            fns = [r for f in b.get("footnote", []) for r in runs(f)]
             if b.get("lang", ""):
                 item = {"type": "code",
-                        "content": {"code_caption": [],
+                        "content": {"code_caption": caps,
                                     "code_content": runs(text),
-                                    "code_footnote": [],
+                                    "code_footnote": fns,
                                     "code_language": b.get("lang", "")}}
             else:
                 # ALGORITHM sub_type (reference v2 encoding,
                 # pipeline_middle_json_mkcontent.py:898-905)
                 item = {"type": "algorithm",
-                        "content": {"algorithm_caption": [],
+                        "content": {"algorithm_caption": caps,
                                     "algorithm_content": runs(text),
-                                    "algorithm_footnote": []}}
+                                    "algorithm_footnote": fns}}
         elif t in ("list", "index"):
             if t == "index" and b.get("toc_items") is not None:
                 # hierarchical TOC items (reference v2 INDEX branch,

@@ -3228,3 +3228,37 @@ def test_visual_segment_order_and_separators():
     img_path = json.loads(out2["content_list"])
     ip = next(b for b in img_path if b["type"] == "image")["img_path"]
     assert (f"Figure 2: pic.  \n![]({ip})  \nSource: here.") in out2["md"]
+
+
+def test_code_visual_caption_attach():
+    """CODE is a visual main type (pipeline_magic_model.py:44): a
+    generic figure_title adjacent to a code block attaches to it,
+    renders in reading order above the fenced body with a hard break,
+    and surfaces in content_list code_caption and v2."""
+    import json
+
+    from mineru_spark.kernels.oracle import extract_turn
+
+    chars = [_char(c, 150 + 5 * k, 60, idx=k)
+             for k, c in enumerate("Listing 1: setup.")]
+    code_chars = []
+    j = 100
+    for r, ln in enumerate(("import os", "print(os.name)")):
+        for k, c in enumerate(ln):
+            code_chars.append(_char(c, 50 + 5 * k, 90 + 14 * r, idx=j))
+            j += 1
+    layout = [
+        {"bbox": [145, 50, 400, 75], "label": "figure_title", "index": 0},
+        {"bbox": [45, 85, 400, 125], "label": "code", "index": 1},
+    ]
+    out = extract_turn(json.dumps(_page(chars + code_chars, layout)),
+                       "pdf_reader")
+    assert ("Listing 1: setup.  \n```python\nimport os\n"
+            "print(os.name)\n```") in out["md"]
+    cl = json.loads(out["content_list"])
+    code = next(b for b in cl if b["type"] == "code")
+    assert code["code_caption"] == ["Listing 1: setup."]
+    v2 = json.loads(out["content_list_v2"])
+    v2code = next(b for pg in v2 for b in pg if b["type"] == "code")
+    assert v2code["content"]["code_caption"] == [
+        {"content": "Listing 1: setup.", "type": "text"}]
