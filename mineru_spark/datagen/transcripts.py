@@ -761,6 +761,15 @@ def _gen_pdf(rng: random.Random) -> str:
             li += 1
             y += 30.0
         elif r_rich < 0.70:
+            if rng.random() < 0.18:
+                # generic caption ABOVE the code/algorithm block — CODE
+                # is a visual main type, the kind-agnostic attach must
+                # land it (pipeline_magic_model.py:44)
+                add_text_line_block(
+                    "figure_title",
+                    f"Listing {rng.randint(1, 9)}: {_sentence(rng, 2, 4)}.",
+                    y)
+                y += 24.0
             if rng.random() < 0.3:
                 # ALGORITHM label: pseudo-code that guesses NO language
                 # (reference "algorithm" -> BlockType.CODE with the
