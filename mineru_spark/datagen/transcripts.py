@@ -1196,12 +1196,16 @@ def _gen_docx(rng: random.Random) -> str:
                 key = "underline" if rcd < 0.205 else "strikethrough"
                 runs.append({"text": " " * rng.randint(1, 3), key: True})
                 runs.append({"text": _sentence(rng, 2, 4) + "."})
-            # OMML inline math run (oMath2Latex analog: latex on the run;
-            # the join pads inline equations with spaces, :230-240)
+            # OMML math run (oMath2Latex analog: latex on the run; the
+            # join pads inline equations with spaces, :230-240; ~25%
+            # carry the display flag -> $$ block, :919-929)
             if rng.random() < 0.15:
-                runs.append({"math": rng.choice(
-                    (r"E=mc^2", r"\sum_{i} x_i", r"a_n"))})
-                runs.append({"text": _sentence(rng, 2, 4) + "."})
+                mrun = {"math": rng.choice(
+                    (r"E=mc^2", r"\sum_{i} x_i", r"a_n"))}
+                if rng.random() < 0.25:
+                    mrun["display"] = True
+                runs.append(mrun)
+                runs.append({"text": " " + _sentence(rng, 2, 4) + "."})
             # hyperlink runs (r4 directive #2): same-target styled split
             # runs that must group into ONE [label](url); URLs with parens
             # (→ %28/%29), labels with brackets (→ \[ \]), and the

@@ -172,8 +172,12 @@ def _spans_and_records(runs: list) -> tuple[list, list]:
             m = r.get("math")
             m = m.strip() if isinstance(m, str) else ""
             if m:
-                spans.append({"type": "inline_equation", "content": m})
-                records.append(("inline_equation", m))
+                # display flag → INTERLINE span (office display math,
+                # inline_renderer.py:919-929); default inline
+                kind = ("interline_equation" if r.get("display")
+                        else "inline_equation")
+                spans.append({"type": kind, "content": m})
+                records.append((kind, m))
             i += 1
             continue
         link = r.get("link")

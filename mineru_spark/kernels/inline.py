@@ -32,6 +32,7 @@ payload run/span model:
 Span model (built by docx._render_runs from payload runs):
   {"type": "text", "content": str, "style": [names...]}
   {"type": "inline_equation", "content": latex}
+  {"type": "interline_equation", "content": latex}   # display $$ block
   {"type": "hyperlink", "url": str, "children": [{"content", "style"}]}
 Style names follow the reference's formatting_to_style_str order
 (office_rich_text.py:44-62): bold, italic, underline, emphasis,
@@ -472,7 +473,8 @@ def _needs_boundary_space(prev, nxt) -> bool:
     """_needs_markdown_boundary_space (:194-222)."""
     if not prev["mdw"]:
         return False
-    if nxt["t"] in ("hyperlink", "inline_equation"):
+    if nxt["t"] in ("hyperlink", "inline_equation",
+                    "interline_equation"):
         return False
     prev_raw = prev["raw"]
     next_raw = nxt["raw"]
@@ -574,6 +576,14 @@ def render_spans(spans, syntax=None) -> str:
             content = f"${span.get('content', '')}$".strip()
             if content:
                 parts.append(_part("inline_equation", content))
+        elif t == "interline_equation":
+            # display math inside an office paragraph renders as a $$
+            # block (:919-929: "\n$$\n{content}\n$$\n".strip()); no
+            # space padding and never a boundary-space target
+            flush()
+            content = f"\n$$\n{span.get('content', '')}\n$$\n".strip()
+            if content != "$$\n\n$$":
+                parts.append(_part("interline_equation", content))
         elif t == "hyperlink":
             flush()
             _append_hyperlink_part(

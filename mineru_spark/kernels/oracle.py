@@ -244,7 +244,8 @@ def _content_list_v2_json(blocks: list[dict]) -> str:
         return [{"content": t, "type": "text"}] if t else []
 
     _V2_RUN_TYPE = {"text": "text", "sup": "sup", "sub": "sub",
-                    "inline_equation": "equation_inline"}
+                    "inline_equation": "equation_inline",
+                    "interline_equation": "equation_interline"}
     # office/html style-run records (docx._render_runs, html_extract) →
     # v2 text runs with a style list, the shape of the reference office
     # spans (inline_renderer.py `span.get('style', [])`)

@@ -172,3 +172,19 @@ def test_v2_records_keep_visible_whitespace_spans():
     # plain blank runs contribute no record
     _, recs = _render_runs([{"text": "a"}, {"text": " "}, {"text": "b"}])
     assert recs == [("text", "a"), ("text", "b")]
+
+
+def test_office_display_math():
+    """A display-flagged math run renders as a $$ block inside the
+    paragraph (inline_renderer.py:919-929): no space padding, never a
+    boundary-space target, and the v2 record is equation_interline."""
+    out, recs = md_recs([{"text": "see:", "bold": True},
+                         {"math": "x^2", "display": True},
+                         {"text": " done."}])
+    assert out == "**see:**$$\nx^2\n$$ done."
+    assert ("interline_equation", "x^2") in recs
+
+
+def md_recs(runs):
+    from mineru_spark.kernels.docx import _render_runs
+    return _render_runs(runs)
