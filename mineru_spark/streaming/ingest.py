@@ -348,3 +348,65 @@ def conv_progress_stream(spark: SparkSession, in_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_dedup_stream(spark: SparkSession, in_dir: str, out_dir: str,
+                           checkpoint_dir: str):
+    """Streaming EXACT DEDUP with keyed state: the training-data dedup
+    primitive run online — each arriving turn is kept iff its content
+    hash was never seen in any earlier micro-batch.
+
+    Scale shape: state is keyed by a 2-hex-char PREFIX of md5(text)
+    (256 shards), so no single state row grows with the corpus and the
+    shuffle key space is fixed; each shard's state is its seen-hash
+    array.  At production scale the same operator runs on the RocksDB
+    state store with a TTL watermark bounding state (exactly the
+    deployment note SCALE.md §5 makes for the run-state store); the
+    first-seen winner is ARRIVAL order — replaying from a checkpoint
+    reproduces it because micro-batch composition is checkpointed.
+
+    Emits (conv_id, turn_idx, content_hash, is_first) per input row;
+    downstream keeps is_first rows (the corpus-rewrite analog of
+    q_exact_dedup / q_para_dedup's keep-first rule)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out_rows = {"conv_id": [], "turn_idx": [], "content_hash": [],
+                    "is_first": []}
+        for pdf in pdf_iter:
+            # arrival order within the batch decides intra-batch winners
+            for cid, tix, h in zip(pdf["conv_id"], pdf["turn_idx"],
+                                   pdf["h"]):
+                first = h not in seen
+                if first:
+                    seen.add(h)
+                out_rows["conv_id"].append(cid)
+                out_rows["turn_idx"].append(int(tix))
+                out_rows["content_hash"].append(h)
+                out_rows["is_first"].append(first)
+        state.update((sorted(seen),))
+        yield pd.DataFrame(out_rows)
+
+    src = (read_transcript_stream(spark, in_dir)
+           .select("conv_id", "turn_idx",
+                   F.md5(F.col("text")).alias("h"))
+           .withColumn("shard", F.substring("h", 1, 2)))
+    out = (src.groupBy("shard")
+           .applyInPandasWithState(
+               dedup,
+               outputStructType="conv_id string, turn_idx long, "
+                                "content_hash string, is_first boolean",
+               stateStructType="seen array<string>",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

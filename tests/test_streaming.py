@@ -230,3 +230,49 @@ def test_streaming_out_of_order_continuation_matches_batch(spark, tmp_path):
     for i in range(3):
         assert f"<td>r{i}</td>" in zz[0]["md"]
     assert zz[1]["md"] == "" and zz[2]["md"] == ""
+
+
+def test_streaming_dedup_matches_batch_and_accumulates(spark, tmp_path):
+    """Streaming exact dedup with hash-sharded keyed state: within one
+    run and ACROSS runs through the checkpoint, a content hash is
+    first-seen exactly once; the kept set equals the batch distinct
+    set, and later deliveries of an already-seen text flag is_first
+    False."""
+    from pyspark.sql import functions as F
+
+    from mineru_spark.pipeline import synthesize_transcripts
+    from mineru_spark.streaming.ingest import streaming_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    src = synthesize_transcripts(spark, 12).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    first = src.filter(F.col("turn_idx") < 2)
+    first.write.parquet(in_dir)
+
+    q = streaming_dedup_stream(spark, in_dir, out_dir, ckpt)
+    _await(q)
+    got1 = spark.read.parquet(out_dir)
+    # exactly one is_first row per distinct hash
+    per_hash = (got1.groupBy("content_hash")
+                .agg(F.sum(F.col("is_first").cast("long")).alias("nf"))
+                .toPandas())
+    assert (per_hash["nf"] == 1).all()
+    n_distinct = first.select(F.md5("text")).distinct().count()
+    assert len(per_hash) == n_distinct
+    assert got1.count() == first.count()
+
+    # redeliver the SAME rows plus new ones: old hashes must flag
+    # is_first=False through the checkpointed state
+    rest = src.filter(F.col("turn_idx") >= 2)
+    first.write.mode("append").parquet(in_dir)   # duplicates
+    rest.write.mode("append").parquet(in_dir)
+    q2 = streaming_dedup_stream(spark, in_dir, out_dir, ckpt)
+    _await(q2)
+    got2 = spark.read.parquet(out_dir)
+    per_hash2 = (got2.groupBy("content_hash")
+                 .agg(F.sum(F.col("is_first").cast("long")).alias("nf"))
+                 .toPandas())
+    assert (per_hash2["nf"] == 1).all()
+    assert len(per_hash2) == src.select(F.md5("text")).distinct().count()
