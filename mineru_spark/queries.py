@@ -2393,7 +2393,11 @@ def q_dup_spans(spark, sf_dir):
             .select(
                 "doc_id",
                 F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-                F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"))
+                # double, not long: the frozen DuckDB oracle's
+                # SUM(CASE ...) is HUGEINT, which materializes as float64
+                # on the driver's hash surface (3.0, not 3) — match it.
+                F.coalesce(F.col("dup_spans").cast("double"),
+                           F.lit(0.0)).alias("dup_spans"))
             .withColumn("dup_frac",
                         F.when(F.col("n_spans") > 0,
                                F.round(F.col("dup_spans").cast("double")
