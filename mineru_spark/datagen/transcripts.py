@@ -1,5 +1,10 @@
 """Deterministic synthetic transcript corpus (FIXTURES.md §1-2).
 
+NOTE (r6): materialized-corpus consumers key their cache directory on this
+file's hash; the corpus is now written at 4x-parallelism partitioning
+(pipeline.synthesize_transcripts) so scans of it get straggler-resistant
+task granularity — content per (conv_id, turn_idx) is byte-identical.
+
 One row per turn with the exact ``BASELINE.json input_hint`` schema
 ``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
 ts:timestamp)``.  Every value is a pure function of ``(conv_id, turn_idx)``

@@ -682,13 +682,17 @@ class PageCols:
     def __init__(self, recs: list[dict]):
         n = len(recs)
         self.n = n
-        bbox = np.array([r["bbox"] for r in recs],
-                        dtype=np.float64).reshape(n, 4)
+        # np.fromiter over a flattened generator beats np.array on a list
+        # of lists ~2-3x (no per-row list allocation/ndim sniffing)
+        bbox = np.fromiter((v for r in recs for v in r["bbox"]),
+                           dtype=np.float64, count=4 * n).reshape(n, 4)
         self.x0, self.y0 = bbox[:, 0], bbox[:, 1]
         self.x1, self.y1 = bbox[:, 2], bbox[:, 3]
-        self.size = np.array([r["font"]["size"] for r in recs],
-                             dtype=np.float64)
-        self.idx = np.array([r["char_idx"] for r in recs], dtype=np.int64)
+        fonts = [r["font"] for r in recs]
+        self.size = np.fromiter((f["size"] for f in fonts),
+                                dtype=np.float64, count=n)
+        self.idx = np.fromiter((r["char_idx"] for r in recs),
+                               dtype=np.int64, count=n)
         glyphs = [r["char"] for r in recs]
         self.glyphs = glyphs
         joined = "".join(glyphs)
@@ -701,19 +705,15 @@ class PageCols:
         # per-char font names + first-seen font resource attributes (the
         # pypdf font-table signals, pdf_classify.py:932-1032) + per-char
         # unicode-map failure flags (pdfium signal, :459-476)
-        names: list = []
-        attrs: dict = {}
+        names = [f.get("name") for f in fonts]
+        # reversed dict build: the LAST assignment wins, so iterating the
+        # reversed pairs leaves the FIRST-seen font per name — identical
+        # to the old `if nm not in attrs` loop, but one C-level pass
+        attrs = dict(zip(names[::-1], fonts[::-1]))
         maperr = None
-        for j, r in enumerate(recs):
-            f = r["font"]
-            nm = f.get("name")
-            names.append(nm)
-            if nm not in attrs:
-                attrs[nm] = f
-            if r.get("map_err"):
-                if maperr is None:
-                    maperr = np.zeros(n, dtype=bool)
-                maperr[j] = True
+        if any(r.get("map_err") for r in recs):
+            maperr = np.fromiter((bool(r.get("map_err")) for r in recs),
+                                 dtype=bool, count=n)
         self.names = names
         self.font_attrs = attrs
         self.maperr = maperr
@@ -756,18 +756,29 @@ def _dedup_mask(pc: PageCols) -> "np.ndarray":
     key = ((pc.codes & 0xFFFFF) << 20) | (sizek & 0xFFFFF)
     cx = np.floor_divide(pc.x0, DEDUP_CELL).astype(np.int64)
     cy = np.floor_divide(pc.y0, DEDUP_CELL).astype(np.int64)
-    order = np.sort((key << 24) | ((cx & 0xFFF) << 12) | (cy & 0xFFF))
-    # all 9 neighbor-cell probes in two stacked searchsorted calls
-    # (probe 4 is the center cell)
-    tgts = np.concatenate([
-        (key << 24) | (((cx + dx) & 0xFFF) << 12) | ((cy + dy) & 0xFFF)
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    cnt = (np.searchsorted(order, tgts, side="right")
-           - np.searchsorted(order, tgts, side="left")).reshape(9, n)
-    suspect = cnt[4] > 1
-    for i in range(9):
-        if i != 4:
-            suspect |= cnt[i] > 0
+    packed = (key << 24) | ((cx & 0xFFF) << 12) | (cy & 0xFFF)
+    # suspect detection at OCCUPIED-CELL granularity: one unique() pass
+    # gives center-cell multiplicity; the 8 neighbor probes then search
+    # u<=n unique cells instead of 9 probes x n chars (same result — a
+    # char is suspect iff its (key,cell) is multiply occupied or any
+    # same-key neighbor cell is occupied, which is a property of the
+    # CELL, not the char)
+    cells, inv, counts = np.unique(packed, return_inverse=True,
+                                   return_counts=True)
+    cell_suspect = counts > 1
+    u = len(cells)
+    ckey = cells & ~np.int64(0xFFFFFF)
+    ccx = (cells >> 12) & 0xFFF
+    ccy = cells & 0xFFF
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            tgt = ckey | (((ccx + dx) & 0xFFF) << 12) | ((ccy + dy) & 0xFFF)
+            pos = np.searchsorted(cells, tgt)
+            np.minimum(pos, u - 1, out=pos)
+            cell_suspect |= cells[pos] == tgt
+    suspect = cell_suspect[inv]
     if not suspect.any():
         return keep
 
@@ -838,7 +849,8 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
     x0, y0 = pc.x0[sel], pc.y0[sel]
     x1, y1 = pc.x1[sel], pc.y1[sel]
     size, idx = pc.size[sel], pc.idx[sel]
-    glyphs = [pc.glyphs[i] for i in sel]
+    pg = pc.glyphs
+    glyphs = [pg[i] for i in sel.tolist()]
     # inline-math runs are marked by the font (MFR-analog for in-line
     # formulas); mask built only when such a font appears on the page
     math_mask = pc.mathmask[sel] if pc.mathmask is not None else None
@@ -883,9 +895,11 @@ def _assemble_block(pc: PageCols, sel: "np.ndarray",
     # span bbox on the uniform fast path below (one run per line ⇒ the
     # run bbox IS the line bbox)
     starts = bounds[:-1]
-    lbb = np.column_stack([
-        np.minimum.reduceat(x0, starts), np.minimum.reduceat(y0, starts),
-        np.maximum.reduceat(x1, starts), np.maximum.reduceat(y1, starts)])
+    lbb = np.empty((len(starts), 4), dtype=np.float64)
+    lbb[:, 0] = np.minimum.reduceat(x0, starts)
+    lbb[:, 1] = np.minimum.reduceat(y0, starts)
+    lbb[:, 2] = np.maximum.reduceat(x1, starts)
+    lbb[:, 3] = np.maximum.reduceat(y1, starts)
 
     # uniform-role fast path: when the block has no inline math and no
     # sup/sub candidate on ANY line (the overwhelmingly common case),
@@ -1114,12 +1128,18 @@ def extract_pdf(payload: dict) -> tuple[list[dict], list[dict], dict]:
         # watermark chars both count as dropped); exception-guarded rather
         # than isinstance-laden — broken records are the rare path
         axis = []
+        append = axis.append
         for r in recs:
             try:
-                if isinstance(r["bbox"], list) and len(r["bbox"]) == 4 \
-                        and isinstance(r["font"], dict) \
-                        and float(r.get("rotation", 0.0)) % 90.0 == 0.0:
-                    axis.append(r)
+                b = r["bbox"]
+                if isinstance(b, list) and len(b) == 4 \
+                        and isinstance(r["font"], dict):
+                    # rotation is absent on the vast majority of chars:
+                    # skip the float()/mod for that case
+                    rot = r.get("rotation")
+                    if rot is None or rot == 0 \
+                            or float(rot) % 90.0 == 0.0:
+                        append(r)
             except (TypeError, KeyError):
                 pass
         chars_deduped += len(recs) - len(axis)

@@ -38,6 +38,8 @@ _ATTR = re.compile(
     r"([a-zA-Z_:][-\w:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
 
 _RAWTEXT = {"script", "style"}
+_RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE)
+                  for t in _RAWTEXT}
 
 VOID = {"br", "hr", "img", "meta", "link", "input", "area", "base",
         "col", "embed", "source", "track", "wbr"}
@@ -60,25 +62,39 @@ def tokenize(html: str):
     """Yield ("start", tag, attrs) / ("end", tag) / ("data", text)."""
     pos = 0
     n = len(html)
+    match = _TOKEN.match
     while pos < n:
-        m = _TOKEN.match(html, pos)
+        m = match(html, pos)
         if m is None:  # defensive; _TOKEN matches any position
             yield ("data", html[pos:])
             return
         pos = m.end()
-        end_tag, start_tag, attr_blob, selfclose = \
-            m.group(1), m.group(2), m.group(3), m.group(4)
-        if start_tag is not None:
-            tag = start_tag.lower()
+        # dispatch on lastindex (the highest group that matched): start
+        # tags always bind group 4 (the self-close group, possibly
+        # empty), end tags bind only group 1, and group-free branches
+        # (text / comment / doctype / stray '<') give None — saves the
+        # three dead group() calls per token on the common branches
+        li = m.lastindex
+        if li is None:
+            tok = m.group(0)
+            if tok[0] != "<":
+                yield ("data", unescape(tok) if "&" in tok else tok)
+            elif tok == "<":
+                yield ("data", "<")
+            # else: comment / cdata / doctype — skipped
+        elif li == 1:
+            yield ("end", m.group(1).lower())
+        else:
+            tag = m.group(2).lower()
+            attr_blob = m.group(3)
             attrs = _parse_attrs(attr_blob) if attr_blob.strip() else {}
             yield ("start", tag, attrs)
-            if selfclose:
+            if m.group(4):
                 if tag not in VOID:
                     yield ("end", tag)
             elif tag in _RAWTEXT:
                 # raw-text content: scan to the matching close tag
-                close = re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE)
-                cm = close.search(html, pos)
+                cm = _RAWTEXT_CLOSE[tag].search(html, pos)
                 if cm is None:
                     yield ("data", html[pos:])
                     yield ("end", tag)
@@ -87,14 +103,3 @@ def tokenize(html: str):
                     yield ("data", html[pos:cm.start()])
                 yield ("end", tag)
                 pos = cm.end()
-        elif end_tag is not None:
-            yield ("end", end_tag.lower())
-        else:
-            tok = m.group(0)
-            c = tok[0]
-            if c != "<" or tok == "<":
-                if tok == "<":
-                    yield ("data", "<")
-                else:
-                    yield ("data", unescape(tok) if "&" in tok else tok)
-            # else: comment / cdata / doctype — skipped

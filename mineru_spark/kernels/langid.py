@@ -50,6 +50,12 @@ SCRIPT_RULES = (
 _SCRIPT_RX = tuple((lang, re.compile(f"[{cls}]"), thr)
                    for lang, cls, thr in SCRIPT_RULES)
 _PROFILE_SETS = tuple((lang, frozenset(ws)) for lang, ws in LANG_PROFILES)
+# one-pass voting table: word -> profile indices it votes for (stopword
+# sets are small and static, so invert them once at import)
+_WORD_VOTES: dict[str, tuple[int, ...]] = {}
+for _i, (_lang, _ws) in enumerate(LANG_PROFILES):
+    for _w in _ws:
+        _WORD_VOTES[_w] = _WORD_VOTES.get(_w, ()) + (_i,)
 # the SQL twin splits trim(text) on ' +' (SPACES only, runs collapsed);
 # str.split() would split on all Unicode whitespace and diverge — e.g.
 # 'et\nest' is ONE token to the SQL and must be one token here
@@ -72,14 +78,25 @@ def lang_of(text: str) -> str:
         for lang, rx, thr in _SCRIPT_RX:
             if len(rx.findall(dense)) / total > thr:
                 return lang
-    # strip SPACES only — the SQL twins use trim()/TRIM which strip the
-    # space character, not all Unicode whitespace; '\nthe' must stay one
-    # (non-matching) token in both engines (r4 ADVICE parity fix)
-    words = _WORD_SPLIT.split(text.strip(" "))
-    hits = [(sum(1 for w in words if w in ws), i, lang)
-            for i, (lang, ws) in enumerate(_PROFILE_SETS)]
-    best = max(hits, key=lambda h: (h[0], -h[1]))
-    return best[2] if best[0] > 0 else "und"
+    # plain split(" ") instead of the ' +' regex split: the only
+    # difference is empty tokens at space runs, which can never match a
+    # stopword, so the VOTES are identical (the SQL twins use trim() —
+    # space-only strip — which this preserves: '\nthe' stays one
+    # non-matching token in both engines, r4 ADVICE parity fix).
+    # One pass over the words via the inverted table instead of one
+    # membership scan per profile.
+    counts = [0] * len(LANG_PROFILES)
+    votes = _WORD_VOTES
+    for w in text.split(" "):
+        e = votes.get(w)
+        if e is not None:
+            for i in e:
+                counts[i] += 1
+    best_n, best_i = 0, 0
+    for i, c in enumerate(counts):
+        if c > best_n:  # strict: ties keep the earlier profile
+            best_n, best_i = c, i
+    return LANG_PROFILES[best_i][0] if best_n > 0 else "und"
 
 
 # ---------------------------------------------------------------------------

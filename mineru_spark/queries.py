@@ -411,7 +411,8 @@ def _minhash_col(seed: int):
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (word shingles, 4 seeds) — both engines hash with
     md5 so signatures are bit-identical (training-data near-dup op)."""
-    d = _t(spark, sf_dir, "documents")
+    from .pipeline import spread_scan
+    d = spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select("doc_id", *[_minhash_col(s) for s in _MINHASH_SEEDS])
 
 
@@ -440,7 +441,9 @@ def _shingles(d: DataFrame) -> DataFrame:
     the transform lambda references the array — inlining the split into the
     lambda would re-split the text per shingle index (O(words²)).  Guarded
     for <3-word docs (Spark's sequence(0, -1) would descend)."""
-    return (d.select("doc_id", F.split(F.trim("text"), " +").alias("w"))
+    from .pipeline import spread_scan
+    return (spread_scan(d.select("doc_id", "text"))
+            .select("doc_id", F.split(F.trim("text"), " +").alias("w"))
             .select("doc_id", F.array_distinct(F.expr(
                 "CASE WHEN size(w) < 3 THEN array() "
                 "ELSE transform(sequence(0, size(w) - 3), "
@@ -519,7 +522,8 @@ def q_simhash(spark, sf_dir):
     final hash agg — the naive words × 60-bit-positions explode would
     multiply the shuffle by 60); DuckDB verifies with the explicit
     bit-position formulation, so the two different plans must agree."""
-    d = _t(spark, sf_dir, "documents")
+    from .pipeline import spread_scan
+    d = spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = (d.select("doc_id",
                       F.explode(F.split(F.trim("text"), " +")).alias("word"))
              .select("doc_id",

@@ -63,11 +63,14 @@ def _wrap_extract(batches):
 
 
 def extract_wrapped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline import _tune_session_for_payloads
+    from ..pipeline import _tune_session_for_payloads, spread_scan
     _tune_session_for_payloads(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    return docs.mapInPandas(_wrap_extract, schema=_WRAP_EXTRACT_SCHEMA)
+    # single-row-group source: the whole Python extraction would run in
+    # ONE task without the spread (measured 2.5s -> 0.9s at local[32])
+    return spread_scan(docs).mapInPandas(_wrap_extract,
+                                         schema=_WRAP_EXTRACT_SCHEMA)
 
 
 def roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,14 +27,34 @@ def test_extraction_map_is_shuffle_free(spark):
 
 def test_docwrap_scan_prunes_columns(spark):
     """The documents scan under the wrap-extract map reads ONLY
-    (doc_id, text) — lang/source/n_chars are pruned."""
+    (doc_id, text) — lang/source/n_chars are pruned.  The only Exchange
+    allowed is the r6 spread_scan round-robin (single-row-group sources
+    scan as one task; the spread unlocks the cores) — never a hash/range
+    shuffle, and the spread must sit ABOVE the pruned scan so the
+    exchange carries only (doc_id, text)."""
     from mineru_spark.sources.docwrap import extract_wrapped_documents
 
     plan = _plan(extract_wrapped_documents(spark, SF))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # just the round-robin spread
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and "doc_id" in rs[0] and "text" in rs[0]
     assert "lang" not in rs[0] and "n_chars" not in rs[0]
+
+
+def test_spread_scan_is_noop_at_scale_parallelism(spark):
+    """spread_scan only inserts its round-robin exchange in the
+    small-input regime (scan tasks < session parallelism); a source that
+    already carries >= parallelism partitions is returned untouched —
+    the production-scale plan has no extra shuffle."""
+    from mineru_spark.pipeline import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=par + 1)
+    assert "Exchange" not in _plan(spread_scan(wide))
+    narrow = spark.range(0, 10_000, numPartitions=1)
+    assert "roundrobinpartitioning" in _plan(spread_scan(narrow)).lower()
 
 
 def test_pricing_summary_pushdown(spark):
