@@ -110,6 +110,12 @@ def get_spark(app: str = "mineru_spark", master: str | None = None,
         # keeps batches ~10 MB. Same knob matters on a real cluster for any
         # document-payload table.
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        # scan-parallelism floor at 4x cores (guide §6): CPU-heavy scans
+        # (the extraction map) are straggler-bound with one task wave;
+        # finer splits bound the tail.  Scale-relative, not a local
+        # constant — at production sizes the 128 MB maxPartitionBytes
+        # cap dominates and this floor is inert.
+        .config("spark.sql.files.minPartitionNum", str(4 * sp))
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/mineru_spark_warehouse"))
@@ -219,14 +225,27 @@ def spread_scan(df: DataFrame) -> DataFrame:
     condition is false, and the plan is untouched — no constant tuned to
     local[32] anywhere.  Call it AFTER projecting the needed columns so
     the exchange carries only those (guide §2.3) and ReadSchema pruning
-    is preserved."""
-    try:
-        parts = df.rdd.getNumPartitions()
-    except Exception:
-        return df
+    is preserved.
+
+    The small-input test is BYTES-based (<= 8 MB x parallelism, i.e.
+    the regime where the round-robin exchange costs milliseconds):
+    split/partition counts lie here — byte-range splits of a
+    single-row-group file report high parallelism while every row still
+    lands in the one task that owns the row-group midpoint."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if parts < target:
-        return df.repartition(target)
+    try:
+        import os as _os
+        files = df.inputFiles()
+        if files:
+            total = sum(_os.path.getsize(f.replace("file:", "", 1))
+                        for f in files if f.startswith("file:"))
+            if 0 < total <= 8 * (1 << 20) * target:
+                return df.repartition(target)
+            return df
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
     return df
 
 

@@ -32,8 +32,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB's naive-as-UTC semantics regardless of host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # small-SF correctness runs shouldn't pay 200 default shuffle
-    # partitions; AQE coalesces anyway, this just trims scheduling noise
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # partitions; AQE coalesces anyway, this just trims scheduling noise.
+    # Parameterised to the session's parallelism (r6) — a constant 32 was
+    # only right for one box size.
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(spark.sparkContext.defaultParallelism))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1020,7 +1023,19 @@ def _simhash_near_pairs_from(sig):
     """Two-level pigeonhole pairing over an arbitrary (doc_id, simhash)
     frame — separated from the corpus read so adversarial-signature
     tests (crafted hot buckets) can drive the exact same plan
-    (r5 directive #8)."""
+    (r5 directive #8).
+
+    The signature frame is persisted (r6): it feeds THREE consumers
+    (the chunk explode, the bucket sizing join, the hot-doc escalation)
+    and without the persist the whole upstream signature computation —
+    the 60-vote agg over exploded words — re-executes per consumer
+    (measured ~3s -> ~1.2s warm at sf0.01).  Same rationale and shape as
+    the jaccard shingle persist: at production scale this is the
+    materialized signature table."""
+    from pyspark import StorageLevel
+
+    sig = cache.track("simhash_sigs",
+                      sig.persist(StorageLevel.MEMORY_AND_DISK))
     chunks = [F.struct(F.lit(ci).alias("ci"),
                        _simhash_chunk_col(ci).alias("cv"))
               for ci in range(_SIMHASH_N_CHUNKS)]
@@ -1826,37 +1841,40 @@ def _ivf_centroids(spark, sf_dir):
     return [[float(v) for v in r["embedding"]] for r in rows]
 
 
-def _ivf_assign_expr(cents):
-    """cent = argmin over centroids of NEGATIVE dot (i.e. argmax dot),
-    first-match tie-break in centroid order — mirrored exactly in SQL."""
-    dots = []
-    for ci, c in enumerate(cents):
-        arr = F.array(*[F.lit(v) for v in c])
-        dots.append(F.round(F.aggregate(
-            F.zip_with("embedding", arr,
-                       lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, v: acc + v), 9).alias(f"d{ci}"))
-    return dots
-
-
 def q_ivf_assign(spark, sf_dir):
     """IVF coarse assignment (similarity-search scale path): every vector
     goes to its max-dot centroid.  At production scale `cent` is the
     partition/bucket key — a query probes nprobe lists instead of the
     corpus.  Dots are rounded to 9 dp before the argmax so both engines
-    compare identical decimals (float fold order differs)."""
-    cents = _ivf_centroids(spark, sf_dir)
+    compare identical decimals (float fold order differs).
+
+    r6 restructure (guide §7.3): the old shape projected 16 per-centroid
+    dot expressions (each a zip_with+fold over a 64-literal array), then
+    a greatest(16) and a 16-branch CASE over those columns; projection
+    collapse inlined the giant subtrees into every branch and the
+    OPTIMIZER took ~40s per invocation at sf0.01 (measured: 42.8s plan /
+    39.1s execute — driver-side tree walking, not data work).  Same
+    semantics as a 16-row broadcast join + one dot expression + a
+    struct-argmax: max(struct(d, -ci)) picks the max dot and, on ties,
+    the SMALLEST centroid id — exactly the old first-match CASE and the
+    oracle's MIN(ci) over d = max.  Plan+execute now ~0.5s; the plan
+    scales (e x 16-row broadcast, one partial+final agg)."""
     e = _t(spark, sf_dir, "embeddings")
-    dots = _ivf_assign_expr(cents)
-    with_d = e.select("vec_id", *dots)
-    gmax = F.greatest(*[F.col(f"d{ci}") for ci in range(len(cents))])
-    cent = None
-    for ci in range(len(cents)):
-        branch = F.when(F.col(f"d{ci}") == gmax, F.lit(ci))
-        cent = branch if cent is None else cent.when(
-            F.col(f"d{ci}") == gmax, F.lit(ci))
-    # CASE evaluates in order → first matching centroid wins ties
-    return with_d.select("vec_id", cent.cast("long").alias("cent"))
+    cents = (e.filter((F.col("vec_id") >= 1)
+                      & (F.col("vec_id") <= IVF_N_CENTROIDS))
+             .select((F.col("vec_id") - 1).cast("int").alias("ci"),
+                     F.col("embedding").alias("c")))
+    d = F.round(F.aggregate(
+        F.zip_with("embedding", "c",
+                   lambda x, w: x.cast("double") * w.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v), 9)
+    dots = (e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "ci", d.alias("d")))
+    return (dots.groupBy("vec_id")
+            .agg(F.max(F.struct(
+                F.col("d"),
+                (-F.col("ci")).cast("long").alias("nci"))).alias("m"))
+            .select("vec_id", (-F.col("m.nci")).cast("long").alias("cent")))
 
 
 def q_ivf_topk(spark, sf_dir):

@@ -232,8 +232,35 @@ def test_streaming_out_of_order_continuation_matches_batch(spark, tmp_path):
     assert zz[1]["md"] == "" and zz[2]["md"] == ""
 
 
+def test_streaming_dedup_same_batch_duplicate_burst(spark, tmp_path):
+    """r6 state re-key (state keyed BY content hash, one constant-size
+    row per distinct hash): a burst of many copies of one text inside a
+    single micro-batch still yields exactly one is_first winner, and
+    distinct texts each win once — the intra-group arrival-order rule
+    survives the per-hash grouping."""
+    from pyspark.sql import functions as F
+
+    from mineru_spark.streaming.ingest import streaming_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    rows = ([("c0", i, "user", "same text", None, None) for i in range(25)]
+            + [("c1", i, "user", f"uniq {i}", None, None) for i in range(5)])
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(in_dir)
+    q = streaming_dedup_stream(spark, in_dir, str(tmp_path / "out"),
+                               str(tmp_path / "ck"))
+    _await(q)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 30
+    per_hash = (got.groupBy("content_hash")
+                .agg(F.sum(F.col("is_first").cast("long")).alias("nf"))
+                .collect())
+    assert len(per_hash) == 6 and all(r["nf"] == 1 for r in per_hash)
+
+
 def test_streaming_dedup_matches_batch_and_accumulates(spark, tmp_path):
-    """Streaming exact dedup with hash-sharded keyed state: within one
+    """Streaming exact dedup with per-hash keyed state: within one
     run and ACROSS runs through the checkpoint, a content hash is
     first-seen exactly once; the kept set equals the batch distinct
     set, and later deliveries of an already-seen text flag is_first
