@@ -54,7 +54,12 @@ _FW_TABLE = {o: o - 0xFEE0
 
 def fullwidth_to_halfwidth(text: str) -> str:
     """Normalize full-width letters/digits (U+FF01-FF5E letters/digits only,
-    mirroring the reference's letter/digit-scoped conversion)."""
+    mirroring the reference's letter/digit-scoped conversion).  The table
+    maps only non-ASCII codepoints, so ASCII text (the hot path) returns
+    unchanged via the C-speed isascii check instead of a per-char
+    translate scan."""
+    if text.isascii():
+        return text
     return text.translate(_FW_TABLE)
 
 
@@ -158,6 +163,7 @@ def join_list_lines(lines: list[str], starts: list[bool]) -> str:
 
 
 _HAS_SPECIAL = re.compile(r"[*_~$`\\]")
+_ESCAPE_ALL = {ord(c): "\\" + c for c in "*_~$`"}
 # reference TEXT_BLOCK_MARKDOWN_PREFIX_RE (markdown_utils.py:7-9): up to 3
 # leading spaces/tabs, then #{1,6} or +/-, followed by space/tab
 _BLOCK_PREFIX = re.compile(r"^(?P<indent>[ \t]{0,3})(?P<marker>#{1,6}|[+-])"
@@ -182,6 +188,10 @@ def escape_inline(text: str) -> str:
         return text
     if _HAS_SPECIAL.search(text) is None:
         return text
+    if "\\" not in text:
+        # no backslashes → nothing is "already escaped": every special
+        # gets escaped, which one C-level translate does
+        return text.translate(_ESCAPE_ALL)
     out = []
     bs_run = 0
     for ch in text:
