@@ -770,14 +770,17 @@ def _dedup_mask(pc: PageCols) -> "np.ndarray":
     ckey = cells & ~np.int64(0xFFFFFF)
     ccx = (cells >> 12) & 0xFFF
     ccy = cells & 0xFFF
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            tgt = ckey | (((ccx + dx) & 0xFFF) << 12) | ((ccy + dy) & 0xFFF)
-            pos = np.searchsorted(cells, tgt)
-            np.minimum(pos, u - 1, out=pos)
-            cell_suspect |= cells[pos] == tgt
+    # neighbor occupancy is symmetric (the &0xFFF wraparound preserves
+    # it both ways), so 4 forward probes suffice: a hit marks BOTH ends
+    # — the probing cell and the found neighbor (its index is the
+    # searchsorted position)
+    for dx, dy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        tgt = ckey | (((ccx + dx) & 0xFFF) << 12) | ((ccy + dy) & 0xFFF)
+        pos = np.searchsorted(cells, tgt)
+        np.minimum(pos, u - 1, out=pos)
+        hit = cells[pos] == tgt
+        cell_suspect |= hit
+        cell_suspect[pos[hit]] = True
     suspect = cell_suspect[inv]
     if not suspect.any():
         return keep

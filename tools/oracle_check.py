@@ -18,11 +18,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    """Dtype KIND per column (int vs float vs bool vs object): the driver's
+    hash surface distinguishes 3 from 3.0, so the replica must too — the
+    old int→float64 unification masked exactly the q_dup_spans divergence
+    (r5's one red gate)."""
+    return {c: df[c].dtype.kind for c in df.columns}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("float64")  # unify int widths for compare
+            df[c] = df[c].astype("float64")  # unify int WIDTHS for compare
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
@@ -71,6 +79,12 @@ def main():
         if list(g.columns) != list(e_.columns):
             failures.append(name)
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e_.columns)}")
+            continue
+        kg, ke = dtype_kinds(got), dtype_kinds(exp)
+        if kg != ke:
+            failures.append(name)
+            diff = {c: (kg[c], ke[c]) for c in kg if kg[c] != ke.get(c)}
+            print(f"FAIL {name}: dtype kinds differ (spark, oracle): {diff}")
             continue
         if len(g) != len(e_):
             failures.append(name)
