@@ -91,10 +91,17 @@ def q03_top_orders(spark, sf_dir):
 
 
 def q05_nation_revenue(spark, sf_dir):
-    """Multi-way join through the dimension chain; small dims broadcast."""
+    """Multi-way join through the dimension chain; small dims broadcast.
+
+    r6: the fact side is projected to the 3 needed columns and spread
+    (single-row-group files scan as one task, so the join probes and the
+    decimal partial agg all ran single-core; interleaved A/B at sf0.1:
+    1.37s -> 1.16s best, much better tail under load)."""
+    from .pipeline import spread_scan
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_scan(_t(spark, sf_dir, "lineitem")
+                     .select("l_orderkey", "l_extendedprice", "l_discount"))
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
@@ -1854,27 +1861,33 @@ def q_ivf_assign(spark, sf_dir):
     collapse inlined the giant subtrees into every branch and the
     OPTIMIZER took ~40s per invocation at sf0.01 (measured: 42.8s plan /
     39.1s execute — driver-side tree walking, not data work).  Same
-    semantics as a 16-row broadcast join + one dot expression + a
-    struct-argmax: max(struct(d, -ci)) picks the max dot and, on ties,
-    the SMALLEST centroid id — exactly the old first-match CASE and the
-    oracle's MIN(ci) over d = max.  Plan+execute now ~0.5s; the plan
-    scales (e x 16-row broadcast, one partial+final agg)."""
+    semantics as ONE map-only higher-order expression:
+    array_max(transform(centroid-literals, c -> struct(dot, -ci))) —
+    struct ordering is lexicographic, so the max is (largest dot, then
+    smallest centroid id), exactly the old first-match CASE and the
+    oracle's MIN(ci) over d = max.  Every dot subtree appears exactly
+    once, the plan stays MAP-ONLY (zero shuffle at any scale — the same
+    property the kmeans final assignment pins), and plan+execute is
+    ~0.5s."""
+    cents = _ivf_centroids(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings")
-    cents = (e.filter((F.col("vec_id") >= 1)
-                      & (F.col("vec_id") <= IVF_N_CENTROIDS))
-             .select((F.col("vec_id") - 1).cast("int").alias("ci"),
-                     F.col("embedding").alias("c")))
-    d = F.round(F.aggregate(
-        F.zip_with("embedding", "c",
-                   lambda x, w: x.cast("double") * w.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v), 9)
-    dots = (e.crossJoin(F.broadcast(cents))
-            .select("vec_id", "ci", d.alias("d")))
-    return (dots.groupBy("vec_id")
-            .agg(F.max(F.struct(
-                F.col("d"),
-                (-F.col("ci")).cast("long").alias("nci"))).alias("m"))
-            .select("vec_id", (-F.col("m.nci")).cast("long").alias("cent")))
+    cents_lit = F.array(*[
+        F.struct(F.lit(ci).alias("ci"),
+                 F.array(*[F.lit(float(v)) for v in c]).alias("c"))
+        for ci, c in enumerate(cents)])
+
+    def dot(carr):
+        return F.round(F.aggregate(
+            F.zip_with("embedding", carr,
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v), 9)
+
+    m = F.array_max(F.transform(
+        cents_lit,
+        lambda cent: F.struct(dot(cent["c"]).alias("d"),
+                              (-cent["ci"]).cast("long").alias("nci"))))
+    return e.select("vec_id",
+                    (-m.getField("nci")).cast("long").alias("cent"))
 
 
 def q_ivf_topk(spark, sf_dir):

@@ -171,36 +171,40 @@ def _kmeans_init(spark, sf_dir: str) -> list[list[float]]:
     return [[float(v) for v in r["embedding"]] for r in rows]
 
 
-def _kmeans_dist_cols(cents: list[list[float]]):
-    """Squared-L2 distance to each centroid as a LEFT-FOLD aggregate
-    (fixed element order → bit-identical to the golden's Python loop),
-    rounded to 9 dp before the argmin so both engines compare identical
-    decimals."""
+def _kmeans_argmin_col(cents: list[list[float]]):
+    """min(struct(d, ci)) over the centroid set as ONE map-only
+    expression: array_min over transform(centroid-literal-array) —
+    struct ordering is lexicographic, so the min is (smallest distance,
+    then smallest centroid id), exactly the old first-match CASE rule.
+
+    r6 restructure (same optimizer-blowup class as q_ivf_assign): the
+    old shape projected K per-centroid distance COLUMNS (each a zip_with
+    fold over a 64-literal array) feeding a least(K) and a K-branch
+    CASE; projection collapse inlined the giant subtrees into every
+    branch and the optimizer spent seconds per iteration walking the
+    tree (x_kmeans ~6s warm at sf0.01, mostly planning).  Here every
+    distance subtree appears exactly ONCE inside a single higher-order
+    expression, the plan stays map-only (no join, no shuffle — the
+    property test_kmeans_final_assignment_is_map_only pins), and the
+    distance itself is the same left-fold rounded to 9 dp."""
     from pyspark.sql import functions as F
 
-    cols = []
-    for ci, c in enumerate(cents):
-        arr = F.array(*[F.lit(float(v)) for v in c])
-        diff2 = F.zip_with("embedding", arr,
+    cents_lit = F.array(*[
+        F.struct(F.lit(ci).alias("ci"),
+                 F.array(*[F.lit(float(v)) for v in c]).alias("c"))
+        for ci, c in enumerate(cents)])
+
+    def dist(carr):
+        diff2 = F.zip_with("embedding", carr,
                            lambda x, w: (x.cast("double") - w)
                            * (x.cast("double") - w))
-        cols.append(F.round(F.aggregate(diff2, F.lit(0.0),
-                                        lambda acc, v: acc + v), 9)
-                    .alias(f"d{ci}"))
-    return cols
+        return F.round(F.aggregate(diff2, F.lit(0.0),
+                                   lambda acc, v: acc + v), 9)
 
-
-def _kmeans_assign_col(k: int):
-    from pyspark.sql import functions as F
-
-    gmin = F.least(*[F.col(f"d{ci}") for ci in range(k)])
-    cent = None
-    for ci in range(k):
-        branch = F.when(F.col(f"d{ci}") == gmin, F.lit(ci))
-        cent = branch if cent is None else cent.when(
-            F.col(f"d{ci}") == gmin, F.lit(ci))
-    # CASE evaluates in order → first matching centroid wins ties
-    return cent.cast("long").alias("cent")
+    return F.array_min(F.transform(
+        cents_lit,
+        lambda cent: F.struct(dist(cent["c"]).alias("d"),
+                              cent["ci"].alias("ci"))))
 
 
 def kmeans_assign(spark, sf_dir: str):
@@ -227,8 +231,9 @@ def kmeans_assign(spark, sf_dir: str):
     q9 = Decimal("1e-9")
     for _ in range(KMEANS_ITERS):
         assigned = e.select("vec_id", "embedding",
-                            *_kmeans_dist_cols(cents)) \
-            .select("vec_id", "embedding", _kmeans_assign_col(len(cents)))
+                            _kmeans_argmin_col(cents).alias("m")) \
+            .select("vec_id", "embedding",
+                    F.col("m.ci").cast("long").alias("cent"))
         sums = (assigned.groupBy("cent")
                 .agg(F.count("*").alias("n"),
                      *[F.sum(F.col("embedding")[i].cast("double")
@@ -247,7 +252,6 @@ def kmeans_assign(spark, sf_dir: str):
                 float((Decimal(r[f"s{i}"]) / n).quantize(q9, ROUND_HALF_UP))
                 for i in range(DIM)])
         cents = new_cents
-    return (e.select("vec_id", "embedding", *_kmeans_dist_cols(cents))
-            .select("vec_id", _kmeans_assign_col(len(cents)),
-                    F.least(*[F.col(f"d{ci}") for ci in range(len(cents))])
-                    .alias("dist2")))
+    return (e.select("vec_id", _kmeans_argmin_col(cents).alias("m"))
+            .select("vec_id", F.col("m.ci").cast("long").alias("cent"),
+                    F.col("m.d").alias("dist2")))
