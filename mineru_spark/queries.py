@@ -497,16 +497,31 @@ def q_jaccard_pairs(spark, sf_dir):
         F.struct(F.lit(1).alias("bi"),
                  F.md5(F.concat("mh2", "mh3")).alias("bk")),
     )).alias("b")).select("doc_id", "b.bi", "b.bk")
-    sized = bands.join(
-        bands.groupBy("bi", "bk").agg(F.count("*").alias("_n")),
-        ["bi", "bk"]).filter(F.col("_n") <= LSH_MAX_BUCKET)
-    cand = (sized.alias("a").join(
-                sized.alias("b"),
-                (F.col("a.bi") == F.col("b.bi"))
-                & (F.col("a.bk") == F.col("b.bk"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("da"),
-                    F.col("b.doc_id").alias("db"))
+    # candidate pairs per bucket via collect_list + in-bucket pair
+    # expansion (r6): the old count-agg + join-back + self-join chain
+    # spent its time in stage scheduling, not data (3 exchanges over
+    # tiny frames).  The hot-bucket guard stays TWO-PHASE so a
+    # boilerplate mega-bucket is never collected into one row: the count
+    # agg finds the small keys (tiny frame, broadcast), bands
+    # semi-reduce to those keys BEFORE the collect, and only then does
+    # each (capped, <= LSH_MAX_BUCKET) bucket expand its pairs — ordered
+    # via least/greatest = the old a.doc_id < b.doc_id, cross-bucket
+    # DISTINCT unchanged, fan-out bounded by C(LSH_MAX_BUCKET, 2), never
+    # a cartesian.
+    small_keys = (bands.groupBy("bi", "bk")
+                  .agg(F.count("*").alias("_n"))
+                  .filter((F.col("_n") >= 2)
+                          & (F.col("_n") <= LSH_MAX_BUCKET))
+                  .select("bi", "bk"))
+    pair_expr = F.expr(
+        "flatten(transform(ds, (a, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), b -> "
+        "struct(least(a, b) AS da, greatest(a, b) AS db))))")
+    cand = (bands.join(F.broadcast(small_keys), ["bi", "bk"])
+            .groupBy("bi", "bk")
+            .agg(F.collect_list("doc_id").alias("ds"))
+            .select(F.explode(pair_expr).alias("p"))
+            .select("p.da", "p.db")
             .distinct())
     sets = sh.select("doc_id", "sh", F.size("sh").alias("nsh"))
     pairs = (cand
