@@ -121,10 +121,20 @@ def get_spark(app: str = "mineru_spark", master: str | None = None,
                                "/tmp/mineru_spark_warehouse"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        # local mode = single JVM: size the driver heap + netty direct
-        # memory for 32 concurrent Arrow streams of 10-100 KB payload rows
+        # local mode = single JVM: netty direct memory sized for 32
+        # concurrent Arrow streams of 10-100 KB payload rows.  Heap
+        # default is deliberately MODEST (12g): every query path here
+        # streams or spills (MEMORY_AND_DISK persists, spillable
+        # agg/sort), and a large lazily-committed heap is actively
+        # harmful on virtualized hosts — guest page provisioning is
+        # slow/erratic, so a 48g -Xmx meant the first minutes of every
+        # session stalled in kernel page-zeroing as the heap grew
+        # (measured on this box: identical scan 5.3s cold vs 0.5s with a
+        # 12g heap; JVM-side stages converged only after ~6 full-corpus
+        # reps).  Production/VM-tuned deployments override via
+        # SPARK_GRAFT_DRIVER_MEM.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.driver.extraJavaOptions",
                 "-XX:MaxDirectMemorySize=16g")
         .getOrCreate()
